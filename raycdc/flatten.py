@@ -1,0 +1,527 @@
+"""Edge-list hierarchy flattener (Oracle CONNECT BY semantics) on Ray Data.
+
+Capability parity with the reference plugin's ``HierarchyFlattener``
+(/root/reference src/main/java/io/cdap/plugin/spark/HierarchyFlattener.java),
+re-architected for Ray Data rather than translated:
+
+Reference dataflow (HierarchyFlattener.java:127-351): per level, a cluster-wide
+left-outer self-join ``current.child == input.parent`` (line 274-278), a
+conditional projection (239-272), a union accumulating levels (279), a driver
+``take(1)`` emptiness probe per level (215, 394-398), and one final
+``groupBy(parent, child, level)`` dedup shuffle (340-342). Cost: O(depth)
+all-to-all shuffles.
+
+This engine's primary strategy is **broadcast BFS**: the edge table is compiled
+once into a CSR-style index (edges sorted by parent + a hash index of unique
+parents), placed in the Ray object store, and every task expands its batch of
+seed edges through *all* levels in a single vectorized pass — zero per-level
+shuffles, no driver-side per-level probes. The only all-to-all exchange left is
+the final multi-path dedup, and even that is skipped when the edge index proves
+no node has two in-edges (a forest — no two same-level paths can converge).
+For edge tables too large to broadcast, a **shuffle** strategy mirrors the
+reference's per-level hash join using ``Dataset.join``.
+
+Exact semantics reproduced (pinned by the reference's unit tests, see
+SURVEY.md §2.1):
+
+- every edge seeds a level-1 path, optionally restricted by ``start_with``
+  (HierarchyFlattener.java:173, 353-374); self-edges and null-key edges are
+  dropped from seeds (174-175: ``parent != child`` is null-rejecting)
+- output rows are path-terminal edges: after an extension the new parent is
+  the previous child (247-250)
+- ``bottom`` is true iff the row's child has no outgoing edge (249-254 +
+  the ``max(leaf)`` merge at 340-342)
+- level = number of edges in the path; the dedup group key is
+  ``(parent, child, level)`` so the same edge at different depths yields
+  distinct rows (340)
+- multi-path duplicates collapse to ``min(path)`` (332-334); data fields come
+  from the matched (last) edge (256-259); connect-by-root fields from the
+  first edge (183-185, 270-272). Where the reference uses nondeterministic
+  ``first()`` we deterministically take values from the min-path row.
+- exceeding ``max_depth`` with a non-leaf frontier raises (215-220).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from raycdc.expr import compile_predicate
+from raycdc.joins import hash_join
+from raycdc.schema import FlattenConfig, derive_output_schema, validate_config
+
+_LEAF_COL = "__rcdc_leaf"
+_BUCKET_COL = "__rcdc_bucket"
+_RPREFIX = "__rcdc_r_"
+
+
+# --------------------------------------------------------------------------
+# Broadcast edge index
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class EdgeIndex:
+    """CSR-style adjacency index over the edge table, keyed by parent.
+
+    ``sorted_table`` holds all edge columns stably sorted by parent value;
+    ``uniques``/``starts`` give, for each distinct parent, its slice in the
+    sorted arrays. ``needs_dedup`` is true iff some child value occurs more
+    than once in the edge list — the only way two same-(parent, child, level)
+    rows can arise (multi-path convergence or duplicate edges).
+    """
+
+    uniques: pd.Index
+    starts: np.ndarray
+    parent_sorted: np.ndarray
+    child_sorted: np.ndarray
+    sorted_table: pa.Table
+    path_sorted: Optional[np.ndarray]
+    needs_dedup: bool
+    num_edges: int
+
+    def lookup(self, children: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized out-edge lookup: per child value, (slice start, count)."""
+        if len(self.uniques) == 0:
+            z = np.zeros(len(children), dtype=np.int64)
+            return z, z.copy()
+        pos = self.uniques.get_indexer(children)
+        found = pos >= 0
+        clipped = np.clip(pos, 0, None)
+        starts = np.where(found, self.starts[clipped], 0)
+        counts = np.where(found, self.starts[clipped + 1] - starts, 0)
+        return starts.astype(np.int64), counts.astype(np.int64)
+
+
+def build_edge_index(table: pa.Table, cfg: FlattenConfig) -> EdgeIndex:
+    """Compile the full edge table into an :class:`EdgeIndex`.
+
+    Joinable edges are those with a non-null parent (a null join key never
+    matches, mirroring SQL join semantics in HierarchyFlattener.java:276).
+    """
+    table = table.combine_chunks()
+    table = table.filter(pc.is_valid(table[cfg.parent_field]))
+    parent_np = table[cfg.parent_field].to_numpy(zero_copy_only=False)
+    order = np.argsort(parent_np, kind="stable")
+    sorted_table = table.take(pa.array(order))
+    ps = sorted_table[cfg.parent_field].to_numpy(zero_copy_only=False)
+    cs = sorted_table[cfg.child_field].to_numpy(zero_copy_only=False)
+    if len(ps):
+        change = np.nonzero(ps[1:] != ps[:-1])[0] + 1
+        starts = np.concatenate([[0], change, [len(ps)]]).astype(np.int64)
+        uniques = pd.Index(ps[starts[:-1]])
+    else:
+        starts = np.array([0], dtype=np.int64)
+        uniques = pd.Index([])
+    path_sorted = None
+    if cfg.has_path:
+        path_sorted = pc.cast(sorted_table[cfg.path_field], pa.string()).to_numpy(
+            zero_copy_only=False
+        )
+    child_index = pd.Index(table[cfg.child_field].to_numpy(zero_copy_only=False))
+    needs_dedup = bool(child_index.has_duplicates)
+    return EdgeIndex(
+        uniques=uniques,
+        starts=starts,
+        parent_sorted=ps,
+        child_sorted=cs,
+        sorted_table=sorted_table,
+        path_sorted=path_sorted,
+        needs_dedup=needs_dedup,
+        num_edges=table.num_rows,
+    )
+
+
+def _seed_mask(batch: pa.Table, cfg: FlattenConfig) -> pa.ChunkedArray:
+    """START WITH predicate + null-rejecting self-edge filter for seeds.
+
+    ``parent != child`` drops rows where either key is null, exactly like the
+    reference's ``where(notEqual(...))`` (HierarchyFlattener.java:174-175).
+    """
+    mask = pc.and_kleene(
+        pc.not_equal(batch[cfg.parent_field], batch[cfg.child_field]),
+        pc.and_(pc.is_valid(batch[cfg.parent_field]), pc.is_valid(batch[cfg.child_field])),
+    )
+    mask = pc.fill_null(mask, False)
+    if cfg.start_with:
+        pred = pc.fill_null(compile_predicate(cfg.start_with)(batch), False)
+        mask = pc.and_(mask, pred)
+    return mask
+
+
+class ExpandPaths:
+    """Actor-pool batch transform: expand each seed edge through all levels.
+
+    ``__init__`` fetches the broadcast :class:`EdgeIndex` from the object
+    store once per actor; ``__call__`` runs the vectorized BFS for a batch of
+    seed edges and returns all path rows (every level) for those seeds.
+    Per-level work is pure numpy/Arrow: hash-index lookups, ``np.repeat``
+    expansion, and element-wise string joins for paths.
+    """
+
+    def __init__(self, index_ref, cfg: FlattenConfig, out_schema: pa.Schema):
+        self.idx: EdgeIndex = (
+            ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        )
+        self.cfg = cfg
+        self.out_schema = out_schema
+        self.data_fields = [
+            f for f in self.idx.sorted_table.column_names
+            if f not in (cfg.parent_field, cfg.child_field)
+        ]
+        self.pred = compile_predicate(cfg.start_with) if cfg.start_with else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg, idx = self.cfg, self.idx
+        batch = batch.filter(_seed_mask(batch, cfg))
+        if batch.num_rows == 0:
+            return self.out_schema.empty_table()
+
+        roots = cfg.roots()
+        root_src = {alias: batch[src] for src, alias in roots.items()}
+
+        # Frontier state (level 1 = the seed edges themselves).
+        child_vals = batch[cfg.child_field].to_numpy(zero_copy_only=False)
+        parent_vals = batch[cfg.parent_field].to_numpy(zero_copy_only=False)
+        seed_pos = np.arange(batch.num_rows, dtype=np.int64)
+        edge_pos: Optional[np.ndarray] = None  # None → frontier rows are seeds
+        path: Optional[pa.Array] = None
+        if cfg.has_path:
+            pvals = pc.cast(batch[cfg.path_field], pa.string())
+            sep = pa.array([cfg.path_separator] * batch.num_rows, pa.string())
+            # Seed path = separator + str(value); format_string renders null as
+            # "null" (HierarchyFlattener.java:179-182, Java String.format).
+            path = pc.binary_join_element_wise(
+                sep, pc.fill_null(pvals, "null"), pa.scalar("", pa.string())
+            )
+
+        out_tables: list[pa.Table] = []
+        level = 1
+        while True:
+            starts, counts = idx.lookup(child_vals)
+            bottom = counts == 0
+            out_tables.append(
+                self._emit(level, parent_vals, child_vals, bottom, seed_pos,
+                           edge_pos, path, batch, root_src)
+            )
+            total = int(counts.sum())
+            if total == 0:
+                break
+            if level >= cfg.max_depth:
+                # A non-leaf frontier at max_depth means the reference's loop
+                # would re-enter with level > maxLevel and throw
+                # (HierarchyFlattener.java:215-220).
+                raise ValueError(
+                    f"Exceeded maximum depth of {cfg.max_depth}. Ensure there "
+                    "are no cycles in the hierarchy, or increase the max depth."
+                )
+            # Vectorized expansion: repeat each extendable row by its
+            # out-degree and gather the matched edges from the sorted index.
+            ext = counts > 0
+            rep = np.repeat(np.nonzero(ext)[0], counts[ext])
+            offsets = (np.arange(total, dtype=np.int64)
+                       - np.repeat(np.cumsum(counts[ext]) - counts[ext], counts[ext]))
+            new_edge_pos = np.repeat(starts[ext], counts[ext]) + offsets
+            parent_vals = child_vals[rep]
+            child_vals = idx.child_sorted[new_edge_pos]
+            seed_pos = seed_pos[rep]
+            if path is not None:
+                step = pa.array(idx.path_sorted[new_edge_pos], pa.string())
+                prev = path.take(pa.array(rep))
+                # concat_ws skips nulls (HierarchyFlattener.java:261-267).
+                path = pc.if_else(
+                    pc.is_valid(step),
+                    pc.binary_join_element_wise(prev, pc.fill_null(step, ""),
+                                                pa.scalar(cfg.path_separator)),
+                    prev,
+                )
+            edge_pos = new_edge_pos
+            level += 1
+
+        out = pa.concat_tables(out_tables)
+        return out.cast(self.out_schema)
+
+    def _emit(self, level, parent_vals, child_vals, bottom, seed_pos, edge_pos,
+              path, batch, root_src) -> pa.Table:
+        cfg = self.cfg
+        n = len(parent_vals)
+        cols: dict[str, pa.Array] = {}
+        key_type_p = self.out_schema.field(cfg.parent_field).type
+        key_type_c = self.out_schema.field(cfg.child_field).type
+        cols[cfg.parent_field] = pa.array(parent_vals, key_type_p)
+        cols[cfg.child_field] = pa.array(child_vals, key_type_c)
+        if edge_pos is None:
+            data_src = batch
+            take_idx = pa.array(seed_pos)
+        else:
+            data_src = self.idx.sorted_table
+            take_idx = pa.array(edge_pos)
+        for f in self.data_fields:
+            cols[f] = data_src[f].take(take_idx)
+        cols[cfg.level_field] = pa.array(np.full(n, level, dtype=np.int32))
+        cols[cfg.bottom_field] = pa.array(bottom)
+        if path is not None:
+            cols[cfg.path_alias_field] = path
+        sp = pa.array(seed_pos)
+        for alias, src_col in root_src.items():
+            cols[alias] = src_col.take(sp)
+        return pa.table({name: cols[name] for name in self.out_schema.names})
+
+
+# --------------------------------------------------------------------------
+# Dedup (the one remaining all-to-all exchange)
+# --------------------------------------------------------------------------
+
+def _dedup_partition(t: pa.Table, cfg: FlattenConfig, out_schema: pa.Schema) -> pa.Table:
+    """Merge duplicate (parent, child, level) rows within one hash partition.
+
+    bottom := max over the group (merges the shuffle variant's leaf-marker
+    duplicates, HierarchyFlattener.java:340-342); all other columns come from
+    the min-path row (deterministic pin of the reference's ``first()`` +
+    ``min(path)`` aggregation, HierarchyFlattener.java:322-342).
+    """
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    df = t.to_pandas()
+    if _BUCKET_COL in df.columns:
+        df = df.drop(columns=[_BUCKET_COL])
+    keys = [cfg.parent_field, cfg.child_field, cfg.level_field]
+    sort_cols = [cfg.path_alias_field] if cfg.has_path else [
+        c for c in df.columns if c not in keys and c != cfg.bottom_field
+    ]
+    # dropna=False: a null child (edge with a null child value) is still a
+    # legitimate group key under SQL GROUP BY semantics.
+    bottom_max = df.groupby(keys, sort=False, dropna=False)[cfg.bottom_field].transform("max")
+    df[cfg.bottom_field] = bottom_max
+    if sort_cols:
+        df = df.sort_values(sort_cols, kind="stable")
+    df = df.drop_duplicates(subset=keys, keep="first")
+    return pa.Table.from_pandas(df, preserve_index=False).cast(out_schema)
+
+
+def _dedup(ds: ray.data.Dataset, cfg: FlattenConfig, out_schema: pa.Schema,
+           num_partitions: int) -> ray.data.Dataset:
+    """Hash-partition rows by (parent, child, level) and merge per partition.
+
+    Implemented as an explicit bucket column + ``groupby(bucket).map_groups``
+    so each shuffle partition is handled by ONE vectorized pandas call, not a
+    Python call per (tiny) group. Equivalent to the reference's final
+    ``groupBy(parent, child, level)`` shuffle (HierarchyFlattener.java:340).
+    """
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t.select([cfg.parent_field, cfg.child_field, cfg.level_field]).to_pandas()
+        h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+        return t.append_column(_BUCKET_COL, pa.array((h % num_partitions).astype(np.int64)))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(_BUCKET_COL)
+        .map_groups(lambda t: _dedup_partition(t, cfg, out_schema),
+                    batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shuffle-join strategy (edge table too large to broadcast)
+# --------------------------------------------------------------------------
+
+def _flatten_shuffle(ds: ray.data.Dataset, cfg: FlattenConfig,
+                     out_schema: pa.Schema, num_partitions: int) -> ray.data.Dataset:
+    """Per-level left-outer hash join, mirroring the reference dataflow.
+
+    Same asymptotics as the reference (one shuffle join per level,
+    HierarchyFlattener.java:214-284): used when the edge table cannot be
+    broadcast. Each level's frontier is materialized (Ray Data has no lazy
+    lineage reuse across a growing union); the final dedup merges the
+    leaf-marker duplicates exactly like the reference's groupBy.
+    """
+    roots = cfg.roots()
+    data_fields = [n for n in out_schema.names[: len(ds.schema().names)]
+                   if n not in (cfg.parent_field, cfg.child_field)]
+
+    def make_seeds(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(_seed_mask(batch, cfg))
+        n = batch.num_rows
+        cols = {cfg.parent_field: batch[cfg.parent_field],
+                cfg.child_field: batch[cfg.child_field]}
+        for f in data_fields:
+            cols[f] = batch[f]
+        cols[cfg.level_field] = pa.array(np.full(n, 1, dtype=np.int32))
+        cols[cfg.bottom_field] = pa.array(np.zeros(n, dtype=bool))
+        if cfg.has_path:
+            pvals = pc.cast(batch[cfg.path_field], pa.string())
+            sep = pa.array([cfg.path_separator] * n, pa.string())
+            cols[cfg.path_alias_field] = pc.binary_join_element_wise(
+                sep, pc.fill_null(pvals, "null"), pa.scalar("", pa.string()))
+        for src, alias in roots.items():
+            cols[alias] = batch[src]
+        return pa.table(cols).cast(out_schema)
+
+    # Right side of the join: the raw edge table with prefixed column names
+    # (only rows with a non-null parent can ever match).
+    def prep_right(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[cfg.parent_field]))
+        key = batch[cfg.parent_field]
+        batch = batch.rename_columns([_RPREFIX + c for c in batch.column_names])
+        # Dedicated join-key copy: Dataset.join drops the right_on column, so
+        # join on a throwaway copy and keep the real columns intact.
+        batch = batch.append_column(_RPREFIX + "key", key)
+        # Non-null marker: detects join matches even if a matched edge has a
+        # null child (is_valid on the right child would misreport unmatched).
+        return batch.append_column(
+            _RPREFIX + "m", pa.array(np.ones(batch.num_rows, dtype=bool)))
+
+    right = ds.map_batches(prep_right, batch_format="pyarrow").materialize()
+    cur = ds.map_batches(make_seeds, batch_format="pyarrow").materialize()
+    levels = [cur]
+    level = 1
+    while True:
+        if cur.count() == 0:
+            break
+        if level > cfg.max_depth:
+            raise ValueError(
+                f"Exceeded maximum depth of {cfg.max_depth}. Ensure there "
+                "are no cycles in the hierarchy, or increase the max depth.")
+        joined = hash_join(cur, right, on=[cfg.child_field],
+                           right_on=[_RPREFIX + "key"], join_type="left_outer",
+                           num_partitions=num_partitions)
+
+        def project(batch: pa.Table) -> pa.Table:
+            # O9 conditional projection (HierarchyFlattener.java:239-272).
+            # Joins emit schema-less empty blocks for empty partitions;
+            # normalize them so downstream joins see a consistent schema.
+            if batch.num_rows == 0 or cfg.parent_field not in batch.column_names:
+                return out_schema.empty_table()
+            rchild = batch[_RPREFIX + cfg.child_field]
+            matched = pc.fill_null(pc.equal(batch[_RPREFIX + "m"], True), False)
+            cols = {
+                cfg.parent_field: pc.if_else(matched, batch[cfg.child_field],
+                                             batch[cfg.parent_field]),
+                cfg.child_field: pc.if_else(matched, rchild, batch[cfg.child_field]),
+            }
+            for f in data_fields:
+                cols[f] = pc.if_else(matched, batch[_RPREFIX + f], batch[f])
+            cols[cfg.level_field] = pc.if_else(
+                matched, pc.add(batch[cfg.level_field], pa.scalar(1, pa.int32())),
+                batch[cfg.level_field]).cast(pa.int32())
+            cols[cfg.bottom_field] = pc.invert(matched)
+            if cfg.has_path:
+                step = pc.cast(batch[_RPREFIX + cfg.path_field], pa.string())
+                extended = pc.if_else(
+                    pc.is_valid(step),
+                    pc.binary_join_element_wise(
+                        pc.fill_null(batch[cfg.path_alias_field], ""),
+                        pc.fill_null(step, ""), pa.scalar(cfg.path_separator)),
+                    batch[cfg.path_alias_field])
+                cols[cfg.path_alias_field] = pc.if_else(
+                    matched, extended, batch[cfg.path_alias_field])
+            for alias in roots.values():
+                cols[alias] = batch[alias]
+            return pa.table(cols).cast(out_schema)
+
+        nxt = joined.map_batches(project, batch_format="pyarrow").materialize()
+        levels.append(nxt)
+        # bottom==False marks matched (extended) rows → next frontier
+        # (HierarchyFlattener.java:281-282).
+        def keep_frontier(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or cfg.bottom_field not in t.column_names:
+                return out_schema.empty_table()
+            return t.filter(pc.equal(t[cfg.bottom_field], False))
+
+        cur = nxt.map_batches(keep_frontier, batch_format="pyarrow")
+        level += 1
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return _dedup(out, cfg, out_schema, num_partitions)
+
+
+# --------------------------------------------------------------------------
+# Public API
+# --------------------------------------------------------------------------
+
+def flatten_hierarchy(
+    ds: ray.data.Dataset,
+    cfg: FlattenConfig,
+    *,
+    strategy: str = "auto",
+    batch_size: int = 16384,
+    concurrency=None,
+    num_partitions: int = 32,
+    broadcast_max_bytes: int = 4 << 30,
+) -> ray.data.Dataset:
+    """Flatten an edge-list hierarchy Dataset into path-terminal relation rows.
+
+    strategy:
+      - "broadcast" (default for edge tables < ``broadcast_max_bytes``): the
+        edge index is built once, put in the object store, and read by an
+        actor pool that expands seeds through all levels in one pass.
+      - "shuffle": per-level distributed hash join for edge tables too large
+        to hold in one index (reference-equivalent dataflow).
+      - "auto": choose by the materialized input size.
+    """
+    schema = ds.schema()
+    pa_schema = pa.schema(
+        [pa.field(n, t) for n, t in zip(schema.names, schema.types)])
+    failures = validate_config(cfg, pa_schema)
+    if failures:
+        raise ValueError("Invalid flatten config: " + "; ".join(failures))
+    out_schema = derive_output_schema(pa_schema, cfg)
+
+    if strategy == "auto":
+        ds = ds.materialize()
+        size = ds.size_bytes() or 0
+        strategy = "broadcast" if size < broadcast_max_bytes else "shuffle"
+
+    if strategy == "shuffle":
+        return _flatten_shuffle(ds, cfg, out_schema, num_partitions)
+
+    edge_table = _gather_table(ds, pa_schema)
+    index = build_edge_index(edge_table, cfg)
+    index_ref = ray.put(index)
+    expanded = ds.map_batches(
+        ExpandPaths,
+        fn_constructor_args=(index_ref, cfg, out_schema),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+    )
+    if not index.needs_dedup:
+        # Forest: no node has two in-edges, so no two same-level paths can
+        # converge and no duplicate edges exist — the dedup shuffle is a no-op
+        # and is skipped entirely.
+        return expanded
+    return _dedup(expanded, cfg, out_schema, num_partitions)
+
+
+def flatten_hierarchy_table(table: pa.Table, cfg: FlattenConfig) -> pa.Table:
+    """Local (single-process) flattener over one Arrow table.
+
+    Same kernels as the distributed broadcast strategy; used for small inputs
+    and as a test oracle helper. No Ray required.
+    """
+    failures = validate_config(cfg, table.schema)
+    if failures:
+        raise ValueError("Invalid flatten config: " + "; ".join(failures))
+    out_schema = derive_output_schema(table.schema, cfg)
+    index = build_edge_index(table, cfg)
+    expand = ExpandPaths(index, cfg, out_schema)
+    out = expand(table)
+    if index.needs_dedup:
+        out = _dedup_partition(out, cfg, out_schema)
+    return out
+
+
+def _gather_table(ds: ray.data.Dataset, pa_schema: pa.Schema) -> pa.Table:
+    refs = ds.to_arrow_refs()
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    if not tables:
+        return pa_schema.empty_table()
+    return pa.concat_tables(tables, promote_options="default")

@@ -1,0 +1,178 @@
+"""Distributed hash joins as explicit bucket-cogroup, plus broadcast joins.
+
+``Dataset.join`` in Ray 2.49 breaks when any hash partition receives zero
+rows from one side (its aggregator builds a schema-less empty table and the
+Arrow join then fails on the missing key field), so the engine carries its own
+portable implementation: tag each side, align both to a unified schema, add a
+``bucket = hash(key) % P`` column, union, ``groupby(bucket)``, and join the
+two sides of each bucket with pyarrow's native (Acero) hash join inside
+``map_groups``. One all-to-all exchange, vectorized per-bucket work, correct
+on empty partitions.
+
+For small right sides prefer :func:`broadcast_join`: the build side is put in
+the object store once and probed per batch — no shuffle at all.
+
+This is the join machinery behind the flattener's shuffle strategy (the
+reference's per-level ``current LEFT OUTER JOIN input``,
+HierarchyFlattener.java:274-278) and the generic join surface of the engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_SIDE = "__rcdc_side"
+_JBUCKET = "__rcdc_jb"
+
+_ARROW_VERBS = {
+    "inner": "inner",
+    "left_outer": "left outer",
+    "right_outer": "right outer",
+    "full_outer": "full outer",
+    "left_semi": "left semi",
+    "left_anti": "left anti",
+}
+
+
+def _normalize_key_type(t: pa.DataType) -> pa.DataType:
+    if pa.types.is_integer(t):
+        return pa.int64()
+    if pa.types.is_floating(t):
+        return pa.float64()
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.large_string()
+    return t
+
+
+def key_hash(table: pa.Table, cols: list[str]) -> np.ndarray:
+    """Deterministic vectorized hash of key columns, dtype-normalized so the
+    same logical value hashes identically on both sides of a join."""
+    arrays = {}
+    for c in cols:
+        arr = table[c]
+        norm = _normalize_key_type(arr.type)
+        if norm != arr.type:
+            arr = pc.cast(arr, norm)
+        arrays[c] = arr.to_pandas()
+    return pd.util.hash_pandas_object(pd.DataFrame(arrays), index=False).to_numpy()
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: list[str],
+    right_on: list[str] | None = None,
+    join_type: str = "inner",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Shuffle hash join of two Datasets (both sides large).
+
+    Non-key column names must be disjoint between the two sides (rename
+    upstream; the flattener prefixes its right side). Null keys never match,
+    per SQL semantics.
+    """
+    right_on = right_on or on
+    verb = _ARROW_VERBS[join_type]
+    lschema = _pa_schema(left)
+    rschema = _pa_schema(right)
+    overlap = (set(lschema.names) & set(rschema.names)) - (
+        set(on) & set(right_on))
+    if overlap:
+        raise ValueError(f"Overlapping non-key columns in join: {sorted(overlap)}")
+    semi_anti = join_type in ("left_semi", "left_anti")
+    unified = pa.schema(
+        list(lschema)
+        + [f for f in rschema if f.name not in lschema.names]
+        + [pa.field(_SIDE, pa.int8())]
+    )
+
+    def align(side: int, own_schema: pa.Schema, keys: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or keys[0] not in t.column_names:
+                return unified.empty_table().append_column(
+                    _JBUCKET, pa.array([], pa.int64()))
+            cols = {}
+            for f in unified:
+                if f.name == _SIDE:
+                    cols[f.name] = pa.array(
+                        np.full(t.num_rows, side, dtype=np.int8))
+                elif f.name in t.column_names:
+                    cols[f.name] = t[f.name]
+                else:
+                    cols[f.name] = pa.nulls(t.num_rows, f.type)
+            out = pa.table(cols)
+            h = key_hash(t, keys) % num_partitions
+            return out.append_column(_JBUCKET, pa.array(h.astype(np.int64)))
+        return fn
+
+    lal = left.map_batches(align(0, lschema, on), batch_format="pyarrow")
+    ral = right.map_batches(align(1, rschema, right_on), batch_format="pyarrow")
+    both = lal.union(ral)
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        side = t[_SIDE]
+        lt = t.filter(pc.equal(side, 0)).select(lschema.names).cast(lschema)
+        rt = t.filter(pc.equal(side, 1)).select(rschema.names).cast(rschema)
+        joined = lt.join(rt, keys=on, right_keys=right_on, join_type=verb,
+                         coalesce_keys=True)
+        if semi_anti:
+            joined = joined.select(lschema.names)
+        return joined
+
+    return both.groupby(_JBUCKET).map_groups(join_bucket, batch_format="pyarrow")
+
+
+class BroadcastJoiner:
+    """Actor-pool batch transform probing a broadcast build side.
+
+    The right (small) table is put in the object store once; each actor
+    fetches it in ``__init__`` and every batch is joined locally with the
+    Acero hash join — zero shuffle (SURVEY.md §4 broadcast-variant note).
+    """
+
+    def __init__(self, right_ref, on, right_on, verb):
+        self.right = ray.get(right_ref) if isinstance(right_ref, ray.ObjectRef) else right_ref
+        self.on, self.right_on, self.verb = on, right_on, verb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.join(self.right, keys=self.on, right_keys=self.right_on,
+                          join_type=self.verb, coalesce_keys=True)
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right: pa.Table | ray.data.Dataset,
+    *,
+    on: list[str],
+    right_on: list[str] | None = None,
+    join_type: str = "inner",
+    concurrency=(1, 8),
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Join a large Dataset against a small in-memory table, no shuffle."""
+    right_on = right_on or on
+    if isinstance(right, ray.data.Dataset):
+        right = pa.concat_tables(
+            [b for b in right.iter_batches(batch_format="pyarrow")]
+            or [_pa_schema(right).empty_table()],
+            promote_options="default",
+        )
+    right_ref = ray.put(right)
+    return left.map_batches(
+        BroadcastJoiner,
+        fn_constructor_args=(right_ref, on, right_on, _ARROW_VERBS[join_type]),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def _pa_schema(ds: ray.data.Dataset) -> pa.Schema:
+    s = ds.schema()
+    return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
