@@ -1,0 +1,11 @@
+"""CDC / incremental-ingest engine (BASELINE.json north star).
+
+Pipeline: tail a simulated binlog/WAL of nested hierarchical change events →
+recursive schema-walk flatten (:mod:`raycdc.record_flatten`) → per-batch local
+LWW combine → url-hash-partitioned shuffle → per-partition merge into Parquet
+lake partitions → atomic manifest commit (exactly-once, resumable).
+"""
+
+from raycdc.cdc.changelog import ChangelogSpec, generate_changelog
+from raycdc.cdc.apply import apply_changelog, read_lake, oracle_final_state
+from raycdc.cdc.sink import LakeManifest, read_manifest

@@ -1,0 +1,179 @@
+"""Deterministic synthetic binlog/WAL of nested change events (FIXTURES.md F7).
+
+One row per change event::
+
+    seq   int64   — global monotonically increasing offset
+    epoch int32   — commit epoch (checkpoint/replay boundary)
+    op    string  — "I" / "U" / "D"
+    page  struct<url: string,
+                 fetch: struct<warc_ts: timestamp[us], html: binary>,
+                 content: struct<text: string, lang: string>>
+
+Urls follow a Zipf-ish popularity distribution (hot keys exercise skew
+handling); ``warc_ts`` is intentionally NOT monotone in ``seq`` (bounded
+jitter) so last-writer-wins must order by ``(warc_ts, seq)``, never by arrival.
+Deletes carry only ``page.url`` + ``page.fetch.warc_ts`` (content struct is
+null). ``text`` is a pure function of ``(url, per-url version)`` so the
+byte-identical-text-per-url invariant is checkable. Everything is generated
+vectorized (numpy) from a fixed seed — same spec, same bytes, any machine.
+
+Schema-evolution variant: segments with ``epoch >= evolve_from_epoch`` add
+``page.content.title`` (column add) — merge must unify schemas without
+rewriting history (FIXTURES.md F7b).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+LANGS = np.array(["en", "de", "fr", "es", "ja"])
+
+BASE_TS_US = 1_600_000_000_000_000  # 2020-09-13, arbitrary fixed origin
+
+
+@dataclasses.dataclass(frozen=True)
+class ChangelogSpec:
+    num_events: int = 100_000
+    num_urls: int = 10_000
+    num_epochs: int = 10
+    seed: int = 42
+    zipf_a: float = 1.3          # skew exponent; ~hot head of popular urls
+    p_delete: float = 0.02
+    ts_jitter_s: int = 3600      # warc_ts jitter: out-of-order window
+    text_repeat: int = 4         # text length multiplier
+    evolve_from_epoch: Optional[int] = None  # add page.content.title from here
+
+
+def page_struct_type(with_title: bool = False) -> pa.StructType:
+    content = [pa.field("text", pa.string()), pa.field("lang", pa.string())]
+    if with_title:
+        content.append(pa.field("title", pa.string()))
+    return pa.struct([
+        pa.field("url", pa.string()),
+        pa.field("fetch", pa.struct([
+            pa.field("warc_ts", pa.timestamp("us")),
+            pa.field("html", pa.binary()),
+        ])),
+        pa.field("content", pa.struct(content)),
+    ])
+
+
+def event_schema(with_title: bool = False) -> pa.Schema:
+    return pa.schema([
+        pa.field("seq", pa.int64()),
+        pa.field("epoch", pa.int32()),
+        pa.field("op", pa.string()),
+        pa.field("page", page_struct_type(with_title)),
+    ])
+
+
+def _zipf_url_idx(rng: np.random.Generator, n: int, num_urls: int,
+                  a: float) -> np.ndarray:
+    # Bounded zipf: draw ranks via inverse-CDF over a truncated power law.
+    u = rng.random(n)
+    ranks = np.floor(num_urls ** u * (1.0 - u) ** (1.0 / a)).astype(np.int64)
+    return np.clip(ranks, 0, num_urls - 1)
+
+
+def generate_events(spec: ChangelogSpec) -> pa.Table:
+    """Generate the full event table in memory (vectorized)."""
+    rng = np.random.default_rng(spec.seed)
+    n = spec.num_events
+    seq = np.arange(n, dtype=np.int64)
+    epoch = (seq * spec.num_epochs // max(n, 1)).astype(np.int32)
+    url_idx = _zipf_url_idx(rng, n, spec.num_urls, spec.zipf_a)
+
+    # Per-url version counter (vectorized groupby-cumcount).
+    version = pd.Series(url_idx).groupby(url_idx).cumcount().to_numpy()
+
+    is_delete = rng.random(n) < spec.p_delete
+    op = np.where(is_delete, "D", np.where(version == 0, "I", "U"))
+
+    jitter = rng.integers(-spec.ts_jitter_s, spec.ts_jitter_s + 1, n)
+    warc_ts = BASE_TS_US + seq * 1_000_000 + jitter * 1_000_000
+
+    urls = ("https://site-" + pd.Series(url_idx % 997).astype(str)
+            + ".example.com/page/" + pd.Series(url_idx).astype(str)).to_numpy()
+
+    # text = pure function of (url_idx, version): byte-identical invariant.
+    frag = pd.Series((url_idx * 1_000_003 + version * 7919) % 2**31).astype(str)
+    text = ("content[" + pd.Series(urls) + "|v" + pd.Series(version).astype(str)
+            + "|" + frag + "]") * 1
+    text = text.str.repeat(spec.text_repeat).to_numpy()
+    lang = LANGS[(url_idx * 31 + 7) % len(LANGS)]
+
+    text_arr = pa.array(text, pa.string())
+    null_text = pa.nulls(n, pa.string())
+    has_content = pa.array(~is_delete)
+    import pyarrow.compute as pc
+    content_kids = [
+        pc.if_else(has_content, text_arr, null_text),
+        pc.if_else(has_content, pa.array(lang, pa.string()), null_text),
+    ]
+    content_names = ["text", "lang"]
+    if spec.evolve_from_epoch is not None:
+        title = ("T:" + pd.Series(urls).str.slice(8, 40)).to_numpy()
+        evolved = pa.array(epoch >= spec.evolve_from_epoch)
+        mask = pc.and_(has_content, evolved)
+        content_kids.append(pc.if_else(mask, pa.array(title, pa.string()), null_text))
+        content_names.append("title")
+
+    html = pc.if_else(has_content, text_arr.cast(pa.binary()),
+                      pa.nulls(n, pa.binary()))
+    fetch = pa.StructArray.from_arrays(
+        [pa.array(warc_ts, pa.timestamp("us")), html], ["warc_ts", "html"])
+    content = pa.StructArray.from_arrays(content_kids, content_names)
+    page = pa.StructArray.from_arrays(
+        [pa.array(urls, pa.string()), fetch, content], ["url", "fetch", "content"])
+    return pa.table({
+        "seq": pa.array(seq),
+        "epoch": pa.array(epoch),
+        "op": pa.array(op, pa.string()),
+        "page": page,
+    })
+
+
+def generate_changelog(out_dir: str, spec: ChangelogSpec) -> list[str]:
+    """Write the changelog as one Parquet segment per epoch; return paths.
+
+    Skips segments that already exist (generation is deterministic, so an
+    existing file is already correct) — safe to call from tests and bench.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = os.path.join(out_dir, "_COMPLETE")
+    paths = [os.path.join(out_dir, f"events-{e:05d}.parquet")
+             for e in range(spec.num_epochs)]
+    if os.path.exists(done):
+        return paths
+    table = generate_events(spec)
+    epochs = table["epoch"].to_numpy()
+    for e, path in enumerate(paths):
+        seg = table.filter(pa.array(epochs == e))
+        if spec.evolve_from_epoch is not None and e < spec.evolve_from_epoch:
+            # Pre-evolution segments genuinely lack the added column in their
+            # schema (not just null values): real column-add evolution.
+            seg = _drop_content_title(seg)
+        tmp = path + ".tmp"
+        pq.write_table(seg, tmp)
+        os.replace(tmp, path)
+    with open(done, "w") as f:
+        f.write(f"{spec}\n")
+    return paths
+
+
+def _drop_content_title(seg: pa.Table) -> pa.Table:
+    page = seg["page"].combine_chunks()
+    url, fetch, content = page.flatten()
+    kids = content.flatten()
+    content2 = pa.StructArray.from_arrays(kids[:2], ["text", "lang"])
+    page2 = pa.StructArray.from_arrays([url, fetch, content2],
+                                       ["url", "fetch", "content"])
+    return pa.table({"seq": seg["seq"], "epoch": seg["epoch"],
+                     "op": seg["op"], "page": page2})

@@ -1,0 +1,89 @@
+"""Exactly-once Parquet lake sink: per-partition files + atomic manifest.
+
+Layout::
+
+    lake_dir/
+      _manifest.json            # the ONLY committed truth
+      part-00000/v3.parquet     # content-addressed: (partition, table version)
+      part-00001/v3.parquet
+      ...
+
+Two-phase commit: (1) every merge task writes its partition file under a
+deterministic name ``part-{pid}/v{version}.parquet`` via tmp + ``os.replace``
+(idempotent on retry — a re-executed task rewrites identical bytes); (2) the
+driver atomically replaces ``_manifest.json`` listing the surviving file per
+partition, the applied epochs, the sequence watermark, and per-partition
+lineage. A crash before (2) leaves orphan files that are simply not visible;
+re-running the epoch converges to the identical committed state (tested).
+
+Readers resolve data strictly through the manifest, so partially-written
+states are never observable. This is the engine's counterpart of the host
+platform persistence the reference delegates to CDAP (SURVEY.md §2
+sources/sinks note) plus the north star's per-partition lineage requirement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+MANIFEST_NAME = "_manifest.json"
+
+
+@dataclasses.dataclass
+class LakeManifest:
+    version: int
+    num_partitions: int
+    epochs_applied: list[int]
+    watermark_seq: int
+    partitions: dict[str, dict[str, Any]]  # pid -> {file, rows, bytes, lineage}
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(text: str) -> "LakeManifest":
+        d = json.loads(text)
+        return LakeManifest(
+            version=d["version"],
+            num_partitions=d["num_partitions"],
+            epochs_applied=list(d["epochs_applied"]),
+            watermark_seq=d["watermark_seq"],
+            partitions=dict(d["partitions"]),
+        )
+
+
+def manifest_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, MANIFEST_NAME)
+
+
+def read_manifest(lake_dir: str) -> Optional[LakeManifest]:
+    path = manifest_path(lake_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return LakeManifest.from_json(f.read())
+
+
+def commit_manifest(lake_dir: str, manifest: LakeManifest) -> None:
+    """Atomic publish: write tmp, fsync, rename over the live manifest."""
+    os.makedirs(lake_dir, exist_ok=True)
+    tmp = manifest_path(lake_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(manifest.to_json())
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, manifest_path(lake_dir))
+
+
+def atomic_write_parquet(table, final_path: str) -> int:
+    """Write a parquet file atomically (tmp + rename); returns byte size."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(final_path), exist_ok=True)
+    tmp = final_path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final_path)
+    return os.path.getsize(final_path)

@@ -1,0 +1,133 @@
+"""CDC engine tests: replay correctness, idempotence, crash-resume, schema
+evolution, parallelism invariance (BASELINE.json north_star gates)."""
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from raycdc.cdc import apply_changelog, generate_changelog, read_lake
+from raycdc.cdc.apply import oracle_final_state
+from raycdc.cdc.changelog import ChangelogSpec, generate_events
+from raycdc.cdc.lww import lww_reduce
+
+SPEC = ChangelogSpec(num_events=20_000, num_urls=1_500, num_epochs=5, seed=7)
+
+
+@pytest.fixture(scope="module")
+def changelog(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wal")
+    generate_changelog(str(d), SPEC)
+    return str(d)
+
+
+def lake_state(lake_dir) -> pa.Table:
+    ds = read_lake(lake_dir)
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+
+def url_text_digest(t: pa.Table) -> str:
+    h = hashlib.sha256()
+    for url, text in zip(t["url"].to_pylist(), t["text"].to_pylist()):
+        h.update(url.encode())
+        h.update(b"\x00")
+        h.update((text or "").encode())
+        h.update(b"\x01")
+    return h.hexdigest()
+
+
+def test_generator_deterministic():
+    a = generate_events(SPEC)
+    b = generate_events(SPEC)
+    assert a.equals(b)
+
+
+def test_lww_reduce_orders_by_ts_then_seq():
+    t = pa.table({
+        "url": ["u", "u", "u", "v"],
+        "warc_ts": pa.array([5, 5, 3, 1], pa.int64()),
+        "seq": pa.array([1, 2, 9, 0], pa.int64()),
+        "text": ["a", "b", "c", "d"],
+    })
+    out = lww_reduce(t)
+    got = dict(zip(out["url"].to_pylist(), out["text"].to_pylist()))
+    # (ts=5, seq=2) beats (ts=5, seq=1) and (ts=3, seq=9)
+    assert got == {"u": "b", "v": "d"}
+
+
+def test_full_replay_matches_oracle(changelog, tmp_path):
+    lake = str(tmp_path / "lake")
+    metrics = apply_changelog(changelog, lake, num_partitions=4)
+    assert metrics["events"] == SPEC.num_events
+    got = lake_state(lake)
+    expected = oracle_final_state(generate_events(SPEC))
+    assert got.num_rows == expected.num_rows
+    assert got["url"].to_pylist() == expected["url"].to_pylist()
+    # byte-identical per-url text — the north-star correctness invariant
+    assert got["text"].to_pylist() == expected["text"].to_pylist()
+    assert got["html"].to_pylist() == expected["html"].to_pylist()
+
+
+def test_epoch_by_epoch_equals_one_shot(changelog, tmp_path):
+    one = str(tmp_path / "one")
+    inc = str(tmp_path / "inc")
+    apply_changelog(changelog, one, num_partitions=4)
+    for e in range(SPEC.num_epochs):
+        m = apply_changelog(changelog, inc, num_partitions=4, epochs=[e])
+        assert m["epochs"] == [e]
+    assert url_text_digest(lake_state(one)) == url_text_digest(lake_state(inc))
+
+
+def test_reapply_is_noop(changelog, tmp_path):
+    lake = str(tmp_path / "lake")
+    apply_changelog(changelog, lake, num_partitions=4)
+    before = url_text_digest(lake_state(lake))
+    m = apply_changelog(changelog, lake, num_partitions=4)
+    assert m["events"] == 0  # all epochs already committed
+    assert url_text_digest(lake_state(lake)) == before
+
+
+def test_crash_before_commit_then_resume(changelog, tmp_path):
+    lake = str(tmp_path / "lake")
+    apply_changelog(changelog, lake, num_partitions=4, epochs=[0, 1])
+    # crash: epoch 2's files hit disk but the manifest is never published
+    apply_changelog(changelog, lake, num_partitions=4, epochs=[2],
+                    crash_before_commit=True)
+    from raycdc.cdc import read_manifest
+    assert read_manifest(lake).epochs_applied == [0, 1]
+    # resume: replays epoch 2 (and the rest), converging to the oracle
+    apply_changelog(changelog, lake, num_partitions=4)
+    got = lake_state(lake)
+    expected = oracle_final_state(generate_events(SPEC))
+    assert got["url"].to_pylist() == expected["url"].to_pylist()
+    assert got["text"].to_pylist() == expected["text"].to_pylist()
+
+
+def test_deleted_urls_absent(changelog, tmp_path):
+    lake = str(tmp_path / "lake")
+    apply_changelog(changelog, lake, num_partitions=4)
+    full = read_lake(lake, include_deleted=True)
+    t = pa.concat_tables(list(full.iter_batches(batch_format="pyarrow")))
+    n_tombstones = pc.sum(pc.cast(t["_deleted"], pa.int64())).as_py()
+    assert n_tombstones and n_tombstones > 0  # spec has deletes
+    live = lake_state(lake)
+    assert live.num_rows == t.num_rows - n_tombstones
+
+
+def test_schema_evolution_column_add(tmp_path):
+    spec = ChangelogSpec(num_events=5_000, num_urls=400, num_epochs=4, seed=11,
+                         evolve_from_epoch=2)
+    wal = str(tmp_path / "wal")
+    generate_changelog(wal, spec)
+    lake = str(tmp_path / "lake")
+    # apply pre-evolution epochs first, then evolved ones against the old base
+    apply_changelog(wal, lake, num_partitions=4, epochs=[0, 1])
+    apply_changelog(wal, lake, num_partitions=4, epochs=[2, 3])
+    got = lake_state(lake)
+    assert "title" in got.column_names
+    expected = oracle_final_state(generate_events(spec))
+    assert got["url"].to_pylist() == expected["url"].to_pylist()
+    assert got["text"].to_pylist() == expected["text"].to_pylist()
+    assert got["title"].to_pylist() == expected["title"].to_pylist()
