@@ -1,0 +1,84 @@
+"""Two-stage grouped aggregation: per-batch partial combine, then a small
+global shuffle.
+
+A bare ``groupby(key).aggregate(...)`` shuffles every input row. This helper
+pre-aggregates inside ``map_batches`` (one partial row per key per batch —
+vectorized pandas groupby), so the all-to-all exchange moves only
+``num_keys x num_batches`` rows. Supported aggregates: sum, count, min, max,
+mean (mean = sum/count finalized after the global combine), all mergeable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+
+def grouped_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    *,
+    sums: dict[str, str] | None = None,   # out_name -> col
+    means: dict[str, str] | None = None,  # out_name -> col
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+    count_name: str | None = None,
+) -> ray.data.Dataset:
+    """Grouped sum/mean/min/max/count with partial pre-aggregation."""
+    sums = dict(sums or {})
+    means = dict(means or {})
+    mins = dict(mins or {})
+    maxs = dict(maxs or {})
+    # means need their sum and the group count
+    mean_sum_cols = {f"__msum_{out}": col for out, col in means.items()}
+    need_count = count_name is not None or bool(means)
+    cnt_col = "__cnt"
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(keys, sort=False, dropna=False)
+        parts = {}
+        for out, col in sums.items():
+            parts[out] = g[col].sum()
+        for tmp, col in mean_sum_cols.items():
+            parts[tmp] = g[col].sum()
+        for out, col in mins.items():
+            parts[out] = g[col].min()
+        for out, col in maxs.items():
+            parts[out] = g[col].max()
+        if need_count:
+            parts[cnt_col] = g.size()
+        out_df = pd.DataFrame(parts).reset_index()
+        return pa.Table.from_pandas(out_df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = []
+    for out in sums:
+        aggs.append(Sum(out, alias_name=out))
+    for tmp in mean_sum_cols:
+        aggs.append(Sum(tmp, alias_name=tmp))
+    for out in mins:
+        aggs.append(Min(out, alias_name=out))
+    for out in maxs:
+        aggs.append(Max(out, alias_name=out))
+    if need_count:
+        aggs.append(Sum(cnt_col, alias_name=cnt_col))
+    merged = partials.groupby(keys).aggregate(*aggs)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        for out in means:
+            tmp = f"__msum_{out}"
+            t = t.append_column(out, pc.divide(
+                pc.cast(t[tmp], pa.float64()),
+                pc.cast(t[cnt_col], pa.float64())))
+        drop = list(mean_sum_cols)
+        if count_name is not None:
+            t = t.append_column(count_name, pc.cast(t[cnt_col], pa.int64()))
+        if need_count:
+            drop.append(cnt_col)
+        return t.drop_columns(drop)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``); each batch computes a numpy matmul and emits
+  only its local top-k candidates per query; a final tiny per-query reduce
+  keeps the global top-k. Work shuffled = O(num_queries * k * num_batches)
+  rows, never the corpus.
+- :func:`lsh_topk` — the scale path: random-hyperplane LSH restricts each
+  query to its bucket (approximate; same output schema).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BatchTopK:
+    """Per-batch scorer: cosine against the broadcast query matrix, local
+    top-k per query. Query matrix fetched once per actor in ``__init__``."""
+
+    def __init__(self, queries_ref, vec_col: str, id_col: str, k: int,
+                 round_to: int | None):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids, qmat = q
+        self.qunit = _unit(qmat)
+        self.vec_col, self.id_col, self.k = vec_col, id_col, k
+        self.round_to = round_to
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        unit = _unit(_stack(t[self.vec_col]))
+        sim = self.qunit @ unit.T  # (Q, N)
+        if self.round_to is not None:
+            sim = np.round(sim, self.round_to)
+        k = min(self.k, sim.shape[1])
+        # local top-k per query: argpartition then exact sort of the head
+        part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sim.shape[0]):
+            cand = part[qi]
+            out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
+            out_id.append(ids[cand])
+            out_s.append(sim[qi, cand])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            self.id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: tuple[np.ndarray, np.ndarray],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    round_to: int | None = None,
+    concurrency=(1, 8),
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """Exact cosine top-k. ``queries`` = (query_ids, query_matrix).
+
+    Output: (query_id, vec_id, cosine, rank) with deterministic tie-break on
+    ascending id. ``round_to`` rounds scores before ranking (useful for
+    cross-engine comparisons).
+    """
+    q_ref = ray.put(queries)
+    cand = ds.map_batches(
+        BatchTopK, fn_constructor_args=(q_ref, vec_col, id_col, k, round_to),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["cosine", id_col], ascending=[False, True],
+                            kind="stable").head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    queries: tuple[np.ndarray, np.ndarray],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    num_planes: int = 6,
+    seed: int = 23,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Approximate top-k: only corpus vectors sharing the query's LSH bucket
+    are scored (bucket = random-hyperplane sign bits). Scale path trading
+    recall for a ~2^num_planes reduction in scored vectors."""
+    qids, qmat = queries
+    rng = np.random.default_rng(seed)
+
+    def score_bucketed(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        vecs = _stack(t[vec_col])
+        planes = rng.__class__(np.random.PCG64(seed)).standard_normal(
+            (vecs.shape[1], num_planes))
+        vbuckets = np.packbits((vecs @ planes) > 0, axis=1,
+                               bitorder="little")[:, 0]
+        qbuckets = np.packbits((qmat @ planes) > 0, axis=1,
+                               bitorder="little")[:, 0]
+        unit = _unit(vecs)
+        qunit = _unit(qmat)
+        out_q, out_id, out_s = [], [], []
+        for qi, qb in enumerate(qbuckets):
+            m = vbuckets == qb
+            if not m.any():
+                continue
+            sim = qunit[qi] @ unit[m].T
+            kk = min(k, sim.shape[0])
+            cand = np.argpartition(-sim, kk - 1)[:kk]
+            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
+            out_id.append(ids[m][cand])
+            out_s.append(sim[cand])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    cand = ds.map_batches(score_bucketed, batch_format="pyarrow")
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["cosine", id_col], ascending=[False, True],
+                            kind="stable").head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")

@@ -1,0 +1,202 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. Vectorized per batch; regex/table state compiled
+once per actor (callable classes → actor pools)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+TOKEN_RE = r"\S+"
+# BPE-ish word/number/punct splitter (GPT-2-style coarse classes).
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"],
+    "es": ["el", "la", "los", "las", "es", "una", "para", "con", "por", "como"],
+    "ja": ["の", "に", "は", "を", "た", "が", "で", "て", "と", "です"],
+}
+
+
+def add_token_count(ds: ray.data.Dataset, text_col: str = "text",
+                    out_col: str = "n_tokens") -> ray.data.Dataset:
+    """Whitespace token count (oracle-checkable: regexp \\S+ matches)."""
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t[text_col], TOKEN_RE), pa.int64())
+        return t.append_column(out_col, n)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_bpe_token_count(ds: ray.data.Dataset, text_col: str = "text",
+                        out_col: str = "n_bpe_tokens") -> ray.data.Dataset:
+    """Count of BPE-ish coarse tokens (letters / digits / punct runs)."""
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t[text_col], BPE_RE), pa.int64())
+        return t.append_column(out_col, n)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class QualityScorer:
+    """Quality features per document: char/token counts, punctuation ratio,
+    stopword ratio, mean token length, and a composite [0, 1] score.
+
+    Regexes are engine-compiled pyarrow kernels; the per-actor state is the
+    stopword alternation pattern built once in ``__init__``.
+    """
+
+    def __init__(self, text_col: str = "text", stopwords=None):
+        self.text_col = text_col
+        words = sorted(stopwords or LANG_MARKERS["en"])
+        self.stop_re = r"(?i)\b(?:" + "|".join(words) + r")\b"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = t[self.text_col]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
+        n_punct = pc.cast(
+            pc.count_substring_regex(text, r"[^\w\s]"), pa.int64())
+        n_stop = pc.cast(pc.count_substring_regex(text, self.stop_re), pa.int64())
+        safe_tok = pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64()))
+        safe_chr = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+        punct_ratio = pc.divide(pc.cast(n_punct, pa.float64()),
+                                pc.cast(safe_chr, pa.float64()))
+        stop_ratio = pc.divide(pc.cast(n_stop, pa.float64()),
+                               pc.cast(safe_tok, pa.float64()))
+        mean_tok_len = pc.divide(pc.cast(n_chars, pa.float64()),
+                                 pc.cast(safe_tok, pa.float64()))
+        # Composite heuristic: long-enough docs with moderate punctuation and
+        # non-trivial stopword presence score high.
+        len_term = pc.min_element_wise(
+            pc.divide(pc.cast(n_tokens, pa.float64()), pa.scalar(100.0)),
+            pa.scalar(1.0))
+        punct_term = pc.subtract(pa.scalar(1.0),
+                                 pc.min_element_wise(
+                                     pc.multiply(punct_ratio, pa.scalar(4.0)),
+                                     pa.scalar(1.0)))
+        stop_term = pc.min_element_wise(
+            pc.multiply(stop_ratio, pa.scalar(3.0)), pa.scalar(1.0))
+        score = pc.multiply(pc.multiply(len_term, punct_term),
+                            pc.add(pc.multiply(stop_term, pa.scalar(0.5)),
+                                   pa.scalar(0.5)))
+        for name, col in [("n_chars", n_chars), ("n_tokens", n_tokens),
+                          ("punct_ratio", punct_ratio),
+                          ("stop_ratio", stop_ratio),
+                          ("mean_tok_len", mean_tok_len),
+                          ("quality", score)]:
+            t = t.append_column(name, col)
+        return t
+
+
+def add_quality(ds: ray.data.Dataset, text_col: str = "text",
+                concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(QualityScorer, fn_constructor_args=(text_col,),
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
+class LangId:
+    """Stopword-marker language ID: per language, count marker-word hits with
+    one vectorized regex pass; argmax wins. State (the patterns) built once
+    per actor."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        # pyarrow regexes are RE2: no lookaround. \b works for ASCII scripts;
+        # CJK marker chars are non-word chars in RE2 so they match bare.
+        self.patterns = {}
+        for lang, words in LANG_MARKERS.items():
+            alt = "|".join(words)
+            if lang == "ja":
+                self.patterns[lang] = "(?:" + alt + ")"
+            else:
+                self.patterns[lang] = r"(?i)\b(?:" + alt + r")\b"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = t[self.text_col]
+        n = t.num_rows
+        langs = list(self.patterns)
+        scores = np.zeros((n, len(langs)), dtype=np.float64)
+        for j, lang in enumerate(langs):
+            hits = pc.count_substring_regex(text, self.patterns[lang])
+            scores[:, j] = pc.fill_null(hits, 0).to_numpy(zero_copy_only=False)
+        n_tokens = pc.fill_null(
+            pc.count_substring_regex(text, TOKEN_RE), 0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        denom = np.maximum(n_tokens, 1.0)
+        best = scores.argmax(axis=1)
+        conf = scores[np.arange(n), best] / denom
+        pred = np.where(scores.max(axis=1) > 0,
+                        np.array(langs, dtype=object)[best], "und")
+        t = t.append_column("lang_pred", pa.array(pred, pa.string()))
+        return t.append_column("lang_conf", pa.array(conf, pa.float64()))
+
+
+def add_lang_id(ds: ray.data.Dataset, text_col: str = "text",
+                concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(LangId, fn_constructor_args=(text_col,),
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
+class Fingerprinter:
+    """Rolling-hash (Rabin–Karp) document fingerprints.
+
+    Emits a 63-bit polynomial hash of the whole text plus the minimum k-gram
+    rolling hash (a 1-permutation MinHash — stable under small shifts). Per
+    batch the k-gram hashing is vectorized over each doc's byte array.
+    """
+
+    BASE = np.uint64(1000003)
+
+    @staticmethod
+    def _powers(n: int) -> np.ndarray:
+        """[BASE^0, BASE^1, ..., BASE^(n-1)] in natural mod-2^64."""
+        p = np.empty(n, dtype=np.uint64)
+        p[0] = 1
+        if n > 1:
+            p[1:] = np.multiply.accumulate(
+                np.full(n - 1, Fingerprinter.BASE, dtype=np.uint64))
+        return p
+
+    def __init__(self, text_col: str = "text", k: int = 8):
+        self.text_col = text_col
+        self.k = k
+        self.kpowers = self._powers(k)
+
+    def _doc_fp(self, data: np.ndarray) -> tuple[int, int]:
+        """Polynomial hashes in natural mod-2^64 (uint64 wraparound),
+        fully vectorized: no Python-per-byte work."""
+        if len(data) == 0:
+            return 0, 0
+        vals = data.astype(np.uint64)
+        n = len(vals)
+        powers = self._powers(n)
+        full = np.uint64((vals * powers[::-1]).sum(dtype=np.uint64))
+        if n < self.k:
+            return int(full.view(np.int64)), int(full.view(np.int64))
+        # all k-gram hashes at once: sliding windows × descending powers
+        idx = np.arange(n - self.k + 1)[:, None] + np.arange(self.k)[None, :]
+        kh = (vals[idx] * self.kpowers[::-1][None, :]).sum(
+            axis=1, dtype=np.uint64)
+        return int(full.view(np.int64)), int(kh.min().view(np.int64))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        fulls = np.empty(len(texts), dtype=np.int64)
+        mins = np.empty(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            b = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8)
+            f, m = self._doc_fp(b)
+            fulls[i], mins[i] = f, m
+        t = t.append_column("fp_full", pa.array(fulls))
+        return t.append_column("fp_min_kgram", pa.array(mins))
+
+
+def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text", k: int = 8,
+                    concurrency=(1, 8), batch_size: int = 4096) -> ray.data.Dataset:
+    return ds.map_batches(Fingerprinter, fn_constructor_args=(text_col, k),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)

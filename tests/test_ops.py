@@ -1,0 +1,180 @@
+"""Training-data operator tests (dedup / ANN / text / multimodal / agg)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from raycdc.agg import grouped_aggregate
+from raycdc.ops.ann import brute_force_topk, lsh_topk
+from raycdc.ops.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_pairs,
+)
+from raycdc.ops.multimodal import BinaryFeatureExtractor, extract_features
+from raycdc.ops.text import (
+    Fingerprinter,
+    LangId,
+    QualityScorer,
+    add_token_count,
+)
+
+
+def to_table(ds) -> pa.Table:
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+
+
+def docs_ds():
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs to the hills",
+        "the quick brown fox jumps over the lazy dog and runs to the hill",
+        "der hund läuft nicht mit der katze und das ist ein problem auf jeden",
+        "le chat est dans la maison et il ne veut pas sortir pour le moment",
+        "the quick brown fox jumps over the lazy dog and runs to the hills",
+        "completely unrelated text about databases, queries, and shuffles!!!",
+    ]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+
+
+def test_token_count():
+    out = to_table(add_token_count(docs_ds()))
+    t0 = out.filter(pa.compute.equal(out["doc_id"], 0))["n_tokens"][0].as_py()
+    assert t0 == 14
+
+
+def test_quality_scorer():
+    out = QualityScorer()(to_table(docs_ds()))
+    q = dict(zip(out["doc_id"].to_pylist(), out["quality"].to_pylist()))
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    assert out["stop_ratio"].to_pylist()[0] > 0.1  # English stopwords present
+
+
+def test_lang_id():
+    out = LangId()(to_table(docs_ds()))
+    pred = dict(zip(out["doc_id"].to_pylist(), out["lang_pred"].to_pylist()))
+    assert pred[0] == "en"
+    assert pred[2] == "de"
+    assert pred[3] == "fr"
+
+
+def test_fingerprint_deterministic_and_shift_stable():
+    fp = Fingerprinter()
+    t = to_table(docs_ds())
+    out1, out2 = fp(t), fp(t)
+    assert out1["fp_full"].to_pylist() == out2["fp_full"].to_pylist()
+    # identical texts → identical fingerprints
+    fps = out1["fp_full"].to_pylist()
+    assert fps[0] == fps[4]
+    assert fps[0] != fps[5]
+
+
+def test_exact_dedup():
+    out = to_table(exact_dedup(docs_ds(), num_partitions=2))
+    # texts 0 and 4 are identical → survivor is doc_id 0
+    assert out.num_rows == 5
+    assert 0 in out["doc_id"].to_pylist()
+    assert 4 not in out["doc_id"].to_pylist()
+
+
+def test_minhash_lsh_finds_near_dups():
+    out = to_table(minhash_lsh_pairs(docs_ds(), threshold=0.6))
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (0, 4) in pairs          # exact duplicate
+    assert (0, 1) in pairs          # near duplicate (one char)
+    assert all(b != 5 for _, b in pairs)  # unrelated text is not a dup
+    assert ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
+
+
+def test_simhash_finds_near_dups():
+    out = to_table(simhash_pairs(docs_ds(), max_hamming=4))
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (0, 4) in pairs
+
+
+def test_embedding_dup_pairs():
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((10, 16))
+    vecs = np.vstack([base, base[0] + 0.001 * rng.standard_normal(16)])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(11), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    out = to_table(embedding_dup_pairs(ds, threshold=0.99))
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (0, 10) in pairs
+
+
+def test_brute_force_topk_matches_numpy():
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((200, 8))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    qids = np.array([0, 1], dtype=np.int64)
+    qmat = vecs[:2].astype(np.float64)
+    out = to_table(brute_force_topk(ds, (qids, qmat), k=5, batch_size=64))
+    # exact numpy reference (note: corpus vectors round-trip through float32)
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    unit = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+    qunit = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    for qi in range(2):
+        sims = qunit[qi] @ unit.T
+        expect = set(np.argsort(-sims)[:5])
+        got = {r for q, r in zip(out["query_id"].to_pylist(),
+                                 out["vec_id"].to_pylist()) if q == qids[qi]}
+        assert got == expect
+
+
+def test_lsh_topk_schema():
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((100, 8))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(100), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    out = to_table(lsh_topk(ds, (np.array([0]), vecs[:1]), k=3))
+    assert set(out.column_names) == {"query_id", "vec_id", "cosine", "rank"}
+    assert out.num_rows >= 1
+
+
+def test_multimodal_feature_stub():
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([b"\x01\x02\x03" * 50, b"\xff" * 10], pa.binary()),
+    }))
+    out = to_table(extract_features(ds, dim=16))
+    feats = out["features"].to_pylist()
+    assert len(feats[0]) == 16
+    assert feats[0][0] == 150.0  # first component = payload length
+    # strict decoder is a marked stub
+    import pytest
+    with pytest.raises(NotImplementedError):
+        BinaryFeatureExtractor(decoder="strict")._decode(b"x")
+
+
+def test_grouped_aggregate(sf_dir):
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity"])
+    out = to_table(grouped_aggregate(
+        li, ["l_returnflag"],
+        sums={"sum_qty": "l_quantity"},
+        means={"avg_qty": "l_quantity"},
+        count_name="n")).to_pandas().set_index("l_returnflag")
+    import duckdb
+    ref = duckdb.sql(
+        f"SELECT l_returnflag, sum(l_quantity) sum_qty, avg(l_quantity) avg_qty,"
+        f" count(*) n FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"
+    ).df().set_index("l_returnflag")
+    for flag in ref.index:
+        assert abs(out.loc[flag, "sum_qty"] - ref.loc[flag, "sum_qty"]) < 1e-6
+        assert abs(out.loc[flag, "avg_qty"] - ref.loc[flag, "avg_qty"]) < 1e-9
+        assert out.loc[flag, "n"] == ref.loc[flag, "n"]
