@@ -1,44 +1,479 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the raycdc engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC-replay pipeline on a small deterministic
+changelog; ``queries()`` exposes one callable per implemented operator /
+pipeline from SURVEY.md §2 (plus the training-data operator extensions);
+``oracle_sql()`` gives DuckDB-checkable SQL for every SQL-expressible one.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from raycdc import FlattenConfig, flatten_hierarchy
+from raycdc.agg import distinct_rows, grouped_aggregate
+from raycdc.cdc import apply_changelog, generate_changelog, read_lake
+from raycdc.cdc.changelog import ChangelogSpec
+from raycdc.cdc.lww import lww_dataset
+from raycdc.joins import broadcast_join, hash_join
+from raycdc.ops.ann import brute_force_topk, lsh_topk
+from raycdc.ops.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from raycdc.ops.multimodal import extract_features
+from raycdc.ops.text import (
+    add_fingerprint,
+    add_lang_id,
+    add_quality,
+    add_token_count,
+)
+from raycdc.record_flatten import flatten_records
+
+TOKEN_RE = r"\S+"
+
+
+def _rp(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy edge tables over the TPC-H-ish testdata (FIXTURES.md F8)
+# ---------------------------------------------------------------------------
+
+def _tree_edges(sf_dir: str) -> ray.data.Dataset:
+    """region→nation→customer→orders forest; disjoint key spaces via R/N/C/O
+    prefixes; ``label`` is the path/data field."""
+    region = pa.concat_tables(list(_rp(sf_dir, "region").iter_batches(
+        batch_format="pyarrow")))
+
+    def nation_edges(t: pa.Table) -> pa.Table:
+        r = {row["r_regionkey"]: row["r_name"]
+             for row in region.to_pylist()}  # tiny (5 rows)
+        parent = pc.binary_join_element_wise(
+            pa.array(["R"] * t.num_rows),
+            pc.cast(t["n_regionkey"], pa.string()), "")
+        child = pc.binary_join_element_wise(
+            pa.array(["N"] * t.num_rows),
+            pc.cast(t["n_nationkey"], pa.string()), "")
+        return pa.table({"parent": parent, "child": child, "label": t["n_name"]})
+
+    def customer_edges(t: pa.Table) -> pa.Table:
+        parent = pc.binary_join_element_wise(
+            pa.array(["N"] * t.num_rows), pc.cast(t["c_nationkey"], pa.string()), "")
+        child = pc.binary_join_element_wise(
+            pa.array(["C"] * t.num_rows), pc.cast(t["c_custkey"], pa.string()), "")
+        return pa.table({"parent": parent, "child": child, "label": t["c_name"]})
+
+    def order_edges(t: pa.Table) -> pa.Table:
+        parent = pc.binary_join_element_wise(
+            pa.array(["C"] * t.num_rows), pc.cast(t["o_custkey"], pa.string()), "")
+        child = pc.binary_join_element_wise(
+            pa.array(["O"] * t.num_rows), pc.cast(t["o_orderkey"], pa.string()), "")
+        return pa.table({"parent": parent, "child": child,
+                         "label": pc.cast(t["o_orderkey"], pa.string())})
+
+    n = _rp(sf_dir, "nation", ["n_regionkey", "n_nationkey", "n_name"]) \
+        .map_batches(nation_edges, batch_format="pyarrow")
+    c = _rp(sf_dir, "customer", ["c_nationkey", "c_custkey", "c_name"]) \
+        .map_batches(customer_edges, batch_format="pyarrow")
+    o = _rp(sf_dir, "orders", ["o_custkey", "o_orderkey"]) \
+        .map_batches(order_edges, batch_format="pyarrow")
+    return n.union(c, o)
+
+
+_TREE_EDGES_SQL = """
+    SELECT 'R' || r_regionkey AS parent, 'N' || n_nationkey AS child,
+           n_name AS label
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    UNION ALL
+    SELECT 'N' || c_nationkey, 'C' || c_custkey, c_name FROM customer
+    UNION ALL
+    SELECT 'C' || o_custkey, 'O' || o_orderkey, CAST(o_orderkey AS VARCHAR)
+    FROM orders
+"""
+
+
+def _dag_edges(sf_dir: str) -> ray.data.Dataset:
+    """part→order (distinct) + order→lineitem edges: a DAG where several
+    parts of one order converge on the same (order, line) edge at level 2 —
+    exercises the multi-path min(path) dedup (SURVEY.md §2.1 note 5)."""
+
+    def po_edges(t: pa.Table) -> pa.Table:
+        parent = pc.binary_join_element_wise(
+            pa.array(["P"] * t.num_rows), pc.cast(t["l_partkey"], pa.string()), "")
+        child = pc.binary_join_element_wise(
+            pa.array(["O"] * t.num_rows), pc.cast(t["l_orderkey"], pa.string()), "")
+        label = pc.binary_join_element_wise(
+            pa.array(["p"] * t.num_rows), pc.cast(t["l_partkey"], pa.string()), "")
+        return pa.table({"parent": parent, "child": child, "label": label})
+
+    def ol_edges(t: pa.Table) -> pa.Table:
+        parent = pc.binary_join_element_wise(
+            pa.array(["O"] * t.num_rows), pc.cast(t["l_orderkey"], pa.string()), "")
+        child = pc.binary_join_element_wise(
+            pa.array(["L"] * t.num_rows), pc.cast(t["l_orderkey"], pa.string()),
+            pa.array(["-"] * t.num_rows), pc.cast(t["l_linenumber"], pa.string()), "")
+        label = pc.binary_join_element_wise(
+            pa.array(["l"] * t.num_rows), pc.cast(t["l_linenumber"], pa.string()), "")
+        return pa.table({"parent": parent, "child": child, "label": label})
+
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_orderkey", "l_linenumber"])
+    po = distinct_rows(li.map_batches(po_edges, batch_format="pyarrow"),
+                       ["parent", "child"], num_partitions=16)
+    ol = li.map_batches(ol_edges, batch_format="pyarrow")
+    return po.union(ol)
+
+
+_DAG_EDGES_SQL = """
+    SELECT DISTINCT 'P' || l_partkey AS parent, 'O' || l_orderkey AS child,
+           'p' || l_partkey AS label
+    FROM lineitem
+    UNION ALL
+    SELECT 'O' || l_orderkey, 'L' || l_orderkey || '-' || l_linenumber,
+           'l' || l_linenumber
+    FROM lineitem
+"""
+
+
+def _flatten_oracle_sql(edges_sql: str, start_with: str | None = None) -> str:
+    seed_filter = f"WHERE {start_with}" if start_with else ""
+    return f"""
+WITH RECURSIVE edges AS ({edges_sql}),
+paths AS (
+    SELECT parent, child, label, 1 AS level, '/' || label AS path,
+           label AS root
+    FROM edges {seed_filter}
+    UNION ALL
+    SELECT e.parent, e.child, e.label, p.level + 1,
+           p.path || '/' || e.label, p.root
+    FROM paths p JOIN edges e ON p.child = e.parent
+),
+agg AS (
+    SELECT parent, child, level, min(label) AS label, min(path) AS path,
+           min_by(root, path) AS root
+    FROM paths GROUP BY parent, child, level
+)
+SELECT a.parent, a.child, a.label, a.level AS "Level",
+       NOT EXISTS (SELECT 1 FROM edges e WHERE e.parent = a.child) AS "Bottom",
+       a.path, a.root
+FROM agg a
+"""
+
+
+_FLATTEN_CFG = FlattenConfig(parent_field="parent", child_field="child",
+                             path_field="label", path_alias_field="path",
+                             connect_by_root="label=root")
+
+
+# ---------------------------------------------------------------------------
+# CDC replay (flagship)
+# ---------------------------------------------------------------------------
+
+def _cdc_spec(tag: str, num_events: int) -> tuple[str, ChangelogSpec]:
+    spec = ChangelogSpec(num_events=num_events,
+                         num_urls=max(200, num_events // 12),
+                         num_epochs=8, seed=42)
+    wal = f"/tmp/raycdc/wal-{tag}-{num_events}"
+    return wal, spec
+
+
+def run_cdc_replay(num_events: int, tag: str, num_partitions: int = 16):
+    wal, spec = _cdc_spec(tag, num_events)
+    generate_changelog(wal, spec)
+    lake = f"/tmp/raycdc/lake-{tag}-{num_events}-{os.getpid()}"
+    metrics = apply_changelog(wal, lake, num_partitions=num_partitions)
+    return lake, metrics
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: CDC replay of a deterministic changelog into a Parquet lake;
+    returns the final pages table (url, warc_ts, html, text, lang, ...)."""
+    lake, _ = run_cdc_replay(20_000, "entry")
+    return read_lake(lake)
+
+
+# ---------------------------------------------------------------------------
+# queries() / oracle_sql()
+# ---------------------------------------------------------------------------
+
+def _q_flatten_tree(sf_dir: str):
+    return flatten_hierarchy(_tree_edges(sf_dir), _FLATTEN_CFG)
+
+
+def _q_flatten_tree_shuffle(sf_dir: str):
+    return flatten_hierarchy(_tree_edges(sf_dir), _FLATTEN_CFG,
+                             strategy="shuffle", num_partitions=8)
+
+
+def _q_flatten_dag(sf_dir: str):
+    return flatten_hierarchy(_dag_edges(sf_dir), _FLATTEN_CFG)
+
+
+_START_WITH = "parent == 'R0' OR parent == 'R1'"
+
+
+def _q_flatten_startwith(sf_dir: str):
+    import dataclasses
+    cfg = dataclasses.replace(_FLATTEN_CFG, start_with=_START_WITH)
+    return flatten_hierarchy(_tree_edges(sf_dir), cfg)
+
+
+def _q_record_flatten(sf_dir: str):
+    def nest(t: pa.Table) -> pa.Table:
+        cust = pa.StructArray.from_arrays(
+            [t["o_custkey"].combine_chunks(), t["o_totalprice"].combine_chunks()],
+            ["key", "price"])
+        o = pa.StructArray.from_arrays(
+            [t["o_orderkey"].combine_chunks(), cust], ["id", "cust"])
+        return pa.table({"o": o})
+    nested = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(nest, batch_format="pyarrow")
+    return flatten_records(nested)
+
+
+def _q_agg_lineitem(sf_dir: str):
+    li = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.set_column(t.column_names.index("l_quantity"), "l_quantity",
+                            pc.cast(t["l_quantity"], pa.int64()))
+
+    return grouped_aggregate(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        sums={"sum_qty": "l_quantity"},
+        means={"avg_qty": "l_quantity"},
+        maxs={"max_price": "l_extendedprice"},
+        count_name="n",
+    )
+
+
+def _q_join_customer_region(sf_dir: str):
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = pa.concat_tables(list(_rp(
+        sf_dir, "nation", ["n_nationkey", "n_regionkey"]).iter_batches(
+        batch_format="pyarrow")))
+    region = pa.concat_tables(list(_rp(
+        sf_dir, "region", ["r_regionkey", "r_name"]).iter_batches(
+        batch_format="pyarrow")))
+    dim = nation.join(region, keys=["n_regionkey"], right_keys=["r_regionkey"])
+    joined = broadcast_join(cust, dim.select(["n_nationkey", "r_name"]),
+                            on=["c_nationkey"], right_on=["n_nationkey"])
+    return grouped_aggregate(joined, ["r_name"],
+                             maxs={"max_acctbal": "c_acctbal"},
+                             count_name="n_customers")
+
+
+def _q_join_orders_lineitem(sf_dir: str):
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "qty": pc.cast(t["l_quantity"], pa.int64())})
+
+    joined = hash_join(li.map_batches(prep, batch_format="pyarrow"), orders,
+                       on=["l_orderkey"], right_on=["o_orderkey"],
+                       join_type="inner", num_partitions=16)
+    return grouped_aggregate(joined, ["o_orderpriority"],
+                             sums={"sum_qty": "qty"}, count_name="n_items")
+
+
+def _q_lww_events(sf_dir: str):
+    ev = _rp(sf_dir, "events")
+    return lww_dataset(ev, key="user_id", ts="ts", seq="event_id",
+                       num_partitions=16)
+
+
+def _q_dedup_exact(sf_dir: str):
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(docs, num_partitions=16).select_columns(["doc_id", "text"])
+
+
+def _q_token_count(sf_dir: str):
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return add_token_count(docs).select_columns(["doc_id", "n_tokens"])
+
+
+def _load_queries_emb(sf_dir: str, n: int = 5):
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], n))
+    qids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in t["embedding"].to_pylist()])
+    return qids, qmat
+
+
+def _q_ann_topk(sf_dir: str):
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(emb, _load_queries_emb(sf_dir), k=10, round_to=4)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def _q_ann_lsh(sf_dir: str):
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_topk(emb, _load_queries_emb(sf_dir), k=10)
+
+
+def _q_quality(sf_dir: str):
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return add_quality(docs).select_columns(
+        ["doc_id", "n_chars", "n_tokens", "punct_ratio", "stop_ratio", "quality"])
+
+
+def _q_langid(sf_dir: str):
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return add_lang_id(docs).select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+
+def _q_fingerprint(sf_dir: str):
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return add_fingerprint(docs).select_columns(
+        ["doc_id", "fp_full", "fp_min_kgram"])
+
+
+def _q_minhash(sf_dir: str):
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(docs, threshold=0.8)
+
+
+def _q_simhash(sf_dir: str):
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def _q_embed_dups(sf_dir: str):
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dup_pairs(emb, threshold=0.99)
+
+
+def _q_multimodal(sf_dir: str):
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": t["text"].cast(pa.binary())})
+
+    feats = extract_features(docs.map_batches(to_payload, batch_format="pyarrow"),
+                             dim=16)
+
+    def project(t: pa.Table) -> pa.Table:
+        first = pc.list_element(t["features"], 0)
+        return pa.table({"doc_id": t["doc_id"], "payload_len": first})
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
+def _q_cdc_replay(sf_dir: str):
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    n = 50_000 if "0.01" in sf_tag else 20_000
+    lake, _ = run_cdc_replay(n, sf_tag)
+    ds = read_lake(lake)
+    return ds.select_columns(["url", "warc_ts", "seq", "text", "lang"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flatten_tree": _q_flatten_tree,
+        "flatten_tree_shuffle": _q_flatten_tree_shuffle,
+        "flatten_dag": _q_flatten_dag,
+        "flatten_startwith": _q_flatten_startwith,
+        "record_flatten": _q_record_flatten,
+        "agg_lineitem": _q_agg_lineitem,
+        "join_customer_region": _q_join_customer_region,
+        "join_orders_lineitem": _q_join_orders_lineitem,
+        "lww_events": _q_lww_events,
+        "dedup_exact": _q_dedup_exact,
+        "token_count": _q_token_count,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "quality": _q_quality,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "minhash_pairs": _q_minhash,
+        "simhash_pairs": _q_simhash,
+        "embed_dup_pairs": _q_embed_dups,
+        "multimodal_features": _q_multimodal,
+        "cdc_replay": _q_cdc_replay,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flatten_tree": _flatten_oracle_sql(_TREE_EDGES_SQL),
+        "flatten_tree_shuffle": _flatten_oracle_sql(_TREE_EDGES_SQL),
+        "flatten_dag": _flatten_oracle_sql(_DAG_EDGES_SQL),
+        "flatten_startwith": _flatten_oracle_sql(
+            _TREE_EDGES_SQL, start_with="parent = 'R0' OR parent = 'R1'"),
+        "record_flatten": (
+            'SELECT o_orderkey AS "o.id", o_custkey AS "o.cust.key", '
+            'o_totalprice AS "o.cust.price" FROM orders'),
+        "agg_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   avg(CAST(l_quantity AS BIGINT)) AS avg_qty,
+                   max(l_extendedprice) AS max_price,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "join_customer_region": """
+            SELECT r_name, max(c_acctbal) AS max_acctbal,
+                   count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "join_orders_lineitem": """
+            SELECT o_orderpriority,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
+        "lww_events": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
+        "dedup_exact": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
+            FROM documents GROUP BY text""",
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tokens
+            FROM documents""",
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS c
+                FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10""",
+    }

@@ -16,6 +16,26 @@ import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
 
+def distinct_rows(ds: ray.data.Dataset, subset: list[str],
+                  num_partitions: int = 32) -> ray.data.Dataset:
+    """Global DISTINCT on ``subset``: per-batch local dedup (combiner) then a
+    hash-bucket shuffle with one vectorized drop_duplicates per bucket."""
+    b = "__rcdc_du"
+
+    def local(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(subset=subset)
+        h = pd.util.hash_pandas_object(df[subset], index=False).to_numpy()
+        df[b] = (h % num_partitions).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_dedup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop(columns=[b]).drop_duplicates(subset=subset)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .groupby(b).map_groups(bucket_dedup, batch_format="pyarrow"))
+
+
 def grouped_aggregate(
     ds: ray.data.Dataset,
     keys: list[str],

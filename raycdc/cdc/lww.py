@@ -48,6 +48,27 @@ def to_versioned_rows(flat: pa.Table, op_col: str = "op") -> pa.Table:
     return out.append_column(DELETED_COL, pc.fill_null(deleted, False))
 
 
+def lww_dataset(ds, key: str = "url", ts: str = "warc_ts", seq: str = "seq",
+                num_partitions: int = 32):
+    """Dataset-level LWW: per-batch combine, then a key-hash bucket shuffle
+    with one vectorized reduce per bucket. The generic 'latest row per key'
+    operator (CDC apply uses the same kernels fused with the base merge)."""
+    import pandas as pd
+
+    bcol = "__rcdc_lb"
+
+    def local(t: pa.Table) -> pa.Table:
+        r = lww_reduce(t, key, ts, seq)
+        h = pd.util.hash_pandas_object(r[key].to_pandas(), index=False).to_numpy()
+        return r.append_column(bcol, pa.array((h % num_partitions).astype("int64")))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return lww_reduce(t.drop_columns([bcol]), key, ts, seq)
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .groupby(bcol).map_groups(bucket, batch_format="pyarrow"))
+
+
 class LocalLwwCombiner:
     """map_batches combiner: collapse each batch to one winner row per key
     before the shuffle (caps hot-key volume at one row per key per batch —
