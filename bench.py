@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline CDC-apply throughput + per-pipeline timings.
+
+Default: runs over $GRAFT_SF_DIR (default /root/testdata/sf0.1) with
+ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON
+line: {"metric": ..., "value": seconds, "unit": "sec", "queries": {...},
+"sf": ..., "num_cpus": N, "cdc_events_per_sec": ...}.
+
+--scaling: runs the headline job twice in FRESH processes (num_cpus=8 then
+32) on the same input and prints both throughputs plus the scaling efficiency
+eff = (throughput_32 / throughput_8) / 4 — the sandbox substitute for the
+north rule's N vs 4N cluster criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+CDC_EVENTS = int(os.environ.get("RAYCDC_BENCH_EVENTS", "2000000"))
+CDC_PARTITIONS = int(os.environ.get("RAYCDC_BENCH_PARTITIONS", "32"))
+
+
+def consume(ds) -> int:
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import __ray_entry__ as entrymod
+    from raycdc.cdc import apply_changelog, generate_changelog
+    from raycdc.cdc.changelog import ChangelogSpec
+
+    # --- headline: CDC replay (generation is cached + untimed; one warm
+    # read of the wal primes the page cache so we measure compute+shuffle)
+    spec = ChangelogSpec(num_events=CDC_EVENTS,
+                         num_urls=max(1000, CDC_EVENTS // 20),
+                         num_epochs=8, seed=42)
+    wal = f"/tmp/raycdc/bench-wal-{CDC_EVENTS}"
+    generate_changelog(wal, spec)
+    for f in sorted(os.listdir(wal)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(wal, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+    lake = f"/tmp/raycdc/bench-lake-{CDC_EVENTS}-{os.getpid()}"
+    t0 = time.perf_counter()
+    metrics = apply_changelog(wal, lake, num_partitions=CDC_PARTITIONS)
+    headline = time.perf_counter() - t0
+    eps = metrics["events"] / headline if headline > 0 else 0.0
+
+    # --- per-pipeline timings over the sf dir
+    queries = entrymod.queries()
+    bench_set = [
+        "flatten_tree", "flatten_dag", "agg_lineitem", "join_orders_lineitem",
+        "join_customer_region", "lww_events", "dedup_exact", "token_count",
+        "ann_topk", "quality", "langid", "minhash_pairs", "record_flatten",
+    ]
+    q_times: dict[str, float] = {}
+    for name in bench_set:
+        t0 = time.perf_counter()
+        consume(queries[name](sf_dir))
+        q_times[name] = round(time.perf_counter() - t0, 3)
+    q_times["cdc_replay"] = round(headline, 3)
+
+    out = {
+        "metric": "cdc_apply_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "cdc_events": metrics["events"],
+        "cdc_events_per_sec": round(eps, 1),
+    }
+    ray.shutdown()
+    import shutil
+
+    shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        res = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True)
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    eps_lo = lo["cdc_events_per_sec"]
+    eps_hi = hi["cdc_events_per_sec"]
+    eff = (eps_hi / eps_lo) / (32 / 8) if eps_lo else 0.0
+    return {
+        "metric": "cdc_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "events_per_sec_8cpu": eps_lo,
+        "events_per_sec_32cpu": eps_hi,
+        "sec_8cpu": lo["value"],
+        "sec_32cpu": hi["value"],
+        "queries_8cpu": lo["queries"],
+        "queries_32cpu": hi["queries"],
+        "cdc_events": hi["cdc_events"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

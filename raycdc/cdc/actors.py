@@ -1,0 +1,221 @@
+"""Streaming CDC engine: per-partition stateful merge actors (LSM-lite).
+
+The batch path (:mod:`raycdc.cdc.apply`) re-merges a partition's base file on
+every commit. When tailing a live WAL with many small epochs that is wasteful;
+the north star calls for *stateful actor pools keeping an LSM-style in-memory
+delta map keyed (url, warc_ts) with last-writer-wins*. This module is that
+path — the one place the engine drops below the Dataset API, because a
+shared mutable index across micro-batches is exactly what ``map_batches``
+cannot express (stateless tasks; actor pools shard by batch, not by key).
+
+Topology::
+
+    segment Dataset ─ map_batches(PartitionRouter) ─┐   (stateless tasks,
+                                                    ├─► MergeActor[pid]   xP
+    counts / acks  ◄────────────────────────────────┘   (ray.remote actors)
+
+- ``PartitionRouter`` splits each flattened batch by ``hash(url) % P`` and
+  pushes the slices to the owning actor (zero-copy Arrow through the object
+  store); it returns only row counts, so the Dataset pipeline stays tiny.
+- ``MergeActor`` holds the partition's memtable: appended Arrow deltas,
+  LWW-compacted in place when they exceed a row budget (the L0 of an LSM).
+  ``flush(version)`` merges memtable + base file, writes the new partition
+  file atomically and returns a manifest row; the driver commits the epoch's
+  manifest exactly like the batch path (same files, same manifest schema, so
+  batch and streaming runs are interchangeable and equally resumable).
+
+Ordering: all events of a url route to one actor; within the actor the LWW
+reduction orders by (warc_ts, seq) — global ordering is never needed
+(SURVEY.md §7 "Ordered replay vs parallelism").
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from raycdc.cdc.apply import PID_COL, _url_pid, discover_segments, _segment_epoch, \
+    _segment_seq_bounds
+from raycdc.cdc.evolve import concat_evolved
+from raycdc.cdc.lww import DELETED_COL, lww_reduce, to_versioned_rows
+from raycdc.cdc.sink import LakeManifest, atomic_write_parquet, commit_manifest, \
+    read_manifest
+from raycdc.record_flatten import RecordFlattener
+
+
+@ray.remote
+class MergeActor:
+    """Owns one url-hash partition: in-memory LWW memtable + on-disk base."""
+
+    def __init__(self, pid: int, lake_dir: str, base_file: Optional[str],
+                 memtable_budget_rows: int = 200_000):
+        self.pid = pid
+        self.lake_dir = lake_dir
+        self.base_file = base_file
+        self.fragments: list[pa.Table] = []
+        self.frag_rows = 0
+        self.budget = memtable_budget_rows
+        self.ingested = 0
+
+    def ingest(self, delta: pa.Table) -> int:
+        """Append a delta fragment; compact the memtable when over budget."""
+        self.fragments.append(delta)
+        self.frag_rows += delta.num_rows
+        self.ingested += delta.num_rows
+        if self.frag_rows > self.budget:
+            self._compact_memtable()
+        return delta.num_rows
+
+    def _compact_memtable(self) -> None:
+        merged = lww_reduce(concat_evolved(self.fragments))
+        self.fragments = [merged]
+        self.frag_rows = merged.num_rows
+
+    def flush(self, version: int) -> dict:
+        """Merge memtable + base, write the new partition file, clear state."""
+        tables = list(self.fragments)
+        if self.base_file:
+            tables.insert(0, pq.read_table(
+                os.path.join(self.lake_dir, self.base_file)))
+        if not tables:
+            return {"pid": self.pid, "file": self.base_file, "rows": 0,
+                    "live_rows": 0, "bytes": 0, "delta_rows": 0}
+        merged = lww_reduce(concat_evolved(tables))
+        merged = merged.take(
+            pc.sort_indices(merged, sort_keys=[("url", "ascending")]))
+        rel = f"part-{self.pid:05d}/v{version}.parquet"
+        size = atomic_write_parquet(merged, os.path.join(self.lake_dir, rel))
+        live = int(pc.sum(pc.cast(pc.invert(merged[DELETED_COL]),
+                                  pa.int64())).as_py() or 0)
+        delta_rows = self.ingested
+        self.fragments, self.frag_rows, self.ingested = [], 0, 0
+        self.base_file = rel
+        return {"pid": self.pid, "file": rel, "rows": merged.num_rows,
+                "live_rows": live, "bytes": size, "delta_rows": delta_rows}
+
+
+class PartitionRouter:
+    """Stateless map_batches stage that pushes per-partition slices to the
+    merge actors and emits only counts (backpressure via bounded in-flight
+    acks per task)."""
+
+    def __init__(self, actor_handles: list, num_partitions: int,
+                 max_in_flight: int = 32):
+        self.actors = actor_handles
+        self.p = num_partitions
+        self.max_in_flight = max_in_flight
+        self.flatten = RecordFlattener(rename_strategy="leaf")
+        self.pending: list = []
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat = self.flatten(batch)
+        flat = to_versioned_rows(flat.drop_columns(["epoch"]))
+        flat = lww_reduce(flat)  # local combine before routing
+        pids = _url_pid(flat["url"], self.p)
+        order = np.argsort(pids, kind="stable")
+        flat = flat.take(pa.array(order))
+        pids = pids[order]
+        bounds = np.nonzero(np.diff(pids))[0] + 1
+        starts = np.concatenate([[0], bounds, [len(pids)]])
+        for i in range(len(starts) - 1):
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            if hi == lo:
+                continue
+            pid = int(pids[lo])
+            self.pending.append(
+                self.actors[pid].ingest.remote(flat.slice(lo, hi - lo)))
+            if len(self.pending) >= self.max_in_flight:
+                _, self.pending = ray.wait(
+                    self.pending, num_returns=len(self.pending) // 2)
+        return pa.table({"routed": pa.array([flat.num_rows], pa.int64())})
+
+
+class CdcEngine:
+    """Tail a changelog directory with a persistent merge-actor pool.
+
+    One commit per ``advance()`` call (or per epoch in ``tail()``); produces
+    the same manifest/lake layout as the batch path.
+    """
+
+    def __init__(self, changelog_dir: str, lake_dir: str,
+                 num_partitions: int = 8,
+                 memtable_budget_rows: int = 200_000):
+        self.changelog_dir = changelog_dir
+        self.lake_dir = lake_dir
+        self.p = num_partitions
+        manifest = read_manifest(lake_dir)
+        if manifest and manifest.num_partitions != num_partitions:
+            raise ValueError("partition count mismatch with committed lake")
+        base = {int(k): v["file"] for k, v in manifest.partitions.items()} \
+            if manifest else {}
+        self.manifest = manifest
+        self.actors = [
+            MergeActor.remote(pid, lake_dir, base.get(pid),
+                              memtable_budget_rows)
+            for pid in range(num_partitions)
+        ]
+
+    def _unapplied(self) -> list[tuple[int, str]]:
+        applied = set(self.manifest.epochs_applied) if self.manifest else set()
+        return [(e, p) for p in discover_segments(self.changelog_dir)
+                if (e := _segment_epoch(p)) not in applied]
+
+    def advance(self, max_epochs: int = 1) -> dict:
+        """Ingest up to ``max_epochs`` unapplied epochs and commit once."""
+        import ray.data
+
+        todo = self._unapplied()[:max_epochs]
+        if not todo:
+            return {"events": 0, "epochs": []}
+        epochs = [e for e, _ in todo]
+        paths = [p for _, p in todo]
+        version = (self.manifest.version + 1) if self.manifest else 1
+
+        ds = ray.data.read_parquet(paths)
+        router = PartitionRouter(self.actors, self.p)
+        routed = ds.map_batches(router, batch_format="pyarrow",
+                                concurrency=1)
+        total = sum(r["routed"] for r in routed.take_all())
+
+        flush_rows = ray.get([a.flush.remote(version) for a in self.actors])
+        watermark = max(_segment_seq_bounds(p)[1] for p in paths)
+        partitions = dict(self.manifest.partitions) if self.manifest else {}
+        for r in flush_rows:
+            if r["file"] is None:
+                continue
+            partitions[str(r["pid"])] = {
+                "file": r["file"], "rows": int(r["rows"]),
+                "live_rows": int(r["live_rows"]), "bytes": int(r["bytes"]),
+                "lineage": {"epochs": epochs, "version": version,
+                            "delta_rows": int(r["delta_rows"])},
+            }
+        applied = set(self.manifest.epochs_applied) if self.manifest else set()
+        self.manifest = LakeManifest(
+            version=version, num_partitions=self.p,
+            epochs_applied=sorted(applied | set(epochs)),
+            watermark_seq=max(watermark,
+                              self.manifest.watermark_seq if self.manifest else -1),
+            partitions=partitions)
+        commit_manifest(self.lake_dir, self.manifest)
+        return {"events": int(total), "epochs": epochs}
+
+    def tail(self) -> dict:
+        """Apply everything unapplied, one commit per epoch."""
+        totals = {"events": 0, "epochs": []}
+        while True:
+            m = self.advance(1)
+            if not m["epochs"]:
+                return totals
+            totals["events"] += m["events"]
+            totals["epochs"] += m["epochs"]
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -116,6 +116,40 @@ def test_deleted_urls_absent(changelog, tmp_path):
     assert live.num_rows == t.num_rows - n_tombstones
 
 
+def test_streaming_actor_engine_matches_batch(changelog, tmp_path):
+    # The stateful merge-actor engine (LSM memtable per partition) must
+    # converge to the identical lake state as the batch apply path.
+    from raycdc.cdc.actors import CdcEngine
+
+    batch_lake = str(tmp_path / "batch")
+    apply_changelog(changelog, batch_lake, num_partitions=4)
+    stream_lake = str(tmp_path / "stream")
+    eng = CdcEngine(changelog, stream_lake, num_partitions=4,
+                    memtable_budget_rows=2_000)
+    m = eng.tail()
+    assert m["epochs"] == list(range(SPEC.num_epochs))
+    eng.shutdown()
+    assert url_text_digest(lake_state(stream_lake)) == \
+        url_text_digest(lake_state(batch_lake))
+
+
+def test_streaming_engine_resumes_from_manifest(changelog, tmp_path):
+    from raycdc.cdc.actors import CdcEngine
+
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(changelog, lake, num_partitions=4)
+    eng.advance(2)
+    eng.shutdown()
+    # new engine instance picks up from the committed manifest
+    eng2 = CdcEngine(changelog, lake, num_partitions=4)
+    eng2.tail()
+    eng2.shutdown()
+    expected = oracle_final_state(generate_events(SPEC))
+    got = lake_state(lake)
+    assert got["url"].to_pylist() == expected["url"].to_pylist()
+    assert got["text"].to_pylist() == expected["text"].to_pylist()
+
+
 def test_schema_evolution_column_add(tmp_path):
     spec = ChangelogSpec(num_events=5_000, num_urls=400, num_epochs=4, seed=11,
                          evolve_from_epoch=2)
