@@ -59,6 +59,8 @@ from raycdc.schema import FlattenConfig, derive_output_schema, validate_config
 
 _LEAF_COL = "__rcdc_leaf"
 _BUCKET_COL = "__rcdc_bucket"
+_PC_COL = "__rcdc_pc"
+_CC_COL = "__rcdc_cc"
 _RPREFIX = "__rcdc_r_"
 
 
@@ -70,30 +72,36 @@ _RPREFIX = "__rcdc_r_"
 class EdgeIndex:
     """CSR-style adjacency index over the edge table, keyed by parent.
 
-    ``sorted_table`` holds all edge columns stably sorted by parent value;
-    ``uniques``/``starts`` give, for each distinct parent, its slice in the
-    sorted arrays. ``needs_dedup`` is true iff some child value occurs more
-    than once in the edge list — the only way two same-(parent, child, level)
-    rows can arise (multi-path convergence or duplicate edges).
+    All node ids are dictionary-encoded once at build time (``node_values`` +
+    integer codes), so the per-level BFS works entirely in int64 — no
+    per-level string hashing or object-dtype sorts. ``sorted_table`` holds the
+    edge payload stably sorted by parent code; ``uniq_pcodes``/``starts``
+    give each distinct parent code its slice in the sorted arrays.
+
+    ``needs_dedup`` is true iff some child value occurs more than once in the
+    edge list — the only way two same-(parent, child, level) rows can arise
+    (multi-path convergence or duplicate edges).
     """
 
-    uniques: pd.Index
-    starts: np.ndarray
-    parent_sorted: np.ndarray
-    child_sorted: np.ndarray
-    sorted_table: pa.Table
-    path_sorted: Optional[np.ndarray]
+    node_values: pa.Array            # code -> original id; last slot is null
+    uniq_pcodes: np.ndarray          # sorted distinct parent codes (int64)
+    starts: np.ndarray               # len(uniq_pcodes)+1 slice bounds
+    ccode_sorted: np.ndarray         # child code per edge, sorted by parent
+    pcode_sorted: np.ndarray
+    sorted_table: pa.Table           # edge payload in the same sorted order
+    path_sorted: Optional[pa.Array]  # stringified path values, sorted order
     needs_dedup: bool
     num_edges: int
 
-    def lookup(self, children: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Vectorized out-edge lookup: per child value, (slice start, count)."""
-        if len(self.uniques) == 0:
-            z = np.zeros(len(children), dtype=np.int64)
+    def lookup(self, codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized out-edge lookup by child code → (slice start, count)."""
+        n = len(codes)
+        if len(self.uniq_pcodes) == 0 or n == 0:
+            z = np.zeros(n, dtype=np.int64)
             return z, z.copy()
-        pos = self.uniques.get_indexer(children)
-        found = pos >= 0
-        clipped = np.clip(pos, 0, None)
+        pos = np.searchsorted(self.uniq_pcodes, codes)
+        clipped = np.minimum(pos, len(self.uniq_pcodes) - 1)
+        found = self.uniq_pcodes[clipped] == codes
         starts = np.where(found, self.starts[clipped], 0)
         counts = np.where(found, self.starts[clipped + 1] - starts, 0)
         return starts.astype(np.int64), counts.astype(np.int64)
@@ -107,34 +115,54 @@ def build_edge_index(table: pa.Table, cfg: FlattenConfig) -> EdgeIndex:
     """
     table = table.combine_chunks()
     table = table.filter(pc.is_valid(table[cfg.parent_field]))
-    parent_np = table[cfg.parent_field].to_numpy(zero_copy_only=False)
-    order = np.argsort(parent_np, kind="stable")
+    n = table.num_rows
+    pcol = table[cfg.parent_field].combine_chunks()
+    ccol = table[cfg.child_field].combine_chunks()
+    if isinstance(pcol, pa.ChunkedArray):
+        pcol = pa.concat_arrays(pcol.chunks) if pcol.num_chunks else pa.array(
+            [], table.schema.field(cfg.parent_field).type)
+    if isinstance(ccol, pa.ChunkedArray):
+        ccol = pa.concat_arrays(ccol.chunks) if ccol.num_chunks else pa.array(
+            [], table.schema.field(cfg.child_field).type)
+    both = pa.concat_arrays([pcol, ccol.cast(pcol.type)]) if n else pcol
+    enc = pc.dictionary_encode(both)
+    node_values = enc.dictionary
+    null_code = len(node_values)
+    # node_values gets one trailing null slot so code -> value take() works
+    # even for null child ids.
+    node_values = pa.concat_arrays(
+        [node_values, pa.nulls(1, node_values.type)])
+    codes = pc.fill_null(pc.cast(enc.indices, pa.int64()),
+                         null_code).to_numpy(zero_copy_only=False)
+    pcodes, ccodes = codes[:n], codes[n:]
+
+    order = np.argsort(pcodes, kind="stable")
     sorted_table = table.take(pa.array(order))
-    ps = sorted_table[cfg.parent_field].to_numpy(zero_copy_only=False)
-    cs = sorted_table[cfg.child_field].to_numpy(zero_copy_only=False)
-    if len(ps):
+    ps = pcodes[order]
+    cs = ccodes[order]
+    if n:
         change = np.nonzero(ps[1:] != ps[:-1])[0] + 1
-        starts = np.concatenate([[0], change, [len(ps)]]).astype(np.int64)
-        uniques = pd.Index(ps[starts[:-1]])
+        starts = np.concatenate([[0], change, [n]]).astype(np.int64)
+        uniq = ps[starts[:-1]]
     else:
         starts = np.array([0], dtype=np.int64)
-        uniques = pd.Index([])
+        uniq = np.array([], dtype=np.int64)
     path_sorted = None
     if cfg.has_path:
-        path_sorted = pc.cast(sorted_table[cfg.path_field], pa.string()).to_numpy(
-            zero_copy_only=False
-        )
-    child_index = pd.Index(table[cfg.child_field].to_numpy(zero_copy_only=False))
-    needs_dedup = bool(child_index.has_duplicates)
+        path_sorted = pc.cast(sorted_table[cfg.path_field], pa.string())
+        if isinstance(path_sorted, pa.ChunkedArray):
+            path_sorted = path_sorted.combine_chunks()
+    needs_dedup = bool(n) and len(np.unique(ccodes)) < n
     return EdgeIndex(
-        uniques=uniques,
+        node_values=node_values,
+        uniq_pcodes=uniq,
         starts=starts,
-        parent_sorted=ps,
-        child_sorted=cs,
+        ccode_sorted=cs,
+        pcode_sorted=ps,
         sorted_table=sorted_table,
         path_sorted=path_sorted,
         needs_dedup=needs_dedup,
-        num_edges=table.num_rows,
+        num_edges=n,
     )
 
 
@@ -165,30 +193,49 @@ class ExpandPaths:
     expansion, and element-wise string joins for paths.
     """
 
-    def __init__(self, index_ref, cfg: FlattenConfig, out_schema: pa.Schema):
+    def __init__(self, index_ref, cfg: FlattenConfig, out_schema: pa.Schema,
+                 num_buckets: int = 32):
         self.idx: EdgeIndex = (
             ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
         )
         self.cfg = cfg
         self.out_schema = out_schema
+        self.num_buckets = num_buckets
         self.data_fields = [
             f for f in self.idx.sorted_table.column_names
             if f not in (cfg.parent_field, cfg.child_field)
         ]
-        self.pred = compile_predicate(cfg.start_with) if cfg.start_with else None
+        # one hash lookup per batch to enter code space (pd.Index = C hash map)
+        self.node_index = pd.Index(self.idx.node_values.to_pandas())
+        self._can_frontier_dedup = (self.idx.needs_dedup and not cfg.has_path
+                                    and not cfg.roots())
+        self.emit_schema = out_schema
+        if self.idx.needs_dedup:
+            # parent/child values are reconstructed from the codes after the
+            # dedup shuffle — don't ship the (string) id columns through it.
+            self.emit_schema = pa.schema(
+                [f for f in out_schema
+                 if f.name not in (cfg.parent_field, cfg.child_field)]
+                + [pa.field(_PC_COL, pa.int64()), pa.field(_CC_COL, pa.int64()),
+                   pa.field(_BUCKET_COL, pa.int64())])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg, idx = self.cfg, self.idx
         batch = batch.filter(_seed_mask(batch, cfg))
         if batch.num_rows == 0:
-            return self.out_schema.empty_table()
+            return self.emit_schema.empty_table()
 
         roots = cfg.roots()
         root_src = {alias: batch[src] for src, alias in roots.items()}
 
-        # Frontier state (level 1 = the seed edges themselves).
-        child_vals = batch[cfg.child_field].to_numpy(zero_copy_only=False)
-        parent_vals = batch[cfg.parent_field].to_numpy(zero_copy_only=False)
+        # Enter integer-code space once per batch; all per-level work is int64.
+        null_code = len(idx.node_values) - 1
+        pcode = self.node_index.get_indexer(
+            batch[cfg.parent_field].to_pandas()).astype(np.int64)
+        ccode = self.node_index.get_indexer(
+            batch[cfg.child_field].to_pandas()).astype(np.int64)
+        pcode[pcode < 0] = null_code
+        ccode[ccode < 0] = null_code
         seed_pos = np.arange(batch.num_rows, dtype=np.int64)
         edge_pos: Optional[np.ndarray] = None  # None → frontier rows are seeds
         path: Optional[pa.Array] = None
@@ -204,10 +251,10 @@ class ExpandPaths:
         out_tables: list[pa.Table] = []
         level = 1
         while True:
-            starts, counts = idx.lookup(child_vals)
+            starts, counts = idx.lookup(ccode)
             bottom = counts == 0
             out_tables.append(
-                self._emit(level, parent_vals, child_vals, bottom, seed_pos,
+                self._emit(level, pcode, ccode, bottom, seed_pos,
                            edge_pos, path, batch, root_src)
             )
             total = int(counts.sum())
@@ -228,11 +275,11 @@ class ExpandPaths:
             offsets = (np.arange(total, dtype=np.int64)
                        - np.repeat(np.cumsum(counts[ext]) - counts[ext], counts[ext]))
             new_edge_pos = np.repeat(starts[ext], counts[ext]) + offsets
-            parent_vals = child_vals[rep]
-            child_vals = idx.child_sorted[new_edge_pos]
+            pcode = ccode[rep]
+            ccode = idx.ccode_sorted[new_edge_pos]
             seed_pos = seed_pos[rep]
             if path is not None:
-                step = pa.array(idx.path_sorted[new_edge_pos], pa.string())
+                step = idx.path_sorted.take(pa.array(new_edge_pos))
                 prev = path.take(pa.array(rep))
                 # concat_ws skips nulls (HierarchyFlattener.java:261-267).
                 path = pc.if_else(
@@ -243,19 +290,42 @@ class ExpandPaths:
                 )
             edge_pos = new_edge_pos
             level += 1
+            if self._can_frontier_dedup and len(pcode):
+                # Per-batch frontier dedup: when neither a path nor
+                # connect-by-root columns are configured, all rows of a
+                # (parent, child, level) group are IDENTICAL, so collapsing
+                # them early is exactly equivalent to the final dedup. It
+                # shrinks the final shuffle and caps the frontier at the edge
+                # count per level — without it a chain of D diamonds explodes
+                # into 2^D paths (the reference has the same blowup,
+                # HierarchyFlattener.java:279). With a path configured this
+                # must NOT be done: min over full concatenated paths does not
+                # commute with per-level prefix minima when label characters
+                # sort below the separator.
+                pcode, ccode, seed_pos, edge_pos, path = self._frontier_dedup(
+                    pcode, ccode, seed_pos, edge_pos, path)
 
         out = pa.concat_tables(out_tables)
-        return out.cast(self.out_schema)
+        return out.cast(self.emit_schema)
 
-    def _emit(self, level, parent_vals, child_vals, bottom, seed_pos, edge_pos,
+    def _frontier_dedup(self, pcode, ccode, seed_pos, edge_pos, path):
+        order = np.lexsort((ccode, pcode))
+        ps, cs = pcode[order], ccode[order]
+        first = np.empty(len(ps), dtype=bool)
+        first[0] = True
+        first[1:] = (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])
+        keep = order[first]
+        keep.sort()  # preserve original emit order for determinism
+        return pcode[keep], ccode[keep], seed_pos[keep], edge_pos[keep], path
+
+    def _emit(self, level, pcode, ccode, bottom, seed_pos, edge_pos,
               path, batch, root_src) -> pa.Table:
         cfg = self.cfg
-        n = len(parent_vals)
+        n = len(pcode)
         cols: dict[str, pa.Array] = {}
-        key_type_p = self.out_schema.field(cfg.parent_field).type
-        key_type_c = self.out_schema.field(cfg.child_field).type
-        cols[cfg.parent_field] = pa.array(parent_vals, key_type_p)
-        cols[cfg.child_field] = pa.array(child_vals, key_type_c)
+        if not self.idx.needs_dedup:
+            cols[cfg.parent_field] = self.idx.node_values.take(pa.array(pcode))
+            cols[cfg.child_field] = self.idx.node_values.take(pa.array(ccode))
         if edge_pos is None:
             data_src = batch
             take_idx = pa.array(seed_pos)
@@ -271,12 +341,71 @@ class ExpandPaths:
         sp = pa.array(seed_pos)
         for alias, src_col in root_src.items():
             cols[alias] = src_col.take(sp)
-        return pa.table({name: cols[name] for name in self.out_schema.names})
+        if self.idx.needs_dedup:
+            cols[_PC_COL] = pa.array(pcode)
+            cols[_CC_COL] = pa.array(ccode)
+            mix = (ccode.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                   ^ pcode.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+                   ^ np.uint64(level * 0x165667B19E3779F9))
+            cols[_BUCKET_COL] = pa.array(
+                (mix % np.uint64(self.num_buckets)).astype(np.int64))
+        return pa.table({name: cols[name] for name in self.emit_schema.names})
 
 
 # --------------------------------------------------------------------------
 # Dedup (the one remaining all-to-all exchange)
 # --------------------------------------------------------------------------
+
+def _dedup_partition_coded(t: pa.Table, cfg: FlattenConfig,
+                           out_schema: pa.Schema,
+                           node_values: pa.Array) -> pa.Table:
+    """Broadcast-path dedup: group keys are the int64 node codes emitted by
+    ExpandPaths (no string hashing); min-path row wins deterministically;
+    parent/child id values are reconstructed from the codes (they were not
+    shipped through the shuffle). ``bottom`` needs no aggregation — it is a
+    function of the child node alone, so all rows in a group already agree."""
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    keys = [_PC_COL, _CC_COL, cfg.level_field]
+    drop = {_BUCKET_COL, _PC_COL, _CC_COL}
+    df = t.to_pandas()
+    sort_cols = [cfg.path_alias_field] if cfg.has_path else [
+        c for c in df.columns if c not in keys and c not in drop
+        and c != cfg.bottom_field
+    ]
+    if sort_cols:
+        df = df.sort_values(sort_cols, kind="stable")
+    df = df.drop_duplicates(subset=keys, keep="first")
+    dedup = pa.Table.from_pandas(df, preserve_index=False)
+    pcode = pa.array(df[_PC_COL].to_numpy())
+    ccode = pa.array(df[_CC_COL].to_numpy())
+    cols = []
+    for f in out_schema:
+        if f.name == cfg.parent_field:
+            col = node_values.take(pcode)
+        elif f.name == cfg.child_field:
+            col = node_values.take(ccode)
+        else:
+            col = dedup[f.name]
+        if col.type != f.type:
+            col = col.cast(f.type)
+        cols.append(col)
+    return pa.table(cols, schema=out_schema)
+
+
+def _dedup_coded(ds: ray.data.Dataset, cfg: FlattenConfig,
+                 out_schema: pa.Schema, index_ref) -> ray.data.Dataset:
+    """Dedup for the broadcast path: the bucket column is already emitted by
+    ExpandPaths (int mix of codes + level), so the shuffle needs no extra
+    hashing stage; node id values rejoin after the shuffle."""
+
+    def dedup_group(t: pa.Table) -> pa.Table:
+        idx = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        return _dedup_partition_coded(t, cfg, out_schema, idx.node_values)
+
+    return ds.groupby(_BUCKET_COL).map_groups(dedup_group,
+                                              batch_format="pyarrow")
+
 
 def _dedup_partition(t: pa.Table, cfg: FlattenConfig, out_schema: pa.Schema) -> pa.Table:
     """Merge duplicate (parent, child, level) rows within one hash partition.
@@ -488,7 +617,7 @@ def flatten_hierarchy(
     index_ref = ray.put(index)
     expanded = ds.map_batches(
         ExpandPaths,
-        fn_constructor_args=(index_ref, cfg, out_schema),
+        fn_constructor_args=(index_ref, cfg, out_schema, num_partitions),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or (1, 8),
@@ -498,7 +627,7 @@ def flatten_hierarchy(
         # converge and no duplicate edges exist — the dedup shuffle is a no-op
         # and is skipped entirely.
         return expanded
-    return _dedup(expanded, cfg, out_schema, num_partitions)
+    return _dedup_coded(expanded, cfg, out_schema, index_ref)
 
 
 def flatten_hierarchy_table(table: pa.Table, cfg: FlattenConfig) -> pa.Table:
@@ -515,7 +644,7 @@ def flatten_hierarchy_table(table: pa.Table, cfg: FlattenConfig) -> pa.Table:
     expand = ExpandPaths(index, cfg, out_schema)
     out = expand(table)
     if index.needs_dedup:
-        out = _dedup_partition(out, cfg, out_schema)
+        out = _dedup_partition_coded(out, cfg, out_schema, index.node_values)
     return out
 
 
