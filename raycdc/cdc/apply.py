@@ -180,8 +180,8 @@ def apply_changelog(
         lambda t: align_to_schema(
             to_versioned_rows(t.drop_columns(["epoch"])), target),
         batch_format="pyarrow")
-    combined = versioned.map_batches(LocalLwwCombiner(), batch_format="pyarrow",
-                                     batch_size=batch_size)
+    combined = versioned.map_batches(
+        LocalLwwCombiner(), batch_format="pyarrow", batch_size=batch_size)
 
     def add_pid(t: pa.Table) -> pa.Table:
         return t.append_column(

@@ -82,37 +82,51 @@ def _zipf_url_idx(rng: np.random.Generator, n: int, num_urls: int,
     return np.clip(ranks, 0, num_urls - 1)
 
 
-def generate_events(spec: ChangelogSpec) -> pa.Table:
-    """Generate the full event table in memory (vectorized)."""
+def _frame(spec: ChangelogSpec) -> dict[str, np.ndarray]:
+    """Numeric skeleton of the whole changelog (cheap: ints only).
+
+    Payload strings are built per epoch slice in :func:`build_segment` so no
+    single Arrow string array ever approaches the 2 GiB offset limit.
+    """
     rng = np.random.default_rng(spec.seed)
     n = spec.num_events
     seq = np.arange(n, dtype=np.int64)
     epoch = (seq * spec.num_epochs // max(n, 1)).astype(np.int32)
     url_idx = _zipf_url_idx(rng, n, spec.num_urls, spec.zipf_a)
-
-    # Per-url version counter (vectorized groupby-cumcount).
     version = pd.Series(url_idx).groupby(url_idx).cumcount().to_numpy()
-
     is_delete = rng.random(n) < spec.p_delete
-    op = np.where(is_delete, "D", np.where(version == 0, "I", "U"))
-
     jitter = rng.integers(-spec.ts_jitter_s, spec.ts_jitter_s + 1, n)
     warc_ts = BASE_TS_US + seq * 1_000_000 + jitter * 1_000_000
+    return {"seq": seq, "epoch": epoch, "url_idx": url_idx,
+            "version": version, "is_delete": is_delete, "warc_ts": warc_ts}
 
+
+def build_segment(spec: ChangelogSpec, f: dict[str, np.ndarray],
+                  sel: np.ndarray) -> pa.Table:
+    """Materialize the Arrow event table for the selected row positions."""
+    import pyarrow.compute as pc
+
+    seq = f["seq"][sel]
+    epoch = f["epoch"][sel]
+    url_idx = f["url_idx"][sel]
+    version = f["version"][sel]
+    is_delete = f["is_delete"][sel]
+    warc_ts = f["warc_ts"][sel]
+    n = len(seq)
+
+    op = np.where(is_delete, "D", np.where(version == 0, "I", "U"))
     urls = ("https://site-" + pd.Series(url_idx % 997).astype(str)
             + ".example.com/page/" + pd.Series(url_idx).astype(str)).to_numpy()
-
     # text = pure function of (url_idx, version): byte-identical invariant.
     frag = pd.Series((url_idx * 1_000_003 + version * 7919) % 2**31).astype(str)
-    text = ("content[" + pd.Series(urls) + "|v" + pd.Series(version).astype(str)
-            + "|" + frag + "]") * 1
+    text = ("content[" + pd.Series(urls) + "|v"
+            + pd.Series(version).astype(str) + "|" + frag + "]")
     text = text.str.repeat(spec.text_repeat).to_numpy()
     lang = LANGS[(url_idx * 31 + 7) % len(LANGS)]
 
     text_arr = pa.array(text, pa.string())
     null_text = pa.nulls(n, pa.string())
     has_content = pa.array(~is_delete)
-    import pyarrow.compute as pc
     content_kids = [
         pc.if_else(has_content, text_arr, null_text),
         pc.if_else(has_content, pa.array(lang, pa.string()), null_text),
@@ -128,16 +142,37 @@ def generate_events(spec: ChangelogSpec) -> pa.Table:
     html = pc.if_else(has_content, text_arr.cast(pa.binary()),
                       pa.nulls(n, pa.binary()))
     fetch = pa.StructArray.from_arrays(
-        [pa.array(warc_ts, pa.timestamp("us")), html], ["warc_ts", "html"])
-    content = pa.StructArray.from_arrays(content_kids, content_names)
+        [pa.array(warc_ts, pa.timestamp("us")), _plain(html)],
+        ["warc_ts", "html"])
+    content = pa.StructArray.from_arrays(
+        [_plain(k) for k in content_kids], content_names)
     page = pa.StructArray.from_arrays(
-        [pa.array(urls, pa.string()), fetch, content], ["url", "fetch", "content"])
+        [pa.array(urls, pa.string()), fetch, content],
+        ["url", "fetch", "content"])
     return pa.table({
         "seq": pa.array(seq),
         "epoch": pa.array(epoch),
         "op": pa.array(op, pa.string()),
         "page": page,
     })
+
+
+def _plain(arr) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks() if arr.num_chunks != 1 else arr.chunk(0)
+    return arr
+
+
+def generate_events(spec: ChangelogSpec) -> pa.Table:
+    """Generate the full event table in memory (small scales / oracles).
+
+    Byte-identical to the concatenation of the per-epoch segments written by
+    :func:`generate_changelog`.
+    """
+    f = _frame(spec)
+    tables = [build_segment(spec, f, np.nonzero(f["epoch"] == e)[0])
+              for e in range(spec.num_epochs)]
+    return pa.concat_tables(tables)
 
 
 def generate_changelog(out_dir: str, spec: ChangelogSpec) -> list[str]:
@@ -152,10 +187,9 @@ def generate_changelog(out_dir: str, spec: ChangelogSpec) -> list[str]:
              for e in range(spec.num_epochs)]
     if os.path.exists(done):
         return paths
-    table = generate_events(spec)
-    epochs = table["epoch"].to_numpy()
+    frame = _frame(spec)
     for e, path in enumerate(paths):
-        seg = table.filter(pa.array(epochs == e))
+        seg = build_segment(spec, frame, np.nonzero(frame["epoch"] == e)[0])
         if spec.evolve_from_epoch is not None and e < spec.evolve_from_epoch:
             # Pre-evolution segments genuinely lack the added column in their
             # schema (not just null values): real column-add evolution.

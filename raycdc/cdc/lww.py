@@ -23,18 +23,46 @@ DELETED_COL = "_deleted"
 
 def lww_reduce(table: pa.Table, key: str = "url", ts: str = "warc_ts",
                seq: str = "seq") -> pa.Table:
-    """Keep, per key, only the row with maximal (ts, seq). Vectorized:
-    one sort + one boundary scan, no Python per-group work."""
+    """Keep, per key, only the row with maximal (ts, seq).
+
+    Vectorized and copy-light: the key column is dictionary-encoded (C
+    hashing), the (key, ts, seq) order is computed with an integer lexsort,
+    and only the winner rows are gathered — the wide payload columns are
+    never copied for losing rows.
+    """
     if table.num_rows == 0:
         return table
-    idx = pc.sort_indices(table, sort_keys=[
-        (key, "ascending"), (ts, "descending"), (seq, "descending")])
-    t = table.take(idx)
-    keys = t[key].to_numpy(zero_copy_only=False)
-    first = np.empty(len(keys), dtype=bool)
+    enc = pc.dictionary_encode(_one_chunk(table[key]))
+    codes = pc.fill_null(pc.cast(enc.indices, pa.int64()), -1) \
+        .to_numpy(zero_copy_only=False)
+    ts_np = _int_view(table[ts])
+    seq_np = _int_view(table[seq])
+    # lexsort: last key is primary → (code asc, ts desc, seq desc)
+    order = np.lexsort((-seq_np, -ts_np, codes))
+    sorted_codes = codes[order]
+    first = np.empty(len(order), dtype=bool)
     first[0] = True
-    np.not_equal(keys[1:], keys[:-1], out=first[1:])
-    return t.filter(pa.array(first))
+    np.not_equal(sorted_codes[1:], sorted_codes[:-1], out=first[1:])
+    winners = order[first]
+    winners.sort()
+    return table.take(pa.array(winners))
+
+
+def _one_chunk(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks() if col.num_chunks != 1 else col.chunk(0)
+    return col
+
+
+def _int_view(col) -> np.ndarray:
+    arr = _one_chunk(col)
+    if pa.types.is_timestamp(arr.type):
+        arr = arr.cast(pa.int64())
+    elif not pa.types.is_integer(arr.type):
+        arr = arr.cast(pa.int64())
+    np_arr = pc.fill_null(arr, np.iinfo(np.int64).min).to_numpy(
+        zero_copy_only=False)
+    return np_arr.astype(np.int64, copy=False)
 
 
 def to_versioned_rows(flat: pa.Table, op_col: str = "op") -> pa.Table:
@@ -72,10 +100,47 @@ def lww_dataset(ds, key: str = "url", ts: str = "warc_ts", seq: str = "seq",
 class LocalLwwCombiner:
     """map_batches combiner: collapse each batch to one winner row per key
     before the shuffle (caps hot-key volume at one row per key per batch —
-    the pre-aggregation step of SURVEY.md §4's skew note)."""
+    the pre-aggregation step of SURVEY.md §4's skew note).
 
-    def __init__(self, key: str = "url", ts: str = "warc_ts", seq: str = "seq"):
+    As an actor-pool stage (callable class) it additionally keeps a
+    per-actor map of the best (ts, seq) already emitted per key and drops
+    any later row that does not beat it. Dropping such rows is sound: a
+    strictly-better row for that key was already emitted to the same
+    downstream LWW merge, so the dropped row could never win. This cuts
+    repeat emissions of hot (Zipf-head) keys across batches to the rate at
+    which their winner actually advances. ``max_keys`` bounds actor memory;
+    on overflow the map resets (re-emission is always sound).
+    """
+
+    def __init__(self, key: str = "url", ts: str = "warc_ts", seq: str = "seq",
+                 max_keys: int = 4_000_000):
         self.key, self.ts, self.seq = key, ts, seq
+        self.max_keys = max_keys
+        self._seen = None  # pd.DataFrame(index=key, columns=["ts", "seq"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return lww_reduce(batch, self.key, self.ts, self.seq)
+        import pandas as pd
+
+        out = lww_reduce(batch, self.key, self.ts, self.seq)
+        if out.num_rows == 0:
+            return out
+        cur = pd.DataFrame(
+            {"ts": _int_view(out[self.ts]), "seq": _int_view(out[self.seq])},
+            index=pd.Index(out[self.key].to_pandas()))
+        if self._seen is None:
+            self._seen = cur
+            return out
+        prev = self._seen.reindex(cur.index)
+        pts, pseq = prev["ts"].to_numpy(), prev["seq"].to_numpy()
+        # exact (ts, seq) order; NaN (unseen key) compares False → keep
+        beaten = (pts > cur["ts"].to_numpy()) | (
+            (pts == cur["ts"].to_numpy()) & (pseq >= cur["seq"].to_numpy()))
+        keep = ~beaten
+        improved = cur[keep]
+        self._seen = pd.concat(
+            [self._seen[~self._seen.index.isin(improved.index)], improved])
+        if len(self._seen) > self.max_keys:
+            self._seen = None
+        if keep.all():
+            return out
+        return out.filter(pa.array(keep))
