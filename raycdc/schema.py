@@ -94,6 +94,62 @@ class FlattenConfig:
         return bool(self.path_field) and bool(self.path_alias_field)
 
 
+_MACRO_RE = None
+
+
+def resolve_macros(value: str, resolver: Mapping[str, str]) -> str:
+    """Resolve ``${name}`` placeholders (the reference's @Macro properties,
+    HierarchyConfig.java:59-119) from a mapping (e.g. os.environ)."""
+    global _MACRO_RE
+    import re
+
+    if _MACRO_RE is None:
+        _MACRO_RE = re.compile(r"\$\{([^}]+)\}")
+
+    def sub(m):
+        name = m.group(1)
+        if name not in resolver:
+            raise KeyError(f"Unresolved macro ${{{name}}}")
+        return str(resolver[name])
+
+    return _MACRO_RE.sub(sub, value)
+
+
+#: reference plugin property name -> FlattenConfig field
+_PROPERTY_MAP = {
+    "parentField": "parent_field",
+    "childField": "child_field",
+    "levelField": "level_field",
+    "bottomField": "bottom_field",
+    "maxDepthField": "max_depth",
+    "maxDepth": "max_depth",
+    "startWith": "start_with",
+    "connectByRootField": "connect_by_root",
+    "pathField": "path_field",
+    "pathAliasField": "path_alias_field",
+    "pathSeparator": "path_separator",
+}
+
+
+def config_from_properties(props: Mapping[str, str],
+                           resolver: Mapping[str, str] | None = None
+                           ) -> FlattenConfig:
+    """Build a FlattenConfig from the reference plugin's property dict
+    (the CDAP pipeline-JSON ``properties`` block), resolving ``${macro}``
+    placeholders at build time (O19)."""
+    kwargs = {}
+    for prop, value in props.items():
+        if prop not in _PROPERTY_MAP:
+            raise ValueError(f"Unknown property {prop!r}")
+        if isinstance(value, str) and resolver is not None:
+            value = resolve_macros(value, resolver)
+        field_name = _PROPERTY_MAP[prop]
+        if field_name == "max_depth":
+            value = int(value)
+        kwargs[field_name] = value
+    return FlattenConfig(**kwargs)
+
+
 def validate_config(cfg: FlattenConfig, input_schema: pa.Schema) -> list[str]:
     """Validate ``cfg`` against ``input_schema``; return collected failures.
 

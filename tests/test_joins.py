@@ -1,0 +1,83 @@
+"""hash_join / broadcast_join tests (incl. empty-partition robustness)."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from raycdc.joins import broadcast_join, hash_join
+
+
+def to_table(ds):
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(tables) if tables else None
+
+
+LEFT = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                 "lv": ["a", "b", "c", "d"]})
+RIGHT = pa.table({"rk": pa.array([2, 3, 5], pa.int64()),
+                  "rv": ["x", "y", "z"]})
+
+
+def pairs(ds, cols):
+    t = to_table(ds)
+    return set(zip(*(t[c].to_pylist() for c in cols)))
+
+
+def test_inner_join():
+    out = hash_join(ray.data.from_arrow(LEFT), ray.data.from_arrow(RIGHT),
+                    on=["k"], right_on=["rk"], num_partitions=4)
+    assert pairs(out, ["k", "lv", "rv"]) == {(2, "b", "x"), (3, "c", "y")}
+
+
+def test_left_outer_join_with_empty_partitions():
+    # num_partitions far exceeds the key count → most partitions are empty on
+    # one or both sides (the case that breaks Ray's native Dataset.join).
+    out = hash_join(ray.data.from_arrow(LEFT), ray.data.from_arrow(RIGHT),
+                    on=["k"], right_on=["rk"], join_type="left_outer",
+                    num_partitions=16)
+    assert pairs(out, ["k", "rv"]) == {(1, None), (2, "x"), (3, "y"), (4, None)}
+
+
+def test_semi_and_anti_join():
+    semi = hash_join(ray.data.from_arrow(LEFT), ray.data.from_arrow(RIGHT),
+                     on=["k"], right_on=["rk"], join_type="left_semi",
+                     num_partitions=4)
+    assert pairs(semi, ["k"]) == {(2,), (3,)}
+    anti = hash_join(ray.data.from_arrow(LEFT), ray.data.from_arrow(RIGHT),
+                     on=["k"], right_on=["rk"], join_type="left_anti",
+                     num_partitions=4)
+    assert pairs(anti, ["k"]) == {(1,), (4,)}
+
+
+def test_null_keys_never_match():
+    left = pa.table({"k": pa.array([1, None], pa.int64()), "lv": ["a", "b"]})
+    right = pa.table({"rk": pa.array([None, 1], pa.int64()), "rv": ["x", "y"]})
+    out = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    on=["k"], right_on=["rk"], join_type="left_outer",
+                    num_partitions=2)
+    assert pairs(out, ["k", "rv"]) == {(1, "y"), (None, None)}
+
+
+def test_overlapping_columns_rejected():
+    with pytest.raises(ValueError, match="Overlapping"):
+        hash_join(ray.data.from_arrow(LEFT), ray.data.from_arrow(LEFT),
+                  on=["k"], num_partitions=2)
+
+
+def test_broadcast_join():
+    out = broadcast_join(ray.data.from_arrow(LEFT), RIGHT,
+                         on=["k"], right_on=["rk"], join_type="left_outer")
+    assert pairs(out, ["k", "rv"]) == {(1, None), (2, "x"), (3, "y"), (4, None)}
+
+
+def test_config_from_properties_macros():
+    from raycdc.schema import config_from_properties
+
+    props = {"parentField": "${P}", "childField": "child",
+             "maxDepthField": "7", "pathSeparator": "|"}
+    cfg = config_from_properties(props, resolver={"P": "parent"})
+    assert cfg.parent_field == "parent"
+    assert cfg.max_depth == 7
+    assert cfg.path_separator == "|"
+    with pytest.raises(KeyError, match="Unresolved macro"):
+        config_from_properties({"parentField": "${NOPE}"}, resolver={})
