@@ -113,7 +113,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.7,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs with estimated Jaccard >= threshold.
 
@@ -122,9 +122,14 @@ def minhash_lsh_pairs(
     Jaccard → distinct (id_a < id_b, est_jaccard) rows.
     """
     rows_per_band = num_perm // bands
-    sigs = ds.map_batches(
-        MinHasher, fn_constructor_args=(text_col, id_col, num_perm, shingle_k),
-        batch_format="pyarrow", concurrency=concurrency)
+    if concurrency:
+        sigs = ds.map_batches(
+            MinHasher,
+            fn_constructor_args=(text_col, id_col, num_perm, shingle_k),
+            batch_format="pyarrow", concurrency=concurrency)
+    else:
+        sigs = ds.map_batches(MinHasher(text_col, id_col, num_perm, shingle_k),
+                              batch_format="pyarrow")
 
     def explode_bands(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -217,12 +222,16 @@ class SimHasher:
 
 def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", *, max_hamming: int = 3,
-                  concurrency=(1, 8)) -> ray.data.Dataset:
+                  concurrency=None) -> ray.data.Dataset:
     """Near-dup pairs with Hamming distance <= max_hamming between 64-bit
     SimHashes. Banding: 4 x 16-bit chunks — any pair within distance 3 shares
     at least one exact chunk (pigeonhole), so bucket by (chunk_id, chunk)."""
-    sigs = ds.map_batches(SimHasher, fn_constructor_args=(text_col, id_col),
-                          batch_format="pyarrow", concurrency=concurrency)
+    if concurrency:
+        sigs = ds.map_batches(SimHasher, fn_constructor_args=(text_col, id_col),
+                              batch_format="pyarrow", concurrency=concurrency)
+    else:
+        sigs = ds.map_batches(SimHasher(text_col, id_col),
+                              batch_format="pyarrow")
 
     def explode(t: pa.Table) -> pa.Table:
         sh = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)

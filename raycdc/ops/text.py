@@ -93,9 +93,13 @@ class QualityScorer:
 
 
 def add_quality(ds: ray.data.Dataset, text_col: str = "text",
-                concurrency=(1, 8)) -> ray.data.Dataset:
-    return ds.map_batches(QualityScorer, fn_constructor_args=(text_col,),
-                          batch_format="pyarrow", concurrency=concurrency)
+                concurrency=None) -> ray.data.Dataset:
+    """concurrency=None → stateless tasks (instance reused per task); pass an
+    int/tuple for an actor pool when per-actor state is worth amortizing."""
+    if concurrency:
+        return ds.map_batches(QualityScorer, fn_constructor_args=(text_col,),
+                              batch_format="pyarrow", concurrency=concurrency)
+    return ds.map_batches(QualityScorer(text_col), batch_format="pyarrow")
 
 
 class LangId:
@@ -136,9 +140,11 @@ class LangId:
 
 
 def add_lang_id(ds: ray.data.Dataset, text_col: str = "text",
-                concurrency=(1, 8)) -> ray.data.Dataset:
-    return ds.map_batches(LangId, fn_constructor_args=(text_col,),
-                          batch_format="pyarrow", concurrency=concurrency)
+                concurrency=None) -> ray.data.Dataset:
+    if concurrency:
+        return ds.map_batches(LangId, fn_constructor_args=(text_col,),
+                              batch_format="pyarrow", concurrency=concurrency)
+    return ds.map_batches(LangId(text_col), batch_format="pyarrow")
 
 
 class Fingerprinter:
@@ -196,7 +202,10 @@ class Fingerprinter:
 
 
 def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text", k: int = 8,
-                    concurrency=(1, 8), batch_size: int = 4096) -> ray.data.Dataset:
-    return ds.map_batches(Fingerprinter, fn_constructor_args=(text_col, k),
-                          batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency)
+                    concurrency=None, batch_size: int = 4096) -> ray.data.Dataset:
+    if concurrency:
+        return ds.map_batches(Fingerprinter, fn_constructor_args=(text_col, k),
+                              batch_format="pyarrow", batch_size=batch_size,
+                              concurrency=concurrency)
+    return ds.map_batches(Fingerprinter(text_col, k),
+                          batch_format="pyarrow", batch_size=batch_size)
