@@ -62,7 +62,7 @@ def run_bench() -> dict:
     spec = ChangelogSpec(num_events=CDC_EVENTS,
                          num_urls=max(1000, CDC_EVENTS // 20),
                          num_epochs=32, seed=42)
-    wal = f"/tmp/raycdc/bench-wal-{CDC_EVENTS}"
+    wal = f"/tmp/raycdc/bench-wal-{CDC_EVENTS}x{spec.num_epochs}"
     generate_changelog(wal, spec)
     for f in sorted(os.listdir(wal)):
         if f.endswith(".parquet"):
