@@ -311,8 +311,12 @@ def read_lake(lake_dir: str, include_deleted: bool = False) -> ray.data.Dataset:
     target = unify([pq.read_schema(f) for f in files])
     ds = ray.data.read_parquet(files, schema=target)
     if not include_deleted:
+        # drop tombstone rows AND the internal tombstone column — readers of
+        # the live view see only the logical pages schema
         ds = ds.map_batches(
-            lambda t: t.filter(pc.invert(pc.fill_null(t[DELETED_COL], False))),
+            lambda t: t.filter(
+                pc.invert(pc.fill_null(t[DELETED_COL], False))
+            ).drop_columns([DELETED_COL]),
             batch_format="pyarrow")
     return ds
 
