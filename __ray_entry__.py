@@ -389,6 +389,29 @@ def _q_cdc_replay(sf_dir: str):
     return ds.select_columns(["url", "warc_ts", "seq", "text", "lang"])
 
 
+def _q_window_tumbling(sf_dir: str):
+    from raycdc.ops.window import tumbling_window
+
+    ev = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+    return tumbling_window(ev, ts_col="ts", key_cols=["event_type"],
+                           window="1h", maxs={"max_value": "value"},
+                           count_name="n")
+
+
+def _q_explode_embeddings(sf_dir: str):
+    from raycdc.record_flatten import explode_list
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return explode_list(emb, "embedding", element_col="element")
+
+
+def _q_window_session(sf_dir: str):
+    from raycdc.ops.window import session_window
+
+    ev = _rp(sf_dir, "events", ["ts", "user_id"])
+    return session_window(ev, ts_col="ts", key_col="user_id", gap="1h")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "flatten_tree": _q_flatten_tree,
@@ -412,6 +435,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dup_pairs": _q_embed_dups,
         "multimodal_features": _q_multimodal,
         "cdc_replay": _q_cdc_replay,
+        "window_tumbling": _q_window_tumbling,
+        "window_session": _q_window_session,
+        "explode_embeddings": _q_explode_embeddings,
     }
 
 
@@ -458,6 +484,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
                    AS n_tokens
             FROM documents""",
+        "window_tumbling": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   max(value) AS max_value, count(*) AS n
+            FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "explode_embeddings": """
+            SELECT vec_id, unnest(embedding) AS element FROM embeddings""",
         "ann_topk": """
             WITH q AS (
                 SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

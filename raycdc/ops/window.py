@@ -1,0 +1,142 @@
+"""Windowed aggregation over an ordered event stream.
+
+Ray Data has no event-time windows; the engine expresses tumbling and
+sliding windows as a partition-wise transform (SURVEY.md "streaming-shaped
+workloads"): assign each event its window id(s) in a stateless vectorized
+``map_batches`` (a tumbling window is a pure function of the timestamp;
+a sliding window emits one row per covering window via ``np.repeat``), then
+run the normal partial-aggregation groupby over ``(key, window)``. The
+ordering assumption is only *within the aggregation*, which is order-free —
+no global sort is ever needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from raycdc.agg import grouped_aggregate
+
+
+def _ts_us(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_timestamp(arr.type):
+        arr = arr.cast(pa.int64())
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def tumbling_window(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str,
+    key_cols: list[str],
+    window: str | int,
+    sums: dict[str, str] | None = None,
+    means: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+    count_name: str | None = "n",
+    window_col: str = "window_start",
+) -> ray.data.Dataset:
+    """Tumbling-window aggregate: one row per (key, window).
+
+    ``window`` is a size in seconds (int) or a string like "1h"/"10m"/"30s".
+    The emitted ``window_start`` is the window's inclusive start timestamp.
+    """
+    size_us = _parse_window_us(window)
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = _ts_us(t[ts_col])
+        start = (us // size_us) * size_us
+        col = pa.array(start).cast(pa.timestamp("us"))
+        return t.append_column(window_col, col)
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return grouped_aggregate(assigned, key_cols + [window_col], sums=sums,
+                             means=means, mins=mins, maxs=maxs,
+                             count_name=count_name)
+
+
+def sliding_window(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str,
+    key_cols: list[str],
+    window: str | int,
+    slide: str | int,
+    sums: dict[str, str] | None = None,
+    count_name: str | None = "n",
+    window_col: str = "window_start",
+) -> ray.data.Dataset:
+    """Sliding-window aggregate: each event joins every window covering it
+    (window/slide ratio bounds the fan-out; rows are replicated with
+    ``np.repeat``, vectorized)."""
+    size_us = _parse_window_us(window)
+    slide_us = _parse_window_us(slide)
+    if size_us % slide_us != 0:
+        raise ValueError("window must be a multiple of slide")
+    fanout = size_us // slide_us
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = _ts_us(t[ts_col])
+        n = len(us)
+        # windows covering ts: starts = floor(ts/slide)*slide - k*slide for
+        # k in [0, fanout) where start + size > ts
+        base = (us // slide_us) * slide_us
+        idx = np.repeat(np.arange(n), fanout)
+        k = np.tile(np.arange(fanout, dtype=np.int64), n)
+        starts = base[idx] - k * slide_us
+        keep = starts + size_us > us[idx]
+        idx, starts = idx[keep], starts[keep]
+        out = t.take(pa.array(idx))
+        return out.append_column(
+            window_col, pa.array(starts).cast(pa.timestamp("us")))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return grouped_aggregate(assigned, key_cols + [window_col], sums=sums,
+                             count_name=count_name)
+
+
+def session_window(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str,
+    key_col: str,
+    gap: str | int,
+    count_name: str = "n",
+) -> ray.data.Dataset:
+    """Session windows per key: events closer than ``gap`` merge into one
+    session. Needs per-key ordering → one groupby(key) with a vectorized
+    per-group session assignment (sort within group, diff > gap starts a new
+    session). Emits (key, session_start, session_end, n)."""
+    gap_us = _parse_window_us(gap)
+
+    def sessions(group) -> "pa.Table":
+        import pandas as pd
+
+        df = group.sort_values(ts_col, kind="stable")
+        us = df[ts_col].astype("int64").to_numpy()
+        new = np.empty(len(us), dtype=bool)
+        new[0] = True
+        new[1:] = (us[1:] - us[:-1]) > gap_us
+        sid = np.cumsum(new) - 1
+        out = df.groupby(sid).agg(
+            **{key_col: (key_col, "first"),
+               "session_start": (ts_col, "min"),
+               "session_end": (ts_col, "max"),
+               count_name: (ts_col, "size")})
+        return out.reset_index(drop=True)
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
+def _parse_window_us(w: str | int) -> int:
+    if isinstance(w, int):
+        return w * 1_000_000
+    units = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+    unit = w[-1].lower()
+    if unit not in units:
+        raise ValueError(f"Bad window spec {w!r} (use e.g. '30s', '10m', '1h')")
+    return int(float(w[:-1]) * units[unit] * 1_000_000)

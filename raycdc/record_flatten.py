@@ -75,6 +75,45 @@ def _walk_column(col: pa.ChunkedArray, f: pa.Field, path: str, sep: str,
         out[path if path else f.name] = col
 
 
+def explode_list_table(table: pa.Table, col: str,
+                       element_col: Optional[str] = None,
+                       index_col: Optional[str] = None) -> pa.Table:
+    """Explode a top-level list column: one output row per element.
+
+    The cardinality-changing counterpart of the struct walk (SURVEY.md §1.2:
+    "lists exploded only at top level if needed"). Fully vectorized: parent
+    rows are gathered with ``np.repeat`` over the list lengths; element
+    values come from the flattened child array (zero-copy view).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    element_col = element_col or col
+    arr = table[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks() if arr.num_chunks != 1 else arr.chunk(0)
+    lengths = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    parent_idx = np.repeat(np.arange(len(lengths)), lengths)
+    values = pc.list_flatten(arr)
+    others = table.drop_columns([col]).take(pa.array(parent_idx))
+    out = others.append_column(element_col, values)
+    if index_col:
+        starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+        idx = np.arange(len(parent_idx), dtype=np.int64) - starts
+        out = out.append_column(index_col, pa.array(idx))
+    return out
+
+
+def explode_list(ds: ray.data.Dataset, col: str,
+                 element_col: Optional[str] = None,
+                 index_col: Optional[str] = None) -> ray.data.Dataset:
+    """Dataset-level top-level list explode (stateless map_batches)."""
+    return ds.map_batches(
+        lambda t: explode_list_table(t, col, element_col, index_col),
+        batch_format="pyarrow")
+
+
 class RecordFlattener:
     """map_batches-ready callable (stateless; also usable in an actor pool).
 
