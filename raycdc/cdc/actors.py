@@ -51,16 +51,25 @@ from raycdc.record_flatten import RecordFlattener
 
 @ray.remote
 class MergeActor:
-    """Owns one url-hash partition: in-memory LWW memtable + on-disk base."""
+    """Owns one url-hash partition: in-memory LWW memtable + on-disk LSM runs.
 
-    def __init__(self, pid: int, lake_dir: str, base_file: Optional[str],
-                 memtable_budget_rows: int = 200_000):
+    ``flush`` writes only the memtable as a new L0 delta file — the base is
+    NOT rewritten per epoch (that would be O(partition) write amplification
+    per commit). When the run set exceeds ``compact_threshold`` files, flush
+    performs a full compaction into a single base. Readers LWW-merge the run
+    set (apply.read_lake), which is order-independent.
+    """
+
+    def __init__(self, pid: int, lake_dir: str, files: Optional[list[str]],
+                 memtable_budget_rows: int = 200_000,
+                 compact_threshold: int = 4):
         self.pid = pid
         self.lake_dir = lake_dir
-        self.base_file = base_file
+        self.files: list[str] = list(files or [])
         self.fragments: list[pa.Table] = []
         self.frag_rows = 0
         self.budget = memtable_budget_rows
+        self.compact_threshold = compact_threshold
         self.ingested = 0
 
     def ingest(self, delta: pa.Table) -> int:
@@ -78,26 +87,43 @@ class MergeActor:
         self.frag_rows = merged.num_rows
 
     def flush(self, version: int) -> dict:
-        """Merge memtable + base, write the new partition file, clear state."""
-        tables = list(self.fragments)
-        if self.base_file:
-            tables.insert(0, pq.read_table(
-                os.path.join(self.lake_dir, self.base_file)))
-        if not tables:
-            return {"pid": self.pid, "file": self.base_file, "rows": 0,
-                    "live_rows": 0, "bytes": 0, "delta_rows": 0}
-        merged = lww_reduce(concat_evolved(tables))
-        merged = merged.take(
-            pc.sort_indices(merged, sort_keys=[("url", "ascending")]))
-        rel = f"part-{self.pid:05d}/v{version}.parquet"
-        size = atomic_write_parquet(merged, os.path.join(self.lake_dir, rel))
-        live = int(pc.sum(pc.cast(pc.invert(merged[DELETED_COL]),
-                                  pa.int64())).as_py() or 0)
+        """Persist the memtable as an L0 delta (or fully compact)."""
+        if not self.fragments and not self.files:
+            return {"pid": self.pid, "files": [], "rows": 0,
+                    "live_rows": None, "bytes": 0, "delta_rows": 0}
         delta_rows = self.ingested
+        if not self.fragments:
+            # nothing new this epoch; keep the existing run set
+            return {"pid": self.pid, "files": list(self.files), "rows": 0,
+                    "live_rows": None, "bytes": 0, "delta_rows": 0}
+        if len(self.files) + 1 > self.compact_threshold:
+            # full compaction: merge base + deltas + memtable into one run
+            tables = [pq.read_table(os.path.join(self.lake_dir, f))
+                      for f in self.files] + self.fragments
+            merged = lww_reduce(concat_evolved(tables))
+            merged = merged.take(
+                pc.sort_indices(merged, sort_keys=[("url", "ascending")]))
+            rel = f"part-{self.pid:05d}/v{version}.parquet"
+            size = atomic_write_parquet(merged,
+                                        os.path.join(self.lake_dir, rel))
+            live = int(pc.sum(pc.cast(pc.invert(merged[DELETED_COL]),
+                                      pa.int64())).as_py() or 0)
+            self.files = [rel]
+            out = {"pid": self.pid, "files": [rel], "rows": merged.num_rows,
+                   "live_rows": live, "bytes": size, "delta_rows": delta_rows}
+        else:
+            memtable = lww_reduce(concat_evolved(self.fragments))
+            memtable = memtable.take(
+                pc.sort_indices(memtable, sort_keys=[("url", "ascending")]))
+            rel = f"part-{self.pid:05d}/d{version}.parquet"
+            size = atomic_write_parquet(memtable,
+                                        os.path.join(self.lake_dir, rel))
+            self.files.append(rel)
+            out = {"pid": self.pid, "files": list(self.files),
+                   "rows": memtable.num_rows, "live_rows": None,
+                   "bytes": size, "delta_rows": delta_rows}
         self.fragments, self.frag_rows, self.ingested = [], 0, 0
-        self.base_file = rel
-        return {"pid": self.pid, "file": rel, "rows": merged.num_rows,
-                "live_rows": live, "bytes": size, "delta_rows": delta_rows}
+        return out
 
 
 class PartitionRouter:
@@ -133,6 +159,14 @@ class PartitionRouter:
             if len(self.pending) >= self.max_in_flight:
                 _, self.pending = ray.wait(
                     self.pending, num_returns=len(self.pending) // 2)
+        # Drain ALL acks before this batch returns: actor messages from
+        # different senders are unordered, so the driver's flush() could
+        # otherwise overtake in-flight ingests and miss (or even lose, at
+        # shutdown) routed events. An ack means the actor has fully executed
+        # the ingest, so "routed dataset complete" ⇒ "every event ingested".
+        if self.pending:
+            ray.get(self.pending)
+            self.pending = []
         return pa.table({"routed": pa.array([flat.num_rows], pa.int64())})
 
 
@@ -145,19 +179,20 @@ class CdcEngine:
 
     def __init__(self, changelog_dir: str, lake_dir: str,
                  num_partitions: int = 8,
-                 memtable_budget_rows: int = 200_000):
+                 memtable_budget_rows: int = 200_000,
+                 compact_threshold: int = 4):
         self.changelog_dir = changelog_dir
         self.lake_dir = lake_dir
         self.p = num_partitions
         manifest = read_manifest(lake_dir)
         if manifest and manifest.num_partitions != num_partitions:
             raise ValueError("partition count mismatch with committed lake")
-        base = {int(k): v["file"] for k, v in manifest.partitions.items()} \
-            if manifest else {}
+        base = {int(k): manifest.partition_files(k)
+                for k in manifest.partitions} if manifest else {}
         self.manifest = manifest
         self.actors = [
             MergeActor.remote(pid, lake_dir, base.get(pid),
-                              memtable_budget_rows)
+                              memtable_budget_rows, compact_threshold)
             for pid in range(num_partitions)
         ]
 
@@ -189,11 +224,11 @@ class CdcEngine:
         watermark = max(_segment_seq_bounds(p)[1] for p in paths)
         partitions = dict(self.manifest.partitions) if self.manifest else {}
         for r in flush_rows:
-            if r["file"] is None:
+            if not r["files"]:
                 continue
             partitions[str(r["pid"])] = {
-                "file": r["file"], "rows": int(r["rows"]),
-                "live_rows": int(r["live_rows"]), "bytes": int(r["bytes"]),
+                "files": r["files"], "rows": int(r["rows"]),
+                "live_rows": r["live_rows"], "bytes": int(r["bytes"]),
                 "lineage": {"epochs": epochs, "version": version,
                             "delta_rows": int(r["delta_rows"])},
             }

@@ -92,7 +92,7 @@ class MergePartition:
     """
 
     def __init__(self, lake_dir: str, version: int,
-                 base_files: dict[int, str], epochs: list[int]):
+                 base_files: dict[int, list[str]], epochs: list[int]):
         self.lake_dir = lake_dir
         self.version = version
         self.base_files = base_files
@@ -101,10 +101,9 @@ class MergePartition:
     def __call__(self, group: pa.Table) -> pa.Table:
         pid = int(group[PID_COL][0].as_py())
         delta = group.drop_columns([PID_COL])
-        tables = [delta]
-        base_file = self.base_files.get(pid)
-        if base_file:
-            tables.insert(0, pq.read_table(os.path.join(self.lake_dir, base_file)))
+        tables = [pq.read_table(os.path.join(self.lake_dir, f))
+                  for f in self.base_files.get(pid, [])]
+        tables.append(delta)
         merged = lww_reduce(concat_evolved(tables))
         merged = merged.take(pc.sort_indices(merged, sort_keys=[("url", "ascending")]))
         rel = f"part-{pid:05d}/v{self.version}.parquet"
@@ -207,15 +206,15 @@ def apply_changelog(
 
     base_files = {}
     if manifest:
-        base_files = {int(pid): info["file"]
-                      for pid, info in manifest.partitions.items()}
+        base_files = {int(pid): manifest.partition_files(pid)
+                      for pid in manifest.partitions}
     merge = MergePartition(lake_dir, version, base_files, new_epochs)
     rows = _partitioned_merge(combined, merge, num_partitions)
 
     partitions = dict(manifest.partitions) if manifest else {}
     for r in rows:
         partitions[str(r["pid"])] = {
-            "file": r["file"],
+            "files": [r["file"]],  # batch apply fully compacts its partition
             "rows": int(r["rows"]),
             "live_rows": int(r["live_rows"]),
             "bytes": int(r["bytes"]),
@@ -300,16 +299,37 @@ def _partitioned_merge(combined: ray.data.Dataset, merge: "MergePartition",
     return [r for r in ray.get(merge_refs) if r is not None]
 
 
+@ray.remote
+def _read_partition(lake_dir: str, files: list[str],
+                    target: pa.Schema) -> pa.Table:
+    """Read one partition's LSM run set and LWW-merge it (delta files from
+    the streaming engine may supersede base rows)."""
+    tables = [pq.read_table(os.path.join(lake_dir, f)) for f in files]
+    merged = lww_reduce(concat_evolved(tables)) if len(tables) > 1 else tables[0]
+    from raycdc.cdc.evolve import align_to_schema
+
+    return align_to_schema(merged, target)
+
+
 def read_lake(lake_dir: str, include_deleted: bool = False) -> ray.data.Dataset:
-    """Read the committed lake state (manifest-resolved files only), unifying
-    evolved partition schemas (missing columns → nulls)."""
+    """Read the committed lake state (manifest-resolved files only), LWW-
+    merging per-partition delta runs and unifying evolved schemas (missing
+    columns → nulls)."""
     manifest = read_manifest(lake_dir)
     if manifest is None or not manifest.partitions:
         raise FileNotFoundError(f"no committed manifest in {lake_dir}")
-    files = [os.path.join(lake_dir, info["file"])
-             for _, info in sorted(manifest.partitions.items())]
-    target = unify([pq.read_schema(f) for f in files])
-    ds = ray.data.read_parquet(files, schema=target)
+    per_part = {pid: manifest.partition_files(pid)
+                for pid in sorted(manifest.partitions, key=int)}
+    all_files = [os.path.join(lake_dir, f)
+                 for files in per_part.values() for f in files]
+    target = unify([pq.read_schema(f) for f in all_files])
+    if all(len(files) == 1 for files in per_part.values()):
+        # fully compacted lake: plain parallel parquet scan
+        ds = ray.data.read_parquet(all_files, schema=target)
+    else:
+        refs = [_read_partition.remote(lake_dir, files, target)
+                for files in per_part.values() if files]
+        ds = ray.data.from_arrow_refs(refs)
     if not include_deleted:
         # drop tombstone rows AND the internal tombstone column — readers of
         # the live view see only the logical pages schema

@@ -15,17 +15,23 @@ def lake_stats(lake_dir: str) -> dict:
     if m is None:
         return {"committed": False}
     rows = sum(p["rows"] for p in m.partitions.values())
-    live = sum(p.get("live_rows", p["rows"]) for p in m.partitions.values())
+    live_known = [p.get("live_rows") for p in m.partitions.values()]
+    live = sum(v for v in live_known if v is not None)
     size = sum(p["bytes"] for p in m.partitions.values())
+    n_files = sum(len(m.partition_files(pid)) for pid in m.partitions)
     return {
         "committed": True,
         "version": m.version,
         "epochs_applied": m.epochs_applied,
         "watermark_seq": m.watermark_seq,
         "num_partitions": m.num_partitions,
+        "files": n_files,
         "rows": rows,
-        "live_rows": live,
-        "tombstones": rows - live,
+        # live/tombstone counts are exact only for fully-compacted
+        # partitions; delta runs report live_rows=None until compaction
+        "live_rows": live if all(v is not None for v in live_known) else None,
+        "tombstones": (rows - live)
+        if all(v is not None for v in live_known) else None,
         "bytes": size,
         "skew": _skew(m),
     }
@@ -50,6 +56,7 @@ def partition_lineage(lake_dir: str) -> list[dict]:
     if m is None:
         return []
     return [
-        {"pid": int(pid), "file": p["file"], **p.get("lineage", {})}
+        {"pid": int(pid), "files": m.partition_files(pid),
+         **p.get("lineage", {})}
         for pid, p in sorted(m.partitions.items(), key=lambda kv: int(kv[0]))
     ]

@@ -38,7 +38,18 @@ class LakeManifest:
     num_partitions: int
     epochs_applied: list[int]
     watermark_seq: int
-    partitions: dict[str, dict[str, Any]]  # pid -> {file, rows, bytes, lineage}
+    # pid -> {files: [rel...], rows, bytes, lineage}. ``files`` is the
+    # partition's LSM run set (base + L0 deltas); the LWW reduction is
+    # order-independent, so readers may merge them in any order.
+    partitions: dict[str, dict[str, Any]]
+
+    def partition_files(self, pid) -> list[str]:
+        info = self.partitions.get(str(pid))
+        if not info:
+            return []
+        if "files" in info:
+            return list(info["files"])
+        return [info["file"]]  # pre-LSM manifests
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=1, sort_keys=True)
@@ -86,8 +97,10 @@ def vacuum(lake_dir: str) -> list[str]:
     content. Returns the deleted relative paths.
     """
     manifest = read_manifest(lake_dir)
-    live = {info["file"] for info in manifest.partitions.values()} \
-        if manifest else set()
+    live = set()
+    if manifest:
+        for pid in manifest.partitions:
+            live.update(manifest.partition_files(pid))
     deleted = []
     for root, _, files in os.walk(lake_dir):
         for f in files:

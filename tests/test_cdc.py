@@ -150,6 +150,38 @@ def test_streaming_engine_resumes_from_manifest(changelog, tmp_path):
     assert got["text"].to_pylist() == expected["text"].to_pylist()
 
 
+def test_lsm_delta_runs_and_compaction(changelog, tmp_path):
+    # Streaming flushes write L0 delta files; reads LWW-merge the run set;
+    # crossing the threshold compacts to a single base; vacuum GCs orphans.
+    from raycdc.cdc.actors import CdcEngine
+    from raycdc.cdc import read_manifest
+    from raycdc.cdc.sink import vacuum
+
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(changelog, lake, num_partitions=4, compact_threshold=3)
+    eng.advance(1)
+    eng.advance(1)
+    m = read_manifest(lake)
+    # after two epochs, partitions hold two delta runs (below threshold)
+    assert any(len(m.partition_files(pid)) == 2 for pid in m.partitions)
+    # the merged read view at this point must already be LWW-correct
+    mid = lake_state(lake)
+    expected_mid = oracle_final_state(
+        generate_events(SPEC).filter(
+            pa.compute.less(generate_events(SPEC)["epoch"], 2)))
+    assert mid["url"].to_pylist() == expected_mid["url"].to_pylist()
+    assert mid["text"].to_pylist() == expected_mid["text"].to_pylist()
+    eng.tail()
+    eng.shutdown()
+    got = lake_state(lake)
+    expected = oracle_final_state(generate_events(SPEC))
+    assert got["text"].to_pylist() == expected["text"].to_pylist()
+    removed = vacuum(lake)
+    # compactions happened → superseded runs got GC'd, state unchanged
+    assert removed
+    assert url_text_digest(lake_state(lake)) == url_text_digest(got)
+
+
 def test_schema_evolution_column_add(tmp_path):
     spec = ChangelogSpec(num_events=5_000, num_urls=400, num_epochs=4, seed=11,
                          evolve_from_epoch=2)
