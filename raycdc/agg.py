@@ -45,8 +45,16 @@ def grouped_aggregate(
     mins: dict[str, str] | None = None,
     maxs: dict[str, str] | None = None,
     count_name: str | None = None,
+    salt: int = 0,
 ) -> ray.data.Dataset:
-    """Grouped sum/mean/min/max/count with partial pre-aggregation."""
+    """Grouped sum/mean/min/max/count with partial pre-aggregation.
+
+    ``salt > 0`` adds an intermediate salted reduction: partial rows first
+    combine under ``(keys, row_index % salt)`` so a hot key's partials spread
+    over ``salt`` reducers before the final (now tiny) per-key combine — the
+    classic hot-key salting pattern (SURVEY.md §4 skew row). All supported
+    aggregates are mergeable, so salting never changes results.
+    """
     sums = dict(sums or {})
     means = dict(means or {})
     mins = dict(mins or {})
@@ -74,18 +82,36 @@ def grouped_aggregate(
         return pa.Table.from_pandas(out_df, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    aggs = []
-    for out in sums:
-        aggs.append(Sum(out, alias_name=out))
-    for tmp in mean_sum_cols:
-        aggs.append(Sum(tmp, alias_name=tmp))
-    for out in mins:
-        aggs.append(Min(out, alias_name=out))
-    for out in maxs:
-        aggs.append(Max(out, alias_name=out))
-    if need_count:
-        aggs.append(Sum(cnt_col, alias_name=cnt_col))
-    merged = partials.groupby(keys).aggregate(*aggs)
+
+    def make_aggs():
+        aggs = []
+        for out in sums:
+            aggs.append(Sum(out, alias_name=out))
+        for tmp in mean_sum_cols:
+            aggs.append(Sum(tmp, alias_name=tmp))
+        for out in mins:
+            aggs.append(Min(out, alias_name=out))
+        for out in maxs:
+            aggs.append(Max(out, alias_name=out))
+        if need_count:
+            aggs.append(Sum(cnt_col, alias_name=cnt_col))
+        return aggs
+
+    if salt > 0:
+        salt_col = "__rcdc_salt"
+
+        def add_salt(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            return t.append_column(
+                salt_col,
+                pa.array(np.arange(t.num_rows, dtype=np.int64) % salt))
+
+        salted = (partials.map_batches(add_salt, batch_format="pyarrow")
+                  .groupby(keys + [salt_col]).aggregate(*make_aggs()))
+        partials = salted.map_batches(
+            lambda t: t.drop_columns([salt_col]), batch_format="pyarrow")
+    merged = partials.groupby(keys).aggregate(*make_aggs())
 
     def finalize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -178,3 +178,19 @@ def test_grouped_aggregate(sf_dir):
         assert abs(out.loc[flag, "sum_qty"] - ref.loc[flag, "sum_qty"]) < 1e-6
         assert abs(out.loc[flag, "avg_qty"] - ref.loc[flag, "avg_qty"]) < 1e-9
         assert out.loc[flag, "n"] == ref.loc[flag, "n"]
+
+
+def test_grouped_aggregate_salted_equals_unsalted(sf_dir):
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity"])
+
+    def run(salt):
+        return to_table(grouped_aggregate(
+            li, ["l_returnflag"], sums={"sum_qty": "l_quantity"},
+            means={"avg_qty": "l_quantity"}, count_name="n",
+            salt=salt)).to_pandas().set_index("l_returnflag").sort_index()
+
+    a, b = run(0), run(8)
+    assert (a["n"] == b["n"]).all()
+    assert (abs(a["sum_qty"] - b["sum_qty"]) < 1e-9).all()
+    assert (abs(a["avg_qty"] - b["avg_qty"]) < 1e-12).all()
