@@ -15,6 +15,9 @@ Grammar (case-insensitive keywords)::
     not     := NOT not | cmp
     cmp     := operand (op operand) | '(' expr ')'
               | operand IS [NOT] NULL
+              | operand [NOT] IN '(' literal (',' literal)* ')'
+              | operand [NOT] LIKE 'pattern'        # %/_ wildcards
+              | operand BETWEEN literal AND literal
     op      := == | = | != | <> | <= | >= | < | >
     operand := identifier | number | 'string' | "string" | true | false | null
 
@@ -33,7 +36,7 @@ import pyarrow.compute as pc
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-        (?P<lparen>\()|(?P<rparen>\))|
+        (?P<lparen>\()|(?P<rparen>\))|(?P<comma>,)|
         (?P<op>==|!=|<>|<=|>=|=|<|>)|
         (?P<number>-?\d+\.\d+|-?\d+)|
         (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")|
@@ -42,7 +45,8 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-_KEYWORDS = {"and", "or", "not", "is", "null", "true", "false"}
+_KEYWORDS = {"and", "or", "not", "is", "null", "true", "false", "in",
+             "like", "between"}
 
 
 def _tokenize(text: str) -> list[tuple[str, Any]]:
@@ -92,6 +96,21 @@ class _Cmp(_Node):
 class _IsNull(_Node):
     def __init__(self, ident: str, negate: bool):
         self.ident, self.negate = ident, negate
+
+
+class _In(_Node):
+    def __init__(self, ident: str, values: list, negate: bool):
+        self.ident, self.values, self.negate = ident, values, negate
+
+
+class _Like(_Node):
+    def __init__(self, ident: str, pattern: str, negate: bool):
+        self.ident, self.pattern, self.negate = ident, pattern, negate
+
+
+class _Between(_Node):
+    def __init__(self, ident: str, lo, hi):
+        self.ident, self.lo, self.hi = ident, lo, hi
 
 
 class _Parser:
@@ -147,9 +166,15 @@ class _Parser:
             return node
         left = self._operand()
         kind = self.peek()[0]
+        negate = False
+        if kind == "not":
+            self.next()
+            kind = self.peek()[0]
+            if kind not in ("in", "like"):
+                raise ValueError(f"Expected IN or LIKE after NOT, got {self.peek()}")
+            negate = True
         if kind == "is":
             self.next()
-            negate = False
             if self.peek()[0] == "not":
                 self.next()
                 negate = True
@@ -157,11 +182,46 @@ class _Parser:
             if left[0] != "ident":
                 raise ValueError("IS NULL requires a column on the left")
             return _IsNull(left[1], negate)
+        if kind == "in":
+            self.next()
+            self.expect("lparen")
+            if left[0] != "ident":
+                raise ValueError("IN requires a column on the left")
+            values = [self._literal()]
+            while self.peek()[0] != "rparen":
+                if self.peek()[0] == "comma":
+                    self.next()
+                    continue
+                values.append(self._literal())
+            self.next()
+            return _In(left[1], values, negate)
+        if kind == "like":
+            self.next()
+            pat = self.next()
+            if pat[0] != "string":
+                raise ValueError("LIKE requires a string pattern")
+            if left[0] != "ident":
+                raise ValueError("LIKE requires a column on the left")
+            return _Like(left[1], pat[1], negate)
+        if kind == "between":
+            self.next()
+            lo = self._literal()
+            self.expect("and")
+            hi = self._literal()
+            if left[0] != "ident":
+                raise ValueError("BETWEEN requires a column on the left")
+            return _Between(left[1], lo, hi)
         if kind != "op":
             raise ValueError(f"Expected comparison operator, got {self.peek()}")
         op = self.next()[1]
         right = self._operand()
         return _Cmp(op, left, right)
+
+    def _literal(self):
+        tok = self.next()
+        if tok[0] in ("number", "string"):
+            return tok[1]
+        raise ValueError(f"Expected literal, got {tok}")
 
     def _operand(self) -> tuple[str, Any]:
         tok = self.next()
@@ -219,6 +279,23 @@ def _eval(node: _Node, table: pa.Table) -> pa.ChunkedArray:
     if isinstance(node, _IsNull):
         arr = table[node.ident]
         return pc.is_valid(arr) if node.negate else pc.is_null(arr)
+    if isinstance(node, _In):
+        col = table[node.ident]
+        vals = pa.array([_coerce_literal(v, col.type).as_py()
+                         for v in node.values], col.type)
+        res = pc.is_in(col, value_set=vals)
+        res = pc.fill_null(res, False)
+        return pc.invert(res) if node.negate else res
+    if isinstance(node, _Like):
+        col = table[node.ident]
+        res = pc.match_like(col, node.pattern)
+        res = pc.fill_null(res, False)
+        return pc.invert(res) if node.negate else res
+    if isinstance(node, _Between):
+        col = table[node.ident]
+        lo = _coerce_literal(node.lo, col.type)
+        hi = _coerce_literal(node.hi, col.type)
+        return pc.and_(pc.greater_equal(col, lo), pc.less_equal(col, hi))
     if isinstance(node, _Cmp):
         left = _resolve(node.left, table)
         right = _resolve(node.right, table)

@@ -612,9 +612,12 @@ def flatten_hierarchy(
     if strategy == "shuffle":
         return _flatten_shuffle(ds, cfg, out_schema, num_partitions)
 
-    edge_table = _gather_table(ds, pa_schema)
-    index = build_edge_index(edge_table, cfg)
-    index_ref = ray.put(index)
+    # Build the index in a remote task: the edge table never lands on the
+    # driver; the result goes straight into the object store and only the
+    # tiny needs_dedup flag comes back.
+    refs = ds.to_arrow_refs()
+    index_ref = _build_index_task.remote(cfg, pa_schema, *refs)
+    needs_dedup = bool(ray.get(_index_needs_dedup.remote(index_ref)))
     expanded = ds.map_batches(
         ExpandPaths,
         fn_constructor_args=(index_ref, cfg, out_schema, num_partitions),
@@ -622,7 +625,7 @@ def flatten_hierarchy(
         batch_size=batch_size,
         concurrency=concurrency or (1, 8),
     )
-    if not index.needs_dedup:
+    if not needs_dedup:
         # Forest: no node has two in-edges, so no two same-level paths can
         # converge and no duplicate edges exist — the dedup shuffle is a no-op
         # and is skipped entirely.
@@ -648,9 +651,15 @@ def flatten_hierarchy_table(table: pa.Table, cfg: FlattenConfig) -> pa.Table:
     return out
 
 
-def _gather_table(ds: ray.data.Dataset, pa_schema: pa.Schema) -> pa.Table:
-    refs = ds.to_arrow_refs()
-    tables = [t for t in ray.get(list(refs)) if t.num_rows]
-    if not tables:
-        return pa_schema.empty_table()
-    return pa.concat_tables(tables, promote_options="default")
+@ray.remote
+def _build_index_task(cfg: FlattenConfig, pa_schema: pa.Schema,
+                      *tables: pa.Table) -> EdgeIndex:
+    live = [t for t in tables if t.num_rows]
+    table = pa.concat_tables(live, promote_options="default") if live \
+        else pa_schema.empty_table()
+    return build_edge_index(table, cfg)
+
+
+@ray.remote
+def _index_needs_dedup(index: EdgeIndex) -> bool:
+    return index.needs_dedup

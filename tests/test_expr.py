@@ -61,6 +61,28 @@ def test_unknown_column_raises():
         mask("nope == 1")
 
 
+def test_in():
+    assert mask("parent IN (1, 5)") == [True, False, False, True]
+    assert mask("parent NOT IN (1, 5)") == [False, True, True, False]
+    assert mask("child IN ('3', '6')") == [False, True, True, True]
+
+
+def test_like():
+    t2 = pa.table({"s": ["abc", "axc", "abcd", "zzz"]})
+    from raycdc.expr import compile_predicate
+    assert compile_predicate("s LIKE 'a%c'")(t2).to_pylist() == \
+        [True, True, False, False]
+    assert compile_predicate("s LIKE 'a_c'")(t2).to_pylist() == \
+        [True, True, False, False]
+    assert compile_predicate("s NOT LIKE 'a%'")(t2).to_pylist() == \
+        [False, False, False, True]
+
+
+def test_between():
+    assert mask("n BETWEEN 2 AND 5") == [False, True, True, True]
+    assert mask("NOT (n BETWEEN 2 AND 2)") == [True, False, False, True]
+
+
 def test_garbage_raises():
     with pytest.raises(ValueError):
         compile_predicate("parent ==")
