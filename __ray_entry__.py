@@ -195,7 +195,10 @@ def _cdc_spec(tag: str, num_events: int) -> tuple[str, ChangelogSpec]:
 def run_cdc_replay(num_events: int, tag: str, num_partitions: int = 16):
     wal, spec = _cdc_spec(tag, num_events)
     generate_changelog(wal, spec)
-    lake = f"/tmp/raycdc/lake-{tag}-{num_events}-{os.getpid()}"
+    # stable lake path: re-running is an idempotent no-op (epochs already in
+    # the committed manifest are skipped), so repeated driver calls reuse the
+    # same lake instead of littering /tmp
+    lake = f"/tmp/raycdc/lake-{tag}-{num_events}"
     metrics = apply_changelog(wal, lake, num_partitions=num_partitions)
     return lake, metrics
 

@@ -306,7 +306,17 @@ class ExpandPaths:
                     pcode, ccode, seed_pos, edge_pos, path)
 
         out = pa.concat_tables(out_tables)
-        return out.cast(self.emit_schema)
+        out = out.cast(self.emit_schema)
+        if self.idx.needs_dedup and out.num_rows:
+            # Output-level local dedup (ALWAYS sound, unlike frontier dedup):
+            # the final aggregate takes min over FULL concatenated paths per
+            # (parent, child, level), and min is associative — combining
+            # within this batch first cannot change the global winner. With
+            # seeds co-located by child value (flatten_hierarchy routes them
+            # when dedup is needed), most converging paths meet here and the
+            # global dedup shuffle shrinks accordingly.
+            out = _local_output_dedup(out, self.cfg)
+        return out
 
     def _frontier_dedup(self, pcode, ccode, seed_pos, edge_pos, path):
         order = np.lexsort((ccode, pcode))
@@ -356,6 +366,33 @@ class ExpandPaths:
 # Dedup (the one remaining all-to-all exchange)
 # --------------------------------------------------------------------------
 
+def _dedup_sort_cols(cfg: FlattenConfig, columns: list[str]) -> list[str]:
+    """The row ordering under which a group's winner is chosen. Local and
+    global dedup MUST use the same ordering — lexicographic row-min is
+    associative, so local-then-global equals global only when both minimize
+    the same keys."""
+    keys = {_PC_COL, _CC_COL, _BUCKET_COL, cfg.level_field, cfg.bottom_field,
+            cfg.parent_field, cfg.child_field}
+    if cfg.has_path:
+        return [cfg.path_alias_field]
+    return [c for c in columns if c not in keys]
+
+
+def _local_output_dedup(t: pa.Table, cfg: FlattenConfig) -> pa.Table:
+    """Combiner for the dedup shuffle: merge same-(pc, cc, level) rows within
+    one emitted batch under the same winner ordering as the global dedup
+    (min is associative, so this never changes the final winner)."""
+    keys = [_PC_COL, _CC_COL, cfg.level_field]
+    df = t.to_pandas()
+    sort_cols = _dedup_sort_cols(cfg, list(df.columns))
+    if sort_cols:
+        df = df.sort_values(sort_cols, kind="stable")
+    df = df.drop_duplicates(subset=keys, keep="first")
+    if len(df) == t.num_rows:
+        return t
+    return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+
+
 def _dedup_partition_coded(t: pa.Table, cfg: FlattenConfig,
                            out_schema: pa.Schema,
                            node_values: pa.Array) -> pa.Table:
@@ -367,12 +404,8 @@ def _dedup_partition_coded(t: pa.Table, cfg: FlattenConfig,
     if t.num_rows == 0:
         return out_schema.empty_table()
     keys = [_PC_COL, _CC_COL, cfg.level_field]
-    drop = {_BUCKET_COL, _PC_COL, _CC_COL}
     df = t.to_pandas()
-    sort_cols = [cfg.path_alias_field] if cfg.has_path else [
-        c for c in df.columns if c not in keys and c not in drop
-        and c != cfg.bottom_field
-    ]
+    sort_cols = _dedup_sort_cols(cfg, list(df.columns))
     if sort_cols:
         df = df.sort_values(sort_cols, kind="stable")
     df = df.drop_duplicates(subset=keys, keep="first")
@@ -585,6 +618,7 @@ def flatten_hierarchy(
     concurrency=None,
     num_partitions: int = 32,
     broadcast_max_bytes: int = 4 << 30,
+    co_locate_seeds: bool = False,
 ) -> ray.data.Dataset:
     """Flatten an edge-list hierarchy Dataset into path-terminal relation rows.
 
@@ -618,6 +652,26 @@ def flatten_hierarchy(
     refs = ds.to_arrow_refs()
     index_ref = _build_index_task.remote(cfg, pa_schema, *refs)
     needs_dedup = bool(ray.get(_index_needs_dedup.remote(index_ref)))
+    if needs_dedup and co_locate_seeds:
+        # Co-locate seeds that share a child value: converging paths then
+        # meet inside one expansion batch and collapse in the local output
+        # dedup, shrinking the global dedup shuffle. One cheap shuffle of the
+        # raw edge rows (no paths yet) buys it.
+        sb = "__rcdc_sb"
+
+        def add_seed_bucket(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                t[cfg.child_field].to_pandas(), index=False).to_numpy()
+            return t.append_column(
+                sb, pa.array((h % num_partitions).astype(np.int64)))
+
+        def sort_bucket(t: pa.Table) -> pa.Table:
+            t = t.drop_columns([sb])
+            return t.take(pc.sort_indices(
+                t, sort_keys=[(cfg.child_field, "ascending")]))
+
+        ds = (ds.map_batches(add_seed_bucket, batch_format="pyarrow")
+              .groupby(sb).map_groups(sort_bucket, batch_format="pyarrow"))
     expanded = ds.map_batches(
         ExpandPaths,
         fn_constructor_args=(index_ref, cfg, out_schema, num_partitions),
