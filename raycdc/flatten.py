@@ -354,9 +354,10 @@ class ExpandPaths:
         if self.idx.needs_dedup:
             cols[_PC_COL] = pa.array(pcode)
             cols[_CC_COL] = pa.array(ccode)
+            level_mix = np.uint64((level * 0x165667B19E3779F9) & 0xFFFFFFFFFFFFFFFF)
             mix = (ccode.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
                    ^ pcode.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
-                   ^ np.uint64(level * 0x165667B19E3779F9))
+                   ^ level_mix)
             cols[_BUCKET_COL] = pa.array(
                 (mix % np.uint64(self.num_buckets)).astype(np.int64))
         return pa.table({name: cols[name] for name in self.emit_schema.names})
