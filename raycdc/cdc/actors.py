@@ -242,11 +242,13 @@ class CdcEngine:
         commit_manifest(self.lake_dir, self.manifest)
         return {"events": int(total), "epochs": epochs}
 
-    def tail(self) -> dict:
-        """Apply everything unapplied, one commit per epoch."""
+    def tail(self, epochs_per_commit: int = 1) -> dict:
+        """Apply everything unapplied. ``epochs_per_commit`` trades commit
+        frequency (bounded recovery window) against per-commit fixed costs —
+        1 = a manifest per epoch; larger batches amortize pipeline spin-up."""
         totals = {"events": 0, "epochs": []}
         while True:
-            m = self.advance(1)
+            m = self.advance(epochs_per_commit)
             if not m["epochs"]:
                 return totals
             totals["events"] += m["events"]
