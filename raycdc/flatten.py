@@ -379,19 +379,34 @@ def _dedup_sort_cols(cfg: FlattenConfig, columns: list[str]) -> list[str]:
     return [c for c in columns if c not in keys]
 
 
+def _sorted_unique(t: pa.Table, sort_cols: list[str],
+                   keys: list[str]) -> pa.Table:
+    """Stable sort by ``sort_cols`` then keep the first row per ``keys``.
+    Uses polars (multithreaded, arrow-native) with a pandas fallback."""
+    try:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        if sort_cols:
+            df = df.sort(sort_cols, maintain_order=True)
+        df = df.unique(subset=keys, keep="first", maintain_order=True)
+        # polars may emit large_string; realign to the input schema
+        return df.to_arrow().select(t.column_names).cast(t.schema)
+    except ImportError:  # pragma: no cover
+        df = t.to_pandas()
+        if sort_cols:
+            df = df.sort_values(sort_cols, kind="stable")
+        df = df.drop_duplicates(subset=keys, keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+
+
 def _local_output_dedup(t: pa.Table, cfg: FlattenConfig) -> pa.Table:
     """Combiner for the dedup shuffle: merge same-(pc, cc, level) rows within
     one emitted batch under the same winner ordering as the global dedup
     (min is associative, so this never changes the final winner)."""
     keys = [_PC_COL, _CC_COL, cfg.level_field]
-    df = t.to_pandas()
-    sort_cols = _dedup_sort_cols(cfg, list(df.columns))
-    if sort_cols:
-        df = df.sort_values(sort_cols, kind="stable")
-    df = df.drop_duplicates(subset=keys, keep="first")
-    if len(df) == t.num_rows:
-        return t
-    return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+    out = _sorted_unique(t, _dedup_sort_cols(cfg, t.column_names), keys)
+    return t if out.num_rows == t.num_rows else out
 
 
 def _dedup_partition_coded(t: pa.Table, cfg: FlattenConfig,
@@ -405,14 +420,10 @@ def _dedup_partition_coded(t: pa.Table, cfg: FlattenConfig,
     if t.num_rows == 0:
         return out_schema.empty_table()
     keys = [_PC_COL, _CC_COL, cfg.level_field]
-    df = t.to_pandas()
-    sort_cols = _dedup_sort_cols(cfg, list(df.columns))
-    if sort_cols:
-        df = df.sort_values(sort_cols, kind="stable")
-    df = df.drop_duplicates(subset=keys, keep="first")
-    dedup = pa.Table.from_pandas(df, preserve_index=False)
-    pcode = pa.array(df[_PC_COL].to_numpy())
-    ccode = pa.array(df[_CC_COL].to_numpy())
+    sort_cols = _dedup_sort_cols(cfg, t.column_names)
+    dedup = _sorted_unique(t, sort_cols, keys)
+    pcode = dedup[_PC_COL].combine_chunks()
+    ccode = dedup[_CC_COL].combine_chunks()
     cols = []
     for f in out_schema:
         if f.name == cfg.parent_field:
@@ -428,17 +439,20 @@ def _dedup_partition_coded(t: pa.Table, cfg: FlattenConfig,
 
 
 def _dedup_coded(ds: ray.data.Dataset, cfg: FlattenConfig,
-                 out_schema: pa.Schema, index_ref) -> ray.data.Dataset:
+                 out_schema: pa.Schema, index_ref,
+                 num_partitions: int) -> ray.data.Dataset:
     """Dedup for the broadcast path: the bucket column is already emitted by
-    ExpandPaths (int mix of codes + level), so the shuffle needs no extra
-    hashing stage; node id values rejoin after the shuffle."""
+    ExpandPaths (int mix of codes + level), so the exchange is a pure
+    partition-map (raycdc.shuffle — no sort, no barrier); node id values
+    rejoin from the broadcast index after the exchange."""
+    from raycdc.shuffle import partition_map
 
     def dedup_group(t: pa.Table) -> pa.Table:
         idx = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
         return _dedup_partition_coded(t, cfg, out_schema, idx.node_values)
 
-    return ds.groupby(_BUCKET_COL).map_groups(dedup_group,
-                                              batch_format="pyarrow")
+    return partition_map(ds, _BUCKET_COL, num_partitions, dedup_group,
+                         drop_partition_col=False)
 
 
 def _dedup_partition(t: pa.Table, cfg: FlattenConfig, out_schema: pa.Schema) -> pa.Table:
@@ -685,7 +699,7 @@ def flatten_hierarchy(
         # converge and no duplicate edges exist — the dedup shuffle is a no-op
         # and is skipped entirely.
         return expanded
-    return _dedup_coded(expanded, cfg, out_schema, index_ref)
+    return _dedup_coded(expanded, cfg, out_schema, index_ref, num_partitions)
 
 
 def flatten_hierarchy_table(table: pa.Table, cfg: FlattenConfig) -> pa.Table:

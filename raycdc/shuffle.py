@@ -1,0 +1,92 @@
+"""Manual hash shuffle: partition-by-column without a sort.
+
+Ray Data's ``groupby`` implements grouping with a sort-based shuffle
+(sample → sort → barrier → merge), which pays for an ordering that
+partition-wise operators (upsert merge, hash dedup, bucketed joins) don't
+need. This module provides the engine's partition-only exchange:
+
+    blocks ── split task (num_returns=P, slices stay in the object store)
+           ── one task per partition over its slices
+
+Used by the CDC merge (`cdc/apply.py`) and the flattener's dedup
+(`flatten.py`). Streaming: blocks flow into split tasks as the upstream map
+phase produces them — no materialization barrier.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+@ray.remote
+def _split_by_column(block: pa.Table, col: str, num_partitions: int,
+                     drop_col: bool) -> tuple:
+    """Split one block by an int64 partition-id column (values must already
+    be in [0, P)); one return object per partition."""
+    pids = block[col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pids, kind="stable")
+    sorted_block = block.take(pa.array(order))
+    if drop_col:
+        sorted_block = sorted_block.drop_columns([col])
+    pids = pids[order]
+    bounds = np.nonzero(np.diff(pids))[0] + 1
+    starts = np.concatenate([[0], bounds, [len(pids)]]).astype(np.int64)
+    out: list = [None] * num_partitions
+    for i in range(len(starts) - 1):
+        lo, hi = int(starts[i]), int(starts[i + 1])
+        if hi > lo:
+            out[int(pids[lo])] = sorted_block.slice(lo, hi - lo)
+    return tuple(out)
+
+
+@ray.remote(num_returns=2)
+def _partition_task(fn: Callable[[pa.Table], pa.Table], pid: int, *slices):
+    """Returns (output_table, row_count): the driver reads only the cheap
+    count to decide which table refs feed the result Dataset."""
+    tables = [s for s in slices if s is not None and s.num_rows]
+    if not tables:
+        return None, 0
+    out = fn(pa.concat_tables(tables, promote_options="default"))
+    return out, out.num_rows
+
+
+def partition_map(
+    ds: ray.data.Dataset,
+    partition_col: str,
+    num_partitions: int,
+    fn: Callable[[pa.Table], pa.Table],
+    *,
+    drop_partition_col: bool = True,
+) -> ray.data.Dataset:
+    """Hash-partition ``ds`` by an existing int partition-id column and apply
+    ``fn`` once per partition (the partition's rows concatenated into one
+    table). Returns a Dataset of fn's outputs. No sort, no barrier between
+    the upstream map phase and the split stage."""
+    split = _split_by_column.options(num_returns=num_partitions)
+    per_block = []
+    try:
+        for bundle in ds.iter_internal_ref_bundles():
+            for block_ref in bundle.block_refs:
+                per_block.append(split.remote(
+                    block_ref, partition_col, num_partitions,
+                    drop_partition_col))
+    except AttributeError:  # pragma: no cover - older Ray
+        for block_ref in ds.to_arrow_refs():
+            per_block.append(split.remote(
+                block_ref, partition_col, num_partitions, drop_partition_col))
+    table_refs, count_refs = [], []
+    for pid in range(num_partitions):
+        slices = [r[pid] for r in per_block]
+        tref, cref = _partition_task.remote(fn, pid, *slices)
+        table_refs.append(tref)
+        count_refs.append(cref)
+    counts = ray.get(count_refs)
+    live = [r for r, n in zip(table_refs, counts) if n]
+    if not live:
+        return ray.data.from_items([])
+    return ray.data.from_arrow_refs(live)
