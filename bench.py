@@ -107,6 +107,7 @@ def run_bench() -> dict:
         "flatten_tree", "flatten_dag", "agg_lineitem", "join_orders_lineitem",
         "join_customer_region", "lww_events", "dedup_exact", "token_count",
         "ann_topk", "quality", "langid", "minhash_pairs", "record_flatten",
+        "window_tumbling", "explode_embeddings", "simhash_pairs",
     ]
     q_times: dict[str, float] = {}
     for name in bench_set:

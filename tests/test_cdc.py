@@ -105,6 +105,13 @@ def test_crash_before_commit_then_resume(changelog, tmp_path):
     assert got["text"].to_pylist() == expected["text"].to_pylist()
 
 
+def test_partition_count_change_rejected(changelog, tmp_path):
+    lake = str(tmp_path / "lake")
+    apply_changelog(changelog, lake, num_partitions=4, epochs=[0])
+    with pytest.raises(ValueError, match="partitions"):
+        apply_changelog(changelog, lake, num_partitions=8, epochs=[1])
+
+
 def test_deleted_urls_absent(changelog, tmp_path):
     lake = str(tmp_path / "lake")
     apply_changelog(changelog, lake, num_partitions=4)

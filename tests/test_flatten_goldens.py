@@ -221,6 +221,14 @@ def test_duplicate_edges_collapse():
     assert rows_set(out) == {(1, 2, 1, True)}
 
 
+def test_auto_strategy_picks_broadcast_for_small_input():
+    cfg = FlattenConfig(parent_field="parent", child_field="child")
+    ds = ray.data.from_arrow(pa.table({"parent": ["1"], "child": ["2"]}))
+    out = flatten_hierarchy(ds, cfg, strategy="auto")
+    assert rows_set(pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow")))) == {("1", "2", 1, True)}
+
+
 def test_empty_input():
     table = pa.table({"parent": pa.array([], pa.int32()),
                       "child": pa.array([], pa.int32())})
