@@ -335,6 +335,13 @@ def _q_ann_lsh(sf_dir: str):
     return lsh_topk(emb, _load_queries_emb(sf_dir), k=10)
 
 
+def _q_ann_ivf(sf_dir: str):
+    from raycdc.ops.ann import ivf_topk
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(emb, _load_queries_emb(sf_dir), k=10, nlist=16, nprobe=4)
+
+
 def _q_quality(sf_dir: str):
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     return add_quality(docs).select_columns(
@@ -430,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "quality": _q_quality,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,

@@ -98,6 +98,107 @@ def brute_force_topk(
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
+def _kmeans(sample: np.ndarray, nlist: int, seed: int,
+            iters: int = 8) -> np.ndarray:
+    """Deterministic Lloyd's k-means on unit vectors (numpy, vectorized)."""
+    rng = np.random.default_rng(seed)
+    unit = _unit(sample)
+    centroids = unit[rng.choice(len(unit), size=min(nlist, len(unit)),
+                                replace=False)]
+    for _ in range(iters):
+        sims = unit @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = unit[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _unit(centroids)
+    return centroids
+
+
+class IvfScorer:
+    """Per-batch IVF probe: assign each corpus vector to its nearest
+    centroid; score it only against queries whose probe list contains that
+    cell. Centroids + per-query probe lists broadcast once per actor."""
+
+    def __init__(self, state_ref, vec_col: str, id_col: str, k: int):
+        state = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+        self.centroids, self.qids, self.qunit, self.probe = state
+        self.vec_col, self.id_col, self.k = vec_col, id_col, k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          self.id_col: pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if len(ids) == 0:
+            return empty
+        unit = _unit(_stack(t[self.vec_col]))
+        cells = (unit @ self.centroids.T).argmax(axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            m = np.isin(cells, self.probe[qi])
+            if not m.any():
+                continue
+            sims = self.qunit[qi] @ unit[m].T
+            kk = min(self.k, sims.shape[0])
+            cand = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, self.qids[qi], dtype=np.int64))
+            out_id.append(ids[m][cand])
+            out_s.append(sims[cand])
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            self.id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: tuple[np.ndarray, np.ndarray],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nlist: int = 32,
+    nprobe: int = 4,
+    train_size: int = 10_000,
+    seed: int = 41,
+    concurrency=(1, 8),
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """IVF approximate top-k: k-means cells trained on a corpus sample, each
+    query probes its ``nprobe`` nearest cells. With ``nprobe == nlist`` the
+    result is exactly brute force (every cell probed) — the accuracy knob is
+    explicit. Scale path: per-batch work drops by ~nprobe/nlist.
+    """
+    qids, qmat = queries
+    sample = ds.limit(train_size)
+    sample_vecs = _stack(pa.concat_tables(
+        list(sample.iter_batches(batch_format="pyarrow")))[vec_col])
+    centroids = _kmeans(sample_vecs, nlist, seed)
+    qunit = _unit(qmat.astype(np.float64))
+    qsims = qunit @ centroids.T
+    nprobe = min(nprobe, len(centroids))
+    probe = np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe]
+    state_ref = ray.put((centroids, qids.astype(np.int64), qunit, probe))
+
+    cand = ds.map_batches(
+        IvfScorer, fn_constructor_args=(state_ref, vec_col, id_col, k),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["cosine", id_col], ascending=[False, True],
+                            kind="stable").head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
 def lsh_topk(
     ds: ray.data.Dataset,
     queries: tuple[np.ndarray, np.ndarray],

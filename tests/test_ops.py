@@ -133,6 +133,45 @@ def test_brute_force_topk_matches_numpy():
         assert got == expect
 
 
+def test_ivf_topk_full_probe_equals_brute_force():
+    from raycdc.ops.ann import ivf_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((300, 16))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    q = (np.array([0, 5], dtype=np.int64), vecs[[0, 5]].astype(np.float64))
+    # nprobe == nlist → every cell probed → identical to brute force
+    ivf = to_table(ivf_topk(ds, q, k=8, nlist=8, nprobe=8)).to_pandas()
+    bf = to_table(brute_force_topk(ds, q, k=8)).to_pandas()
+    key = ["query_id", "rank"]
+    ivf = ivf.sort_values(key).reset_index(drop=True)
+    bf = bf.sort_values(key).reset_index(drop=True)
+    assert (ivf["vec_id"] == bf["vec_id"]).all()
+
+
+def test_ivf_topk_partial_probe_recall():
+    from raycdc.ops.ann import ivf_topk
+
+    rng = np.random.default_rng(8)
+    # clustered corpus: IVF with few probes should still find neighbors
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs = np.vstack([c + 0.3 * rng.standard_normal((40, 16)) for c in centers])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    q = (np.array([0], dtype=np.int64), vecs[[0]].astype(np.float64))
+    ivf = to_table(ivf_topk(ds, q, k=10, nlist=8, nprobe=2)).to_pandas()
+    bf = to_table(brute_force_topk(ds, q, k=10)).to_pandas()
+    recall = len(set(ivf["vec_id"]) & set(bf["vec_id"])) / 10
+    assert recall >= 0.8
+
+
 def test_lsh_topk_schema():
     rng = np.random.default_rng(5)
     vecs = rng.standard_normal((100, 8))
