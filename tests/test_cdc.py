@@ -105,6 +105,55 @@ def test_crash_before_commit_then_resume(changelog, tmp_path):
     assert got["text"].to_pylist() == expected["text"].to_pylist()
 
 
+def test_partitioning_invariance(changelog, tmp_path):
+    # Different partition counts must converge to identical logical state —
+    # the LWW reduction is associative/commutative over any grouping.
+    a = str(tmp_path / "p4")
+    b = str(tmp_path / "p16")
+    apply_changelog(changelog, a, num_partitions=4)
+    apply_changelog(changelog, b, num_partitions=16)
+    assert url_text_digest(lake_state(a)) == url_text_digest(lake_state(b))
+
+
+def test_merge_task_retry_is_idempotent(changelog, tmp_path):
+    # A re-executed merge task (Ray may retry tasks) rewrites the identical
+    # partition file: content-addressed name + deterministic merge.
+    import pyarrow.parquet as pq
+    from raycdc.cdc.apply import MergePartition, PID_COL
+    import numpy as np
+
+    lake = str(tmp_path / "lake")
+    apply_changelog(changelog, lake, num_partitions=4, epochs=[0])
+    ev = generate_events(SPEC)
+    from raycdc.record_flatten import flatten_record_table
+    from raycdc.cdc.lww import to_versioned_rows
+    flat = flatten_record_table(ev.slice(0, 500))
+    flat = flat.rename_columns([c.split(".")[-1] for c in flat.column_names])
+    flat = to_versioned_rows(flat.drop_columns(["epoch"]))
+    group = flat.append_column(
+        PID_COL, pa.array(np.zeros(flat.num_rows, dtype=np.int64)))
+    merge = MergePartition(lake, version=99, base_files={}, epochs=[1])
+    r1 = merge(group)
+    data1 = pq.read_table(f"{lake}/{r1['file'][0].as_py()}")
+    r2 = merge(group)  # retry
+    data2 = pq.read_table(f"{lake}/{r2['file'][0].as_py()}")
+    assert r1["file"][0].as_py() == r2["file"][0].as_py()
+    assert data1.equals(data2)
+
+
+def test_partition_lineage_surface(changelog, tmp_path):
+    from raycdc.cdc.metrics import lake_stats, partition_lineage
+
+    lake = str(tmp_path / "lake")
+    apply_changelog(changelog, lake, num_partitions=4, epochs=[0, 1])
+    lin = partition_lineage(lake)
+    assert len(lin) == 4
+    assert all(l["epochs"] == [0, 1] for l in lin)
+    stats = lake_stats(lake)
+    assert stats["committed"] and stats["files"] == 4
+    assert stats["skew"]["max_rows"] >= stats["skew"]["min_rows"]
+
+
 def test_partition_count_change_rejected(changelog, tmp_path):
     lake = str(tmp_path / "lake")
     apply_changelog(changelog, lake, num_partitions=4, epochs=[0])
