@@ -16,12 +16,19 @@ Layers
 - :mod:`raycdc.ops`      — training-data operators (dedup, ANN, text analysis)
 """
 
-from raycdc.schema import FlattenConfig, derive_output_schema, validate_config
-from raycdc.flatten import flatten_hierarchy
+from raycdc.schema import (
+    FlattenConfig,
+    config_from_properties,
+    derive_output_schema,
+    validate_config,
+)
+from raycdc.flatten import flatten_hierarchy, flatten_hierarchy_table
 
 __all__ = [
     "FlattenConfig",
+    "config_from_properties",
     "derive_output_schema",
     "validate_config",
     "flatten_hierarchy",
+    "flatten_hierarchy_table",
 ]

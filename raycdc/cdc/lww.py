@@ -44,6 +44,8 @@ def lww_reduce(table: pa.Table, key: str = "url", ts: str = "warc_ts",
     first[0] = True
     np.not_equal(sorted_codes[1:], sorted_codes[:-1], out=first[1:])
     winners = order[first]
+    if len(winners) == len(order):
+        return table  # every key unique — zero-copy passthrough
     winners.sort()
     return table.take(pa.array(winners))
 
