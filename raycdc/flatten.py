@@ -57,7 +57,6 @@ from raycdc.expr import compile_predicate
 from raycdc.joins import hash_join
 from raycdc.schema import FlattenConfig, derive_output_schema, validate_config
 
-_LEAF_COL = "__rcdc_leaf"
 _BUCKET_COL = "__rcdc_bucket"
 _PC_COL = "__rcdc_pc"
 _CC_COL = "__rcdc_cc"
