@@ -241,9 +241,13 @@ def apply_changelog(
 
 
 @ray.remote
-def _split_block(block: pa.Table, num_partitions: int) -> tuple:
-    """Split one combined block into its url-hash partitions (one return
-    object per partition — a manual hash-shuffle map side)."""
+def _split_block(num_partitions: int, *blocks: pa.Table) -> tuple:
+    """Split a group of combined blocks into their url-hash partitions (one
+    return object per partition — a manual hash-shuffle map side). Accepting
+    several blocks per task amortizes task scheduling when the map phase
+    emits many small blocks."""
+    block = blocks[0] if len(blocks) == 1 else pa.concat_tables(
+        blocks, promote_options="default")
     pids = _url_pid(block["url"], num_partitions)
     order = np.argsort(pids, kind="stable")
     sorted_block = block.take(pa.array(order))
@@ -283,15 +287,28 @@ def _partitioned_merge(combined: ray.data.Dataset, merge: "MergePartition",
     """
     split = _split_block.options(num_returns=num_partitions)
     per_block = []
+    chunk: list = []
+    chunk_size = 4
+
+    def flush_chunk():
+        if chunk:
+            per_block.append(split.remote(num_partitions, *chunk))
+            chunk.clear()
+
     try:
         # Stream blocks into split tasks as the map phase produces them —
         # no materialization barrier between map and shuffle-map.
         for bundle in combined.iter_internal_ref_bundles():
             for block_ref in bundle.block_refs:
-                per_block.append(split.remote(block_ref, num_partitions))
+                chunk.append(block_ref)
+                if len(chunk) >= chunk_size:
+                    flush_chunk()
     except AttributeError:  # older Ray: fall back to full materialization
         for block_ref in combined.to_arrow_refs():
-            per_block.append(split.remote(block_ref, num_partitions))
+            chunk.append(block_ref)
+            if len(chunk) >= chunk_size:
+                flush_chunk()
+    flush_chunk()
     merge_refs = []
     for pid in range(num_partitions):
         slices = [refs[pid] for refs in per_block]
