@@ -134,11 +134,6 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    RAYCDC_BENCH_HEADLINE_ONLY="1")
-        # Scaling runs use a 2x-larger replay than the throughput headline so
-        # the per-job fixed driver cost (~1.7 s: pipeline spin-up, manifest,
-        # footer reads) is amortized and the measurement reflects the
-        # parallel fraction, not the constant term.
-        env.setdefault("RAYCDC_BENCH_EVENTS", "20000000")
         res = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(res.stdout.strip().splitlines()[-1])
