@@ -58,6 +58,31 @@ def test_record_flatten_step():
     assert out["a"].tolist() == [1]
 
 
+def test_csv_flatten_parquet_end_to_end(tmp_path):
+    # The reference's example pipeline shape: CSV File source (declared
+    # schema) → flattener → File sink
+    # (example/hirerachy_to_relational_pipeline_macro-cdap-data-pipeline.json).
+    from raycdc.sources import read_csv, write_parquet
+    import pyarrow.parquet as pq
+
+    path = tmp_path / "edges.csv"
+    path.write_text(
+        "parent,child,product\n"
+        "1,2,Produce\n1,3,Dairy\n2,4,Vegetables\n")
+    schema = pa.schema([("parent", pa.int64()), ("child", pa.int64()),
+                        ("product", pa.string())])
+    ds = read_csv(str(path), schema=schema)
+    cfg = FlattenConfig("parent", "child", path_field="product",
+                        path_alias_field="path")
+    out_dir = str(tmp_path / "out")
+    write_parquet(Pipeline([FlattenStep(cfg)]).run(ds), out_dir)
+    got = pq.read_table(out_dir).to_pandas()
+    assert len(got) == 4  # 3 level-1 + 1 level-2 rows
+    assert set(got.columns) == {"parent", "child", "product", "Level",
+                                "Bottom", "path"}
+    assert "/Produce/Vegetables" in set(got["path"])
+
+
 def test_csv_source_roundtrip(tmp_path):
     from raycdc.sources import read_csv
 
