@@ -348,6 +348,14 @@ def _q_quality(sf_dir: str):
         ["doc_id", "n_chars", "n_tokens", "punct_ratio", "stop_ratio", "quality"])
 
 
+def _q_quality_oracle(sf_dir: str):
+    """Oracle-checkable quality features (exact integer counts + exact-ratio
+    float64 divisions; both engines use RE2 regexes)."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return add_quality(docs).select_columns(
+        ["doc_id", "n_chars", "n_tokens", "punct_ratio", "stop_ratio"])
+
+
 def _q_langid(sf_dir: str):
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     return add_lang_id(docs).select_columns(["doc_id", "lang_pred", "lang_conf"])
@@ -439,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "quality": _q_quality,
+        "quality_oracle": _q_quality_oracle,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "minhash_pairs": _q_minhash,
@@ -494,6 +503,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
                    AS n_tokens
+            FROM documents""",
+        "quality_oracle": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                   / greatest(length(text), 1) AS punct_ratio,
+                   CAST(len(regexp_extract_all(text,
+                       '(?i)\b(?:and|for|in|is|it|of|that|the|to|was)\b'))
+                       AS DOUBLE)
+                   / greatest(len(regexp_extract_all(text, '\S+')), 1)
+                   AS stop_ratio
             FROM documents""",
         "window_tumbling": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
