@@ -523,6 +523,45 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type, date_trunc('hour', ts)""",
         "explode_embeddings": """
             SELECT vec_id, unnest(embedding) AS element FROM embeddings""",
+        "window_session": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n
+            FROM s GROUP BY user_id, sid""",
+        "langid": r"""
+            WITH c AS (
+                SELECT doc_id,
+                    len(regexp_extract_all(text, '(?i)\b(?:the|and|of|to|in|is|that|it|was|for)\b')) AS c_en,
+                    len(regexp_extract_all(text, '(?i)\b(?:der|die|das|und|ist|nicht|ein|mit|sich|auf)\b')) AS c_de,
+                    len(regexp_extract_all(text, '(?i)\b(?:le|la|les|et|est|une|pour|dans|que|pas)\b')) AS c_fr,
+                    len(regexp_extract_all(text, '(?i)\b(?:el|la|los|las|es|una|para|con|por|como)\b')) AS c_es,
+                    len(regexp_extract_all(text, '(?:の|に|は|を|た|が|で|て|と|です)')) AS c_ja,
+                    len(regexp_extract_all(text, '\S+')) AS n_tok
+                FROM documents
+            )
+            SELECT doc_id,
+                CASE WHEN greatest(c_en, c_de, c_fr, c_es, c_ja) = 0 THEN 'und'
+                     WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_ja THEN 'en'
+                     WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_ja THEN 'de'
+                     WHEN c_fr >= c_es AND c_fr >= c_ja THEN 'fr'
+                     WHEN c_es >= c_ja THEN 'es'
+                     ELSE 'ja' END AS lang_pred,
+                CAST(greatest(c_en, c_de, c_fr, c_es, c_ja) AS DOUBLE)
+                    / greatest(n_tok, 1) AS lang_conf
+            FROM c""",
         "ann_topk": """
             WITH q AS (
                 SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
