@@ -62,7 +62,12 @@ def _int_view(col) -> np.ndarray:
         arr = arr.cast(pa.int64())
     elif not pa.types.is_integer(arr.type):
         arr = arr.cast(pa.int64())
-    np_arr = pc.fill_null(arr, np.iinfo(np.int64).min).to_numpy(
+    # Null ts/seq must LOSE against any real value. Fill with int64 min + 1,
+    # not min: lww_reduce negates this view for its descending lexsort, and
+    # -int64_min overflows back to int64_min — a plain-min fill would make a
+    # null sort as the LARGEST timestamp and win LWW (diverging from the SQL
+    # oracle's NULLS-LAST ordering and resurrecting stale rows).
+    np_arr = pc.fill_null(arr, np.iinfo(np.int64).min + 1).to_numpy(
         zero_copy_only=False)
     return np_arr.astype(np.int64, copy=False)
 

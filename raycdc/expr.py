@@ -269,7 +269,10 @@ def _eval(node: _Node, table: pa.Table) -> pa.ChunkedArray:
     n = table.num_rows
     if isinstance(node, _BoolOp):
         parts = [_eval(p, table) for p in node.parts]
-        fn = pc.or_ if node.op == "or" else pc.and_
+        # Kleene three-valued logic: true OR null == true, false AND null ==
+        # false (SQL WHERE semantics; plain or_/and_ would propagate null and
+        # drop rows SQL keeps).
+        fn = pc.or_kleene if node.op == "or" else pc.and_kleene
         out = parts[0]
         for p in parts[1:]:
             out = fn(out, p)
@@ -284,13 +287,18 @@ def _eval(node: _Node, table: pa.Table) -> pa.ChunkedArray:
         vals = pa.array([_coerce_literal(v, col.type).as_py()
                          for v in node.values], col.type)
         res = pc.is_in(col, value_set=vals)
-        res = pc.fill_null(res, False)
-        return pc.invert(res) if node.negate else res
+        if node.negate:
+            res = pc.invert(res)
+        # SQL: NULL [NOT] IN (...) is NULL → row dropped either way.
+        return pc.and_(res, pc.is_valid(col))
     if isinstance(node, _Like):
         col = table[node.ident]
         res = pc.match_like(col, node.pattern)
-        res = pc.fill_null(res, False)
-        return pc.invert(res) if node.negate else res
+        # Negate BEFORE filling nulls: NULL NOT LIKE 'x' is NULL → dropped,
+        # not kept (fill-then-invert would resurrect null rows).
+        if node.negate:
+            res = pc.invert(res)
+        return pc.fill_null(res, False)
     if isinstance(node, _Between):
         col = table[node.ident]
         lo = _coerce_literal(node.lo, col.type)

@@ -217,6 +217,8 @@ class ExpandPaths:
                  if f.name not in (cfg.parent_field, cfg.child_field)]
                 + [pa.field(_PC_COL, pa.int64()), pa.field(_CC_COL, pa.int64()),
                    pa.field(_BUCKET_COL, pa.int64())])
+        self._edge_rank = (self._build_edge_rank()
+                           if self._can_frontier_dedup else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg, idx = self.cfg, self.idx
@@ -317,8 +319,47 @@ class ExpandPaths:
             out = _local_output_dedup(out, self.cfg)
         return out
 
+    def _build_edge_rank(self) -> Optional[np.ndarray]:
+        """Winner rank per edge for duplicate (parent, child) edge pairs.
+
+        Frontier dedup keeps one row per (parent, child) group; when the edge
+        table carries duplicate (parent, child) edges with DIFFERENT data
+        payloads, the kept row must be the same one the final dedup would pick
+        (min row under ``_dedup_sort_cols``, nulls-first to match the polars
+        sort in ``_sorted_unique``) — otherwise broadcast and shuffle
+        strategies (or different batch splits) could emit different payloads.
+        Returns None (no ranking needed) when no duplicate edges exist or
+        there are no data fields to disagree on.
+        """
+        idx = self.idx
+        if not idx.num_edges or not self.data_fields:
+            return None
+        ps, cs = idx.pcode_sorted, idx.ccode_sorted
+        order = np.lexsort((cs, ps))
+        same = (ps[order][1:] == ps[order][:-1]) & (cs[order][1:] == cs[order][:-1])
+        if not same.any():
+            return None
+        in_dup = np.zeros(idx.num_edges, dtype=bool)
+        grp = np.concatenate([[False], same]) | np.concatenate([same, [False]])
+        in_dup[order] = grp
+        rows = np.flatnonzero(in_dup)
+        sort_cols = [f.name for f in self.emit_schema
+                     if f.name in set(self.data_fields)]
+        df = idx.sorted_table.select(sort_cols).take(pa.array(rows)).to_pandas()
+        df["__p"], df["__c"] = ps[rows], cs[rows]
+        df = df.sort_values(sort_cols, kind="stable", na_position="first")
+        rank = df.groupby(["__p", "__c"], sort=False).cumcount().to_numpy()
+        edge_rank = np.zeros(idx.num_edges, dtype=np.int64)
+        edge_rank[rows[df.index.to_numpy()]] = rank
+        return edge_rank
+
     def _frontier_dedup(self, pcode, ccode, seed_pos, edge_pos, path):
-        order = np.lexsort((ccode, pcode))
+        if self._edge_rank is not None:
+            # order duplicate-(p, c) ties by the final-dedup winner rank so
+            # the surviving row is the global min-payload row
+            order = np.lexsort((self._edge_rank[edge_pos], ccode, pcode))
+        else:
+            order = np.lexsort((ccode, pcode))
         ps, cs = pcode[order], ccode[order]
         first = np.empty(len(ps), dtype=bool)
         first[0] = True
@@ -394,7 +435,8 @@ def _sorted_unique(t: pa.Table, sort_cols: list[str],
     except ImportError:  # pragma: no cover
         df = t.to_pandas()
         if sort_cols:
-            df = df.sort_values(sort_cols, kind="stable")
+            # na_position="first" matches polars' nulls-first default sort
+            df = df.sort_values(sort_cols, kind="stable", na_position="first")
         df = df.drop_duplicates(subset=keys, keep="first")
         return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
 

@@ -28,6 +28,27 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _local_topk(sim: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k under the GLOBAL ordering (-sim, id asc).
+
+    A plain argpartition on scores can cut score-ties at the k-th place
+    arbitrarily, dropping the min-id candidate the final rank (and the SQL
+    oracle) keeps. Here candidates strictly above the k-th score are always
+    in; ties AT the k-th score are filled by ascending id — so the local
+    head provably contains the global top-k rows."""
+    n = len(sim)
+    k = min(k, n)
+    if k == n:
+        return np.arange(n)
+    head = np.argpartition(-sim, k - 1)[:k]
+    thresh = sim[head].min()
+    above = np.flatnonzero(sim > thresh)
+    tied = np.flatnonzero(sim == thresh)
+    need = k - len(above)
+    fill = tied[np.argsort(ids[tied], kind="stable")[:need]]
+    return np.concatenate([above, fill])
+
+
 class BatchTopK:
     """Per-batch scorer: cosine against the broadcast query matrix, local
     top-k per query. Query matrix fetched once per actor in ``__init__``."""
@@ -50,13 +71,10 @@ class BatchTopK:
         sim = self.qunit @ unit.T  # (Q, N)
         if self.round_to is not None:
             sim = np.round(sim, self.round_to)
-        k = min(self.k, sim.shape[1])
-        # local top-k per query: argpartition then exact sort of the head
-        part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
         out_q, out_id, out_s = [], [], []
         for qi in range(sim.shape[0]):
-            cand = part[qi]
-            out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
+            cand = _local_topk(sim[qi], ids, self.k)
+            out_q.append(np.full(len(cand), self.qids[qi], dtype=np.int64))
             out_id.append(ids[cand])
             out_s.append(sim[qi, cand])
         return pa.table({
@@ -141,9 +159,8 @@ class IvfScorer:
             if not m.any():
                 continue
             sims = self.qunit[qi] @ unit[m].T
-            kk = min(self.k, sims.shape[0])
-            cand = np.argpartition(-sims, kk - 1)[:kk]
-            out_q.append(np.full(kk, self.qids[qi], dtype=np.int64))
+            cand = _local_topk(sims, ids[m], self.k)
+            out_q.append(np.full(len(cand), self.qids[qi], dtype=np.int64))
             out_id.append(ids[m][cand])
             out_s.append(sims[cand])
         if not out_q:
@@ -199,6 +216,58 @@ def ivf_topk(
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
+def _bucket_ids(bits: np.ndarray) -> np.ndarray:
+    """(n, num_planes) sign bits -> int64 bucket id (multi-byte safe)."""
+    packed = np.packbits(bits, axis=1, bitorder="little").astype(np.int64)
+    mult = 256 ** np.arange(packed.shape[1], dtype=np.int64)
+    return packed @ mult
+
+
+class LshScorer:
+    """Per-batch LSH probe: only corpus vectors sharing a query's
+    random-hyperplane bucket are scored. Queries fetched via the object
+    store once per actor; planes + query buckets computed once in
+    ``__init__`` (never per batch)."""
+
+    def __init__(self, queries_ref, vec_col: str, id_col: str, k: int,
+                 num_planes: int, seed: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids, qmat = q
+        self.planes = np.random.default_rng(seed).standard_normal(
+            (qmat.shape[1], num_planes))
+        self.qbuckets = _bucket_ids(qmat @ self.planes > 0)
+        self.qunit = _unit(qmat)
+        self.vec_col, self.id_col, self.k = vec_col, id_col, k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          self.id_col: pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if len(ids) == 0:
+            return empty
+        vecs = _stack(t[self.vec_col])
+        vbuckets = _bucket_ids(vecs @ self.planes > 0)
+        unit = _unit(vecs)
+        out_q, out_id, out_s = [], [], []
+        for qi, qb in enumerate(self.qbuckets):
+            m = vbuckets == qb
+            if not m.any():
+                continue
+            sim = self.qunit[qi] @ unit[m].T
+            cand = _local_topk(sim, ids[m], self.k)
+            out_q.append(np.full(len(cand), self.qids[qi], dtype=np.int64))
+            out_id.append(ids[m][cand])
+            out_s.append(sim[cand])
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            self.id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+
 def lsh_topk(
     ds: ray.data.Dataset,
     queries: tuple[np.ndarray, np.ndarray],
@@ -209,50 +278,18 @@ def lsh_topk(
     num_planes: int = 6,
     seed: int = 23,
     concurrency=(1, 8),
+    batch_size: int = 8192,
 ) -> ray.data.Dataset:
     """Approximate top-k: only corpus vectors sharing the query's LSH bucket
     are scored (bucket = random-hyperplane sign bits). Scale path trading
     recall for a ~2^num_planes reduction in scored vectors."""
     qids, qmat = queries
-    rng = np.random.default_rng(seed)
-
-    def score_bucketed(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        if len(ids) == 0:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
-        vecs = _stack(t[vec_col])
-        planes = rng.__class__(np.random.PCG64(seed)).standard_normal(
-            (vecs.shape[1], num_planes))
-        vbuckets = np.packbits((vecs @ planes) > 0, axis=1,
-                               bitorder="little")[:, 0]
-        qbuckets = np.packbits((qmat @ planes) > 0, axis=1,
-                               bitorder="little")[:, 0]
-        unit = _unit(vecs)
-        qunit = _unit(qmat)
-        out_q, out_id, out_s = [], [], []
-        for qi, qb in enumerate(qbuckets):
-            m = vbuckets == qb
-            if not m.any():
-                continue
-            sim = qunit[qi] @ unit[m].T
-            kk = min(k, sim.shape[0])
-            cand = np.argpartition(-sim, kk - 1)[:kk]
-            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
-            out_id.append(ids[m][cand])
-            out_s.append(sim[cand])
-        if not out_q:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
-        return pa.table({
-            "query_id": pa.array(np.concatenate(out_q)),
-            id_col: pa.array(np.concatenate(out_id), pa.int64()),
-            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
-        })
-
-    cand = ds.map_batches(score_bucketed, batch_format="pyarrow")
+    q_ref = ray.put((np.asarray(qids, dtype=np.int64),
+                     np.asarray(qmat, dtype=np.float64)))
+    cand = ds.map_batches(
+        LshScorer,
+        fn_constructor_args=(q_ref, vec_col, id_col, k, num_planes, seed),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
 
     def final_topk(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

@@ -106,30 +106,62 @@ def session_window(
     key_col: str,
     gap: str | int,
     count_name: str = "n",
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Session windows per key: events closer than ``gap`` merge into one
-    session. Needs per-key ordering → one groupby(key) with a vectorized
-    per-group session assignment (sort within group, diff > gap starts a new
-    session). Emits (key, session_start, session_end, n)."""
-    gap_us = _parse_window_us(gap)
+    session. Emits (key, session_start, session_end, n).
 
-    def sessions(group) -> "pa.Table":
+    Scale shape: keys are hash-bucketed with the engine's partition-only
+    exchange (``raycdc.shuffle.partition_map`` — no sort, no barrier) and each
+    bucket gets ONE vectorized pass (dictionary-encode keys, int64 lexsort by
+    (key, ts), gap diff → session boundaries). Work per bucket is O(rows log
+    rows) with zero per-key Python calls — millions of keys cost P Python
+    calls total, not one per key. Timestamps are converted through Arrow
+    (``_ts_us``), never via pandas dtype coercion, so the gap unit is always
+    microseconds regardless of the pandas/pyarrow version.
+    """
+    gap_us = _parse_window_us(gap)
+    bcol = "__rcdc_sb"
+
+    def add_bucket(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        df = group.sort_values(ts_col, kind="stable")
-        us = df[ts_col].astype("int64").to_numpy()
-        new = np.empty(len(us), dtype=bool)
-        new[0] = True
-        new[1:] = (us[1:] - us[:-1]) > gap_us
-        sid = np.cumsum(new) - 1
-        out = df.groupby(sid).agg(
-            **{key_col: (key_col, "first"),
-               "session_start": (ts_col, "min"),
-               "session_end": (ts_col, "max"),
-               count_name: (ts_col, "size")})
-        return out.reset_index(drop=True)
+        h = pd.util.hash_pandas_object(
+            t[key_col].to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            bcol, pa.array((h % num_partitions).astype("int64")))
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    def bucket_sessions(t: pa.Table) -> pa.Table:
+        keys = t[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        dictionary = pa.concat_arrays(
+            [enc.dictionary, pa.nulls(1, enc.dictionary.type)])
+        codes = pc.fill_null(pc.cast(enc.indices, pa.int64()),
+                             len(enc.dictionary)).to_numpy(zero_copy_only=False)
+        us = _ts_us(t[ts_col])
+        order = np.lexsort((us, codes))
+        c, u = codes[order], us[order]
+        new = np.empty(len(u), dtype=bool)
+        new[0] = True
+        new[1:] = (c[1:] != c[:-1]) | ((u[1:] - u[:-1]) > gap_us)
+        starts_idx = np.flatnonzero(new)
+        last = np.empty(len(u), dtype=bool)
+        last[-1] = True
+        last[:-1] = new[1:]
+        counts = np.diff(np.append(starts_idx, len(u)))
+        return pa.table({
+            key_col: dictionary.take(pa.array(c[starts_idx])),
+            "session_start": pa.array(u[starts_idx]).cast(pa.timestamp("us")),
+            "session_end": pa.array(u[last]).cast(pa.timestamp("us")),
+            count_name: pa.array(counts.astype(np.int64)),
+        })
+
+    from raycdc.shuffle import partition_map
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return partition_map(bucketed, bcol, num_partitions, bucket_sessions)
 
 
 def _parse_window_us(w: str | int) -> int:
