@@ -62,7 +62,10 @@ def run_bench() -> dict:
     spec = ChangelogSpec(num_events=CDC_EVENTS,
                          num_urls=max(1000, CDC_EVENTS // 20),
                          num_epochs=32, seed=42)
-    wal = f"/tmp/raycdc/bench-wal-{CDC_EVENTS}x{spec.num_epochs}"
+    # cache key includes the row-group size: segment layout changes the read
+    # parallelism, so a wal written under an old layout must not be reused
+    wal = (f"/tmp/raycdc/bench-wal-{CDC_EVENTS}x{spec.num_epochs}"
+           f"rg{spec.row_group_size}")
     generate_changelog(wal, spec)
     for f in sorted(os.listdir(wal)):
         if f.endswith(".parquet"):

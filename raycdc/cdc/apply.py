@@ -135,6 +135,7 @@ def apply_changelog(
     and re-converges; committed epochs are skipped by manifest lookup.
     """
     t0 = time.perf_counter()
+    timings: dict[str, float] = {}
     manifest = read_manifest(lake_dir)
     applied = set(manifest.epochs_applied) if manifest else set()
     version = (manifest.version + 1) if manifest else 1
@@ -156,26 +157,36 @@ def apply_changelog(
 
     new_epochs = sorted(e for e, _ in segs)
     paths = [p for _, p in segs]
-    # footer metadata reads parallelized (driver-side serial time matters for
-    # scaling efficiency)
+    # One footer open per segment gathers everything the driver needs (seq
+    # watermark, row count, schema) — parallelized; driver-side serial time
+    # is fixed cost that directly dents scaling efficiency.
     from concurrent.futures import ThreadPoolExecutor
 
-    def _bounds_rows(p):
-        lo_hi = _segment_seq_bounds(p)
-        return lo_hi[1], pq.ParquetFile(p).metadata.num_rows
+    def _footer_info(p):
+        f = pq.ParquetFile(p)
+        md = f.metadata
+        schema = md.schema.to_arrow_schema()
+        idx = schema.get_field_index("seq")
+        hi = -1
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None:
+                hi = max(hi, st.max)
+        return hi, md.num_rows, schema
 
     with ThreadPoolExecutor(max_workers=16) as pool:
-        infos = list(pool.map(_bounds_rows, paths))
+        infos = list(pool.map(_footer_info, paths))
     watermark = max(i[0] for i in infos)
     total_events = sum(i[1] for i in infos)
+    timings["meta"] = time.perf_counter() - t0
 
-    # Driver-side static schema derivation (cheap footer reads): unify the
-    # (possibly evolved) segment schemas, schema-walk them flat, and align
-    # every batch to the unified target BEFORE the shuffle so all blocks
-    # share one schema regardless of which segment they came from.
+    # Driver-side static schema derivation (from the footers just read):
+    # unify the (possibly evolved) segment schemas, schema-walk them flat,
+    # and align every batch to the unified target BEFORE the shuffle so all
+    # blocks share one schema regardless of which segment they came from.
     from raycdc.record_flatten import derive_flat_schema
 
-    uni = unify([pq.read_schema(p) for p in paths])
+    uni = unify([i[2] for i in infos])
     flat_schema = derive_flat_schema(uni)
     flat_schema = pa.schema(
         [pa.field(f.name.split(".")[-1], f.type) for f in flat_schema])
@@ -209,7 +220,11 @@ def apply_changelog(
         base_files = {int(pid): manifest.partition_files(pid)
                       for pid in manifest.partitions}
     merge = MergePartition(lake_dir, version, base_files, new_epochs)
-    rows = _partitioned_merge(combined, merge, num_partitions)
+    t_plan = time.perf_counter()
+    timings["plan"] = t_plan - t0 - timings["meta"]
+    rows, drain_s = _partitioned_merge(combined, merge, num_partitions)
+    timings["drain"] = drain_s
+    timings["merge"] = time.perf_counter() - t_plan - drain_s
 
     partitions = dict(manifest.partitions) if manifest else {}
     for r in rows:
@@ -231,12 +246,14 @@ def apply_changelog(
     if not crash_before_commit:
         commit_manifest(lake_dir, new_manifest)
     dt = time.perf_counter() - t0
+    timings["commit"] = dt - sum(timings.values())
     return {
         "events": int(total_events),
         "seconds": dt,
         "epochs": new_epochs,
         "partitions": len(rows),
         "events_per_sec": (total_events / dt) if dt > 0 else 0.0,
+        "timings": {k: round(v, 3) for k, v in timings.items()},
     }
 
 
@@ -275,7 +292,7 @@ def _merge_task(merge: "MergePartition", pid: int, *slices) -> dict:
 
 
 def _partitioned_merge(combined: ray.data.Dataset, merge: "MergePartition",
-                       num_partitions: int) -> list[dict]:
+                       num_partitions: int) -> tuple[list[dict], float]:
     """Manual hash shuffle: the Dataset API's groupby imposes a sort-based
     shuffle (sample + sort + barrier + extra copies); an upsert merge only
     needs *partitioning*. Each combined block is split into its partitions
@@ -285,6 +302,7 @@ def _partitioned_merge(combined: ray.data.Dataset, merge: "MergePartition",
     precisely because the semantics (partition, don't order) aren't
     expressible without paying for a sort.
     """
+    t0 = time.perf_counter()
     split = _split_block.options(num_returns=num_partitions)
     per_block = []
     chunk: list = []
@@ -309,11 +327,12 @@ def _partitioned_merge(combined: ray.data.Dataset, merge: "MergePartition",
             if len(chunk) >= chunk_size:
                 flush_chunk()
     flush_chunk()
+    drain_s = time.perf_counter() - t0
     merge_refs = []
     for pid in range(num_partitions):
         slices = [refs[pid] for refs in per_block]
         merge_refs.append(_merge_task.remote(merge, pid, *slices))
-    return [r for r in ray.get(merge_refs) if r is not None]
+    return [r for r in ray.get(merge_refs) if r is not None], drain_s
 
 
 @ray.remote

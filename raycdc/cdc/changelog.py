@@ -49,6 +49,12 @@ class ChangelogSpec:
     ts_jitter_s: int = 3600      # warc_ts jitter: out-of-order window
     text_repeat: int = 4         # text length multiplier
     evolve_from_epoch: Optional[int] = None  # add page.content.title from here
+    # Parquet row groups are the unit of read parallelism: a segment written
+    # as one giant row group caps the scan at one task per file no matter how
+    # many CPUs the cluster has. 64k-row groups let override_num_blocks split
+    # each segment across the pool (real binlog writers flush small row
+    # groups for exactly this reason).
+    row_group_size: int = 65536
 
 
 def page_struct_type(with_title: bool = False) -> pa.StructType:
@@ -195,7 +201,7 @@ def generate_changelog(out_dir: str, spec: ChangelogSpec) -> list[str]:
             # schema (not just null values): real column-add evolution.
             seg = _drop_content_title(seg)
         tmp = path + ".tmp"
-        pq.write_table(seg, tmp)
+        pq.write_table(seg, tmp, row_group_size=spec.row_group_size)
         os.replace(tmp, path)
     with open(done, "w") as f:
         f.write(f"{spec}\n")

@@ -62,6 +62,7 @@ def partition_map(
     fn: Callable[[pa.Table], pa.Table],
     *,
     drop_partition_col: bool = True,
+    empty_schema: Optional[pa.Schema] = None,
 ) -> ray.data.Dataset:
     """Hash-partition ``ds`` by an existing int partition-id column and apply
     ``fn`` once per partition (the partition's rows concatenated into one
@@ -88,5 +89,7 @@ def partition_map(
     counts = ray.get(count_refs)
     live = [r for r, n in zip(table_refs, counts) if n]
     if not live:
+        if empty_schema is not None:
+            return ray.data.from_arrow(empty_schema.empty_table())
         return ray.data.from_items([])
     return ray.data.from_arrow_refs(live)
