@@ -378,8 +378,80 @@ def _q_simhash(sf_dir: str):
 
 
 def _q_embed_dups(sf_dir: str):
+    """Embedding near-dup pairs over the corpus plus deterministic planted
+    duplicates (exact copies of vec_id < 50 under id + 10_000_000).
+
+    The raw embeddings fixture has NO near-dup pairs at any sane threshold
+    (max off-diagonal cosine ≈ 0.5–0.6), so the un-planted query validated
+    nothing. With planted exact copies the decision boundary is huge (planted
+    cosine ≈ 1.0 vs background ≤ 0.6), the LSH always co-buckets identical
+    vectors, and the whole pair set is SQL-expressible — the DuckDB oracle
+    recomputes it with an exact cross-join cosine."""
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_dup_pairs(emb, threshold=0.99)
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": pc.cast(t["vec_id"], pa.int64()),
+                         "embedding": t["embedding"]})
+
+    def plant(t: pa.Table) -> pa.Table:
+        c = t.filter(pc.less(t["vec_id"], 50))
+        return pa.table({
+            "vec_id": pc.add(pc.cast(c["vec_id"], pa.int64()), 10_000_000),
+            "embedding": c["embedding"]})
+
+    both = emb.map_batches(base, batch_format="pyarrow").union(
+        emb.map_batches(plant, batch_format="pyarrow"))
+    out = embedding_dup_pairs(both, threshold=0.9)
+    return out.select_columns(["id_a", "id_b"])
+
+
+def _q_ann_ivf_full(sf_dir: str):
+    """IVF at nprobe == nlist probes every cell and is exactly brute force —
+    checked against the same SQL oracle as ``ann_topk`` (the accuracy knob's
+    endpoint is proven equivalent, not just claimed)."""
+    from raycdc.ops.ann import ivf_topk
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(emb, _load_queries_emb(sf_dir), k=10, nlist=16, nprobe=16,
+                   round_to=4)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def _q_bpe_token_count(sf_dir: str):
+    from raycdc.ops.text import add_bpe_token_count
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return add_bpe_token_count(docs).select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def _q_window_sliding(sf_dir: str):
+    from raycdc.ops.window import sliding_window
+
+    ev = _rp(sf_dir, "events", ["ts", "event_type"])
+    return sliding_window(ev, ts_col="ts", key_cols=["event_type"],
+                          window="1h", slide="30m", count_name="n")
+
+
+def _q_join_semi(sf_dir: str):
+    """Customers with at least one order (left-semi join)."""
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _rp(sf_dir, "orders", ["o_custkey"])
+    return hash_join(cust, orders, on=["c_custkey"], right_on=["o_custkey"],
+                     join_type="left_semi", num_partitions=16)
+
+
+def _q_join_anti(sf_dir: str):
+    """Customers with no URGENT-priority order (left-anti join; the right
+    side is filtered first so the result is non-empty on this fixture —
+    every customer has at least one order of SOME priority)."""
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow")
+    return hash_join(cust, urgent, on=["c_custkey"], right_on=["o_custkey"],
+                     join_type="left_anti", num_partitions=16)
 
 
 def _q_multimodal(sf_dir: str):
@@ -446,6 +518,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_full": _q_ann_ivf_full,
+        "bpe_token_count": _q_bpe_token_count,
+        "window_sliding": _q_window_sliding,
+        "join_semi": _q_join_semi,
+        "join_anti": _q_join_anti,
         "quality": _q_quality,
         "quality_oracle": _q_quality_oracle,
         "langid": _q_langid,
@@ -459,6 +536,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_session": _q_window_session,
         "explode_embeddings": _q_explode_embeddings,
     }
+
+
+# Shared by ann_topk and ann_ivf_full (IVF at nprobe == nlist IS brute force).
+_ANN_TOPK_SQL = """
+    WITH q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.qid AS query_id, e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS c
+        FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -562,22 +660,47 @@ def oracle_sql() -> dict[str, str]:
                 CAST(greatest(c_en, c_de, c_fr, c_es, c_ja) AS DOUBLE)
                     / greatest(n_tok, 1) AS lang_conf
             FROM c""",
-        "ann_topk": """
-            WITH q AS (
-                SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-                FROM embeddings WHERE vec_id < 5
-            ),
-            scored AS (
-                SELECT q.qid AS query_id, e.vec_id,
-                       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS c
-                FROM embeddings e CROSS JOIN q
-            ),
-            ranked AS (
-                SELECT query_id, vec_id,
-                       row_number() OVER (
-                           PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
-                FROM scored
+        "ann_ivf_full": _ANN_TOPK_SQL,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+                   AS n_bpe_tokens
+            FROM documents""",
+        "window_sliding": """
+            WITH w AS (
+                SELECT event_type,
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800) AS ws
+                FROM events
+                UNION ALL
+                SELECT event_type,
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800)
+                           - INTERVAL 30 MINUTES
+                FROM events
             )
-            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
-            FROM ranked WHERE rank <= 10""",
+            SELECT event_type, CAST(ws AT TIME ZONE 'UTC' AS TIMESTAMP)
+                       AS window_start,
+                   count(*) AS n
+            FROM w GROUP BY event_type, ws""",
+        "join_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "join_anti": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')""",
+        "embed_dup_pairs": """
+            WITH allv AS (
+                SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding
+                FROM embeddings
+                UNION ALL
+                SELECT CAST(vec_id AS BIGINT) + 10000000, embedding
+                FROM embeddings WHERE vec_id < 50
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.9""",
+        "ann_topk": _ANN_TOPK_SQL,
     }

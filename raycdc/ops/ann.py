@@ -139,10 +139,12 @@ class IvfScorer:
     centroid; score it only against queries whose probe list contains that
     cell. Centroids + per-query probe lists broadcast once per actor."""
 
-    def __init__(self, state_ref, vec_col: str, id_col: str, k: int):
+    def __init__(self, state_ref, vec_col: str, id_col: str, k: int,
+                 round_to: int | None = None):
         state = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
         self.centroids, self.qids, self.qunit, self.probe = state
         self.vec_col, self.id_col, self.k = vec_col, id_col, k
+        self.round_to = round_to
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t[self.id_col].to_numpy(zero_copy_only=False)
@@ -159,6 +161,8 @@ class IvfScorer:
             if not m.any():
                 continue
             sims = self.qunit[qi] @ unit[m].T
+            if self.round_to is not None:
+                sims = np.round(sims, self.round_to)
             cand = _local_topk(sims, ids[m], self.k)
             out_q.append(np.full(len(cand), self.qids[qi], dtype=np.int64))
             out_id.append(ids[m][cand])
@@ -183,6 +187,7 @@ def ivf_topk(
     nprobe: int = 4,
     train_size: int = 10_000,
     seed: int = 41,
+    round_to: int | None = None,
     concurrency=(1, 8),
     batch_size: int = 8192,
 ) -> ray.data.Dataset:
@@ -203,7 +208,7 @@ def ivf_topk(
     state_ref = ray.put((centroids, qids.astype(np.int64), qunit, probe))
 
     cand = ds.map_batches(
-        IvfScorer, fn_constructor_args=(state_ref, vec_col, id_col, k),
+        IvfScorer, fn_constructor_args=(state_ref, vec_col, id_col, k, round_to),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
 
     def final_topk(t: pa.Table) -> pa.Table:

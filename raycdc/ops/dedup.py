@@ -2,15 +2,30 @@
 
 - :func:`exact_dedup` — hash-partitioned exact dedup (keep min id per text)
 - :func:`minhash_lsh_pairs` — MinHash + LSH banding near-dup candidate pairs
-  with Jaccard verification (shingle → minhash → band → bucket groupby)
+  with Jaccard verification (shingle → minhash → band → bucket shuffle)
 - :func:`simhash_pairs` — 64-bit SimHash near-dup pairs via band buckets +
   Hamming verification
 - :func:`embedding_dup_pairs` — cosine near-dup pairs over an embedding
-  column, LSH-bucketed (random hyperplane signs) with exact verification
+  column, multi-table LSH-bucketed with exact verification
 
-All shuffle work happens on small derived keys (hashes / band signatures),
-never on full text; the per-batch signature computation is numpy-vectorized
-and the per-bucket verification is bounded by bucket size.
+Scale shape (the parts that must survive a 100 TB corpus):
+
+- Shuffle payloads are small derived keys. The MinHash band exchange ships
+  ``(id, band, band_hash)`` ONLY — 24 bytes/row — never the 64-permutation
+  signature (banding would otherwise duplicate the signature ``bands``
+  times through the shuffle). Signatures rejoin candidate pairs by id
+  afterwards (two hash joins over the much smaller pair set).
+- Per-bucket pair generation is BOUNDED. All-pairs is used only up to
+  ``pair_cap`` rows per bucket; an oversized (degenerate) bucket — empty
+  strings, boilerplate, near-identical vectors, guaranteed at web scale —
+  falls back to a sorted neighbor-window scan: O(n·window) pairs instead of
+  O(n²). Duplicate-cluster *connectivity* is preserved (rows of one cluster
+  sort adjacent, so consecutive pairs chain the whole cluster for a
+  union-find consumer); the exhaustive pair list inside a huge cluster is
+  deliberately NOT materialized — it is itself O(n²) output.
+- All exchanges are partition-only (``raycdc.shuffle.partition_map`` — no
+  sort barrier), and per-partition work is one vectorized pass over sorted
+  segments, not a Python call per key/bucket.
 """
 
 from __future__ import annotations
@@ -20,7 +35,15 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from raycdc.shuffle import partition_map
+
 _B = "__rcdc_db"
+
+PAIR_CAP = 256        # all-pairs up to this bucket size (≤ ~32k pairs)
+NEIGHBOR_WINDOW = 8   # oversized buckets: each row vs its next W neighbors
+
+_PAIR_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_PAIR_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
 def _text_hash(texts: pd.Series) -> np.ndarray:
@@ -43,15 +66,74 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
         return t.append_column(_B, pa.array((h % num_partitions).astype(np.int64)))
 
     def dedup_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop(columns=[_B])
+        df = t.to_pandas()
         df = df.sort_values(id_col, kind="stable",
                             ascending=(keep == "min"))
         df = df.drop_duplicates(subset=[text_col], keep="first")
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    return (ds.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby(_B)
-            .map_groups(dedup_bucket, batch_format="pyarrow"))
+    return partition_map(ds.map_batches(add_bucket, batch_format="pyarrow"),
+                         _B, num_partitions, dedup_bucket)
+
+
+def _bounded_pairs(n: int, cap: int, window: int) -> tuple[np.ndarray, np.ndarray]:
+    """Local pair indices (ia, ib), ia < ib, for one bucket of ``n`` rows.
+
+    ``n <= cap``: exhaustive. Else: neighbor window over the caller's sort
+    order — O(n·window) pairs, never O(n²). The caller sorts the bucket so
+    that near-duplicates are adjacent (by id for exact-collision buckets, by
+    a projection for embeddings).
+    """
+    if n < 2:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    if n <= cap:
+        ia, ib = np.triu_indices(n, k=1)
+        return ia.astype(np.int64), ib.astype(np.int64)
+    offs = np.arange(1, window + 1, dtype=np.int64)
+    ia = np.repeat(np.arange(n, dtype=np.int64), window)
+    ib = ia + np.tile(offs, n)
+    m = ib < n
+    return ia[m], ib[m]
+
+
+def _segment_bounds(*sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of equal-key runs in already-sorted key arrays."""
+    n = len(sorted_keys[0])
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for k in sorted_keys:
+        new[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(new)
+    return starts, np.append(starts[1:], n)
+
+
+def _pair_bucket(id_a: np.ndarray, id_b: np.ndarray,
+                 num_partitions: int) -> np.ndarray:
+    mix = (id_a.astype(np.uint64) * _PAIR_MIX_A
+           ^ id_b.astype(np.uint64) * _PAIR_MIX_B)
+    return (mix % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _distinct_pairs(ds: ray.data.Dataset, schema: pa.Schema,
+                    num_partitions: int) -> ray.data.Dataset:
+    """Global distinct on (id_a, id_b): pair-hash partition + one vectorized
+    drop_duplicates per partition (a pair can surface from several bands /
+    tables). No per-key Python calls, no sort shuffle."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _pair_bucket(t["id_a"].to_numpy(zero_copy_only=False),
+                         t["id_b"].to_numpy(zero_copy_only=False),
+                         num_partitions)
+        return t.append_column(_B, pa.array(b))
+
+    def dedup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["id_a", "id_b"], kind="stable")
+        df = df.drop_duplicates(subset=["id_a", "id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+
+    return partition_map(ds.map_batches(add_bucket, batch_format="pyarrow"),
+                         _B, num_partitions, dedup, empty_schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -104,6 +186,38 @@ class MinHasher:
         })
 
 
+def _sig_matrix(col, num_perm: int) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.view(np.uint64).reshape(-1, num_perm)
+
+
+def _sig_as_binary(sig_col, num_perm: int) -> pa.Array:
+    """fixed_size_list<int64>[P] → binary (Acero joins reject nested
+    non-key fields; an opaque byte blob passes through fine)."""
+    mat = _sig_matrix(sig_col, num_perm)
+    n = len(mat)
+    width = num_perm * 8
+    offsets = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, offsets.buffers()[1], pa.py_buffer(mat.tobytes())])
+
+
+def _binary_sig_matrix(col, num_perm: int) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    width = num_perm * 8
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                         count=len(arr) + 1, offset=arr.offset * 4)
+    values = arr.buffers()[2]
+    if len(arr) and (np.diff(offs) == width).all():
+        flat = np.frombuffer(values, dtype=np.uint8,
+                             count=len(arr) * width, offset=int(offs[0]))
+        return flat.view(np.uint64).reshape(-1, num_perm)
+    return np.stack([np.frombuffer(x.as_py(), np.uint64) for x in arr]) \
+        if len(arr) else np.empty((0, num_perm), np.uint64)
+
+
 def minhash_lsh_pairs(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -114,13 +228,20 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.7,
     concurrency=None,
+    num_partitions: int = 32,
+    pair_cap: int = PAIR_CAP,
+    window: int = NEIGHBOR_WINDOW,
 ) -> ray.data.Dataset:
-    """Near-duplicate candidate pairs with estimated Jaccard >= threshold.
+    """Near-duplicate pairs with estimated Jaccard >= threshold.
 
-    signature → split into ``bands`` bands → (band_id, band_hash) bucket
-    groupby → pairs within bucket → verify with full-signature estimated
-    Jaccard → distinct (id_a < id_b, est_jaccard) rows.
+    signature → per band, ``(id, band, band_hash)`` 24-byte rows → bucket
+    partition exchange → bounded candidate pairs per bucket → global
+    distinct → signatures rejoin by id (two hash joins over the pair set,
+    NOT a signature broadcast through the banding shuffle) → estimated
+    Jaccard filter. Output: (id_a, id_b, est_jaccard), id_a < id_b.
     """
+    from raycdc.joins import hash_join
+
     rows_per_band = num_perm // bands
     if concurrency:
         sigs = ds.map_batches(
@@ -130,66 +251,94 @@ def minhash_lsh_pairs(
     else:
         sigs = ds.map_batches(MinHasher(text_col, id_col, num_perm, shingle_k),
                               batch_format="pyarrow")
+    sigs = sigs.materialize()  # reused below for the verification joins
 
     def explode_bands(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "band": pa.array([], pa.int32()),
+                          "bh": pa.array([], pa.int64()),
+                          _B: pa.array([], pa.int64())})
         if n == 0:
-            return pa.table({id_col: pa.array([], t[id_col].type),
-                             "band": pa.array([], pa.int32()),
-                             "bh": pa.array([], pa.int64()),
-                             "sig": pa.array([], t["sig"].type)})
-        sig = np.stack([np.asarray(x) for x in t["sig"].to_numpy(zero_copy_only=False)])
-        sig = sig.astype(np.uint64)
+            return empty
+        sig = _sig_matrix(t["sig"], num_perm)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        out_ids, out_band, out_bh, keep_idx = [], [], [], []
+        out_ids, out_band, out_bh = [], [], []
         for b in range(bands):
             chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
             bh = pd.util.hash_pandas_object(
-                pd.DataFrame(chunk), index=False).to_numpy()
+                pd.DataFrame(chunk), index=False).to_numpy().view(np.int64)
             out_ids.append(ids)
             out_band.append(np.full(n, b, dtype=np.int32))
-            out_bh.append(bh.view(np.int64))
-            keep_idx.append(np.arange(n))
-        idx = pa.array(np.concatenate(keep_idx))
+            out_bh.append(bh)
+        band_arr = np.concatenate(out_band)
+        bh_arr = np.concatenate(out_bh)
+        bucket = _pair_bucket(band_arr.astype(np.int64), bh_arr,
+                              num_partitions)
         return pa.table({
             id_col: pa.array(np.concatenate(out_ids)),
-            "band": pa.array(np.concatenate(out_band)),
-            "bh": pa.array(np.concatenate(out_bh)),
-            "sig": t["sig"].take(idx),
+            "band": pa.array(band_arr),
+            "bh": pa.array(bh_arr),
+            _B: pa.array(bucket),
         })
 
     exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
-    def pairs_in_bucket(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "est_jaccard": pa.array([], pa.float64())})
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        sig = np.stack([np.asarray(x) for x in
-                        t["sig"].to_numpy(zero_copy_only=False)])[order]
-        # unique ids only (same doc may appear via several bands → same bucket
-        # impossible since bucket includes band id, but duplicate input ids
-        # are possible)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        est = (sig[ia] == sig[ib]).mean(axis=1)
+    cand_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = t["bh"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bh, band))
+        ids, band, bh = ids[order], band[order], bh[order]
+        starts, ends = _segment_bounds(band, bh)
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            if n < 2:
+                continue
+            ia, ib = _bounded_pairs(n, pair_cap, window)
+            out_a.append(ids[s + ia])
+            out_b.append(ids[s + ib])
+        if not out_a:
+            return cand_schema.empty_table()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        m = a != b  # duplicate input ids can land in one bucket twice
+        df = pd.DataFrame({"id_a": a[m], "id_b": b[m]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).cast(cand_schema)
+
+    cand = partition_map(exploded, _B, num_partitions, bucket_pairs,
+                         empty_schema=cand_schema)
+    cand = _distinct_pairs(cand, cand_schema, num_partitions)
+
+    # Verification: signatures rejoin the (deduped, small) pair set by id.
+    def rename(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({f"id_{side}": t[id_col],
+                             f"sig_{side}": _sig_as_binary(t["sig"], num_perm)})
+        return fn
+
+    joined = hash_join(cand, sigs.map_batches(rename("a"), batch_format="pyarrow"),
+                       on=["id_a"], num_partitions=num_partitions)
+    joined = hash_join(joined, sigs.map_batches(rename("b"), batch_format="pyarrow"),
+                       on=["id_b"], num_partitions=num_partitions)
+
+    def verify(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                                ("est_jaccard", pa.float64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        sa = _binary_sig_matrix(t["sig_a"], num_perm)
+        sb = _binary_sig_matrix(t["sig_b"], num_perm)
+        est = (sa == sb).mean(axis=1)
         m = est >= threshold
-        ia, ib, est = ia[m], ib[m], est[m]
-        return pa.table({"id_a": pa.array(ids[ia], pa.int64()),
-                         "id_b": pa.array(ids[ib], pa.int64()),
-                         "est_jaccard": pa.array(est, pa.float64())})
+        return pa.table({"id_a": t["id_a"].filter(pa.array(m)),
+                         "id_b": t["id_b"].filter(pa.array(m)),
+                         "est_jaccard": pa.array(est[m], pa.float64())})
 
-    cand = exploded.groupby(["band", "bh"]).map_groups(
-        pairs_in_bucket, batch_format="pyarrow")
-
-    # Distinct pairs (a pair can surface from several bands).
-    def distinct(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return cand.groupby("id_a").map_groups(distinct, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -220,12 +369,21 @@ class SimHasher:
                          "simhash": pa.array(out.view(np.int64))})
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(
+        axis=1).astype(np.int64)
+
+
 def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", *, max_hamming: int = 3,
-                  concurrency=None) -> ray.data.Dataset:
+                  concurrency=None, num_partitions: int = 32,
+                  pair_cap: int = PAIR_CAP,
+                  window: int = NEIGHBOR_WINDOW) -> ray.data.Dataset:
     """Near-dup pairs with Hamming distance <= max_hamming between 64-bit
     SimHashes. Banding: 4 x 16-bit chunks — any pair within distance 3 shares
-    at least one exact chunk (pigeonhole), so bucket by (chunk_id, chunk)."""
+    at least one exact chunk (pigeonhole), so bucket by (chunk_id, chunk).
+    Bucket pair generation is bounded (``pair_cap``/``window``); the 8-byte
+    simhash rides the shuffle for in-place Hamming verification."""
     if concurrency:
         sigs = ds.map_batches(SimHasher, fn_constructor_args=(text_col, id_col),
                               batch_format="pyarrow", concurrency=concurrency)
@@ -240,41 +398,47 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
         parts = []
         for c in range(4):
             chunk = ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            bucket = _pair_bucket(np.full(n, c, dtype=np.int64), chunk,
+                                  num_partitions)
             parts.append(pa.table({
                 id_col: pa.array(ids), "chunk_id": pa.array(np.full(n, c, np.int32)),
-                "chunk": pa.array(chunk), "simhash": t["simhash"]}))
-        return pa.concat_tables(parts) if parts else t
+                "chunk": pa.array(chunk), "simhash": t["simhash"],
+                _B: pa.array(bucket)}))
+        return pa.concat_tables(parts)
 
-    def pairs(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("hamming", pa.int64())])
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = t["chunk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = t["chunk"].to_numpy(zero_copy_only=False)
         sh = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids, sh = ids[order], sh[order]
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = sh[ia] ^ sh[ib]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for s in range(0, 64, 8):
-            ham += np.unpackbits(((x >> np.uint64(s)) & np.uint64(0xFF))
-                                 .astype(np.uint8)[:, None],
-                                 axis=1).sum(axis=1).astype(np.int64)
+        order = np.lexsort((ids, chunk, cid))
+        ids, cid, chunk, sh = ids[order], cid[order], chunk[order], sh[order]
+        starts, ends = _segment_bounds(cid, chunk)
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            if n < 2:
+                continue
+            ia, ib = _bounded_pairs(n, pair_cap, window)
+            out_a.append(s + ia)
+            out_b.append(s + ib)
+        if not out_a:
+            return out_schema.empty_table()
+        ia = np.concatenate(out_a)
+        ib = np.concatenate(out_b)
+        ham = _popcount64(sh[ia] ^ sh[ib])
         m = (ham <= max_hamming) & (ids[ia] != ids[ib])
-        return pa.table({"id_a": pa.array(ids[ia][m], pa.int64()),
-                         "id_b": pa.array(ids[ib][m], pa.int64()),
-                         "hamming": pa.array(ham[m], pa.int64())})
+        df = pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m],
+                           "hamming": ham[m]}).drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(out_schema)
 
-    cand = sigs.map_batches(explode, batch_format="pyarrow") \
-               .groupby(["chunk_id", "chunk"]) \
-               .map_groups(pairs, batch_format="pyarrow")
-
-    def distinct(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return cand.groupby("id_a").map_groups(distinct, batch_format="pyarrow")
+    cand = partition_map(sigs.map_batches(explode, batch_format="pyarrow"),
+                         _B, num_partitions, bucket_pairs,
+                         empty_schema=out_schema)
+    return _distinct_pairs(cand, out_schema, num_partitions)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -292,40 +456,82 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
                         id_col: str = "vec_id", *, threshold: float = 0.95,
-                        num_planes: int = 8, seed: int = 17) -> ray.data.Dataset:
-    """Cosine near-dup pairs: LSH-bucket by random-hyperplane sign bits, then
-    exact cosine verification within each bucket (numpy matmul)."""
+                        num_planes: int = 16, num_tables: int = 2,
+                        seed: int = 17, num_partitions: int = 32,
+                        pair_cap: int = PAIR_CAP,
+                        window: int = NEIGHBOR_WINDOW) -> ray.data.Dataset:
+    """Cosine near-dup pairs: multi-table random-hyperplane LSH buckets +
+    exact cosine verification within each bucket.
 
-    def add_bucket(t: pa.Table) -> pa.Table:
+    ``num_planes=16`` gives 65 536 buckets per table (not 256 — a small
+    bucket count makes every bucket a quadratic all-pairs at corpus scale);
+    ``num_tables`` independent plane sets recover pairs a single table's
+    unlucky cut would split. Oversized buckets fall back to the neighbor
+    window over a fixed projection, so even a degenerate all-identical
+    corpus stays O(n·window). Output: (id_a, id_b, cosine), id_a < id_b.
+    """
+
+    def add_buckets(t: pa.Table) -> pa.Table:
         vecs = np.stack([np.asarray(v, dtype=np.float64)
                          for v in t[vec_col].to_pylist()])
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((vecs.shape[1], num_planes))
-        signs = (vecs @ planes) > 0
-        bucket = np.packbits(signs, axis=1, bitorder="little")[:, 0].astype(np.int64)
-        return pa.table({id_col: t[id_col], vec_col: t[vec_col],
-                         "bucket": pa.array(bucket)})
+        parts = []
+        n = t.num_rows
+        for tb in range(num_tables):
+            rng = np.random.default_rng(seed + tb)
+            planes = rng.standard_normal((vecs.shape[1], num_planes))
+            packed = np.packbits((vecs @ planes) > 0, axis=1,
+                                 bitorder="little").astype(np.int64)
+            mult = 256 ** np.arange(packed.shape[1], dtype=np.int64)
+            bucket = packed @ mult
+            pb = _pair_bucket(np.full(n, tb, dtype=np.int64), bucket,
+                              num_partitions)
+            parts.append(pa.table({
+                id_col: t[id_col], vec_col: t[vec_col],
+                "table_id": pa.array(np.full(n, tb, np.int32)),
+                "bucket": pa.array(bucket), _B: pa.array(pb)}))
+        return pa.concat_tables(parts)
 
-    def pairs(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("cosine", pa.float64())])
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tb = t["table_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False)
         vecs = np.stack([np.asarray(v, dtype=np.float64)
-                         for v in t[vec_col].to_pylist()])[order]
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
+                         for v in t[vec_col].to_pylist()])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
-        sim = unit @ unit.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        m = sim[ia, ib] >= threshold
-        return pa.table({"id_a": pa.array(ids[ia][m], pa.int64()),
-                         "id_b": pa.array(ids[ib][m], pa.int64()),
-                         "cosine": pa.array(sim[ia, ib][m], pa.float64())})
+        # fixed projection orders near-identical vectors adjacently so the
+        # neighbor-window fallback still chains duplicate clusters
+        proj_dir = np.random.default_rng(seed + 1000).standard_normal(
+            vecs.shape[1])
+        proj = unit @ proj_dir
+        order = np.lexsort((ids, proj, bucket, tb))
+        ids, tb, bucket, unit = ids[order], tb[order], bucket[order], unit[order]
+        starts, ends = _segment_bounds(tb, bucket)
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            if n < 2:
+                continue
+            ia, ib = _bounded_pairs(n, pair_cap, window)
+            out_a.append(s + ia)
+            out_b.append(s + ib)
+        if not out_a:
+            return out_schema.empty_table()
+        ia = np.concatenate(out_a)
+        ib = np.concatenate(out_b)
+        cos = np.einsum("ij,ij->i", unit[ia], unit[ib])
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        m = (cos >= threshold) & (lo != hi)
+        df = pd.DataFrame({"id_a": lo[m], "id_b": hi[m],
+                           "cosine": cos[m]}).drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(out_schema)
 
-    return (ds.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(pairs, batch_format="pyarrow"))
+    cand = partition_map(ds.map_batches(add_buckets, batch_format="pyarrow"),
+                         _B, num_partitions, bucket_pairs,
+                         empty_schema=out_schema)
+    return _distinct_pairs(cand, out_schema, num_partitions)

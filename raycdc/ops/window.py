@@ -54,9 +54,17 @@ def tumbling_window(
         return t.append_column(window_col, col)
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
-    return grouped_aggregate(assigned, key_cols + [window_col], sums=sums,
-                             means=means, mins=mins, maxs=maxs,
-                             count_name=count_name)
+    out = grouped_aggregate(assigned, key_cols + [window_col], sums=sums,
+                            means=means, mins=mins, maxs=maxs,
+                            count_name=count_name)
+
+    def fix_unit(t: pa.Table) -> pa.Table:
+        # the pandas leg of the aggregate can narrow second-aligned window
+        # starts to timestamp[s]; pin the engine-wide µs unit
+        i = t.column_names.index(window_col)
+        return t.set_column(i, window_col, t[window_col].cast(pa.timestamp("us")))
+
+    return out.map_batches(fix_unit, batch_format="pyarrow")
 
 
 def sliding_window(
@@ -95,8 +103,16 @@ def sliding_window(
             window_col, pa.array(starts).cast(pa.timestamp("us")))
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
-    return grouped_aggregate(assigned, key_cols + [window_col], sums=sums,
-                             count_name=count_name)
+    out = grouped_aggregate(assigned, key_cols + [window_col], sums=sums,
+                            count_name=count_name)
+
+    def fix_unit(t: pa.Table) -> pa.Table:
+        # the pandas leg of the aggregate can narrow second-aligned window
+        # starts to timestamp[s]; pin the engine-wide µs unit
+        i = t.column_names.index(window_col)
+        return t.set_column(i, window_col, t[window_col].cast(pa.timestamp("us")))
+
+    return out.map_batches(fix_unit, batch_format="pyarrow")
 
 
 def session_window(

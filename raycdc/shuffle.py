@@ -28,6 +28,10 @@ def _split_by_column(block: pa.Table, col: str, num_partitions: int,
                      drop_col: bool) -> tuple:
     """Split one block by an int64 partition-id column (values must already
     be in [0, P)); one return object per partition."""
+    if block.num_rows == 0 or col not in block.column_names:
+        # Ray Data can emit schema-less empty blocks (e.g. a union branch
+        # whose map produced no rows); nothing to route.
+        return tuple([None] * num_partitions)
     pids = block[col].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(pids, kind="stable")
     sorted_block = block.take(pa.array(order))

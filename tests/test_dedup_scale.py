@@ -1,0 +1,132 @@
+"""Ground-truth recall gates + degenerate-bucket bounds for the near-dup
+family (VERDICT.md round-1 items 1-3).
+
+- MinHash LSH recall is measured against the EXACT char-5-gram Jaccard
+  ground truth over the sf0.001 documents (28 true pairs at j >= 0.9).
+- SimHash banding is exhaustively verified: 4x16-bit pigeonhole banding has
+  recall 1 by construction at Hamming <= 3, so the distributed output must
+  EQUAL the brute-force pair set.
+- A degenerate corpus (thousands of identical docs — guaranteed at web
+  scale) must complete in O(n·window), not O(n²), while keeping every
+  duplicate cluster CONNECTED in the emitted pair graph (a union-find
+  consumer recovers the same clusters without the quadratic pair list).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from raycdc.ops.dedup import (
+    NEIGHBOR_WINDOW,
+    MinHasher,
+    SimHasher,
+    embedding_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_pairs,
+)
+
+
+def to_table(ds) -> pa.Table:
+    tabs = list(ds.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(tabs) if tabs else pa.table({})
+
+
+def _docs(sf_dir):
+    import pyarrow.parquet as pq
+    return pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+
+def test_minhash_recall_vs_exact_jaccard(sf_dir):
+    t = _docs(sf_dir)
+    texts = t["text"].to_pylist()
+    ids = t["doc_id"].to_pylist()
+    truth = set()
+    shingles = [{(s or "")[i:i + 5] for i in range(max(1, len(s or "") - 4))}
+                for s in texts]
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = shingles[i] & shingles[j]
+            if not inter:
+                continue
+            if len(inter) / len(shingles[i] | shingles[j]) >= 0.9:
+                truth.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert truth, "fixture must contain true near-dup pairs"
+
+    out = to_table(minhash_lsh_pairs(ray.data.from_arrow(t), threshold=0.7))
+    got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9 ({truth - got})"
+
+
+def test_simhash_equals_brute_force(sf_dir):
+    t = _docs(sf_dir)
+    sigs = SimHasher("text", "doc_id")(t)
+    ids = sigs["doc_id"].to_numpy(zero_copy_only=False)
+    sh = sigs["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    x = sh[ia] ^ sh[ib]
+    ham = np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1)
+    m = ham <= 3
+    truth = set(zip(np.minimum(ids[ia][m], ids[ib][m]).tolist(),
+                    np.maximum(ids[ia][m], ids[ib][m]).tolist()))
+
+    out = to_table(simhash_pairs(ray.data.from_arrow(t), max_hamming=3))
+    got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    # 4x16-bit pigeonhole banding: recall is EXACTLY 1 at Hamming <= 3
+    assert got == truth
+
+
+class _UnionFind:
+    def __init__(self, keys):
+        self.p = {k: k for k in keys}
+
+    def find(self, x):
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        self.p[self.find(a)] = self.find(b)
+
+
+@pytest.mark.parametrize("op", ["minhash", "simhash", "embedding"])
+def test_degenerate_bucket_is_bounded_and_connected(op):
+    # two duplicate clusters of 2.5k identical rows each: the old all-pairs
+    # bucket kernel would generate ~3M+ comparisons per band here; the
+    # bounded kernel emits O(n·window) pairs yet must keep each cluster
+    # connected (same clusters under union-find, no quadratic output).
+    n_per = 2500
+    n = 2 * n_per
+    ids = list(range(n))
+    if op == "embedding":
+        vec_a, vec_b = [1.0] * 16, ([1.0] * 8 + [-1.0] * 8)
+        t = pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([vec_a] * n_per + [vec_b] * n_per,
+                                  pa.list_(pa.float64()))})
+        out = to_table(embedding_dup_pairs(
+            ray.data.from_arrow(t), threshold=0.99))
+    else:
+        text_a = "the quick brown fox jumps over the lazy dog " * 3
+        text_b = "completely different content about databases and rays " * 3
+        t = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([text_a] * n_per + [text_b] * n_per)})
+        fn = minhash_lsh_pairs if op == "minhash" else simhash_pairs
+        out = to_table(fn(ray.data.from_arrow(t)))
+
+    pairs = list(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    # bounded: nowhere near the ~n²/2 exhaustive pair count
+    bands = 16 if op == "minhash" else 4 if op == "simhash" else 2
+    assert len(pairs) <= n * NEIGHBOR_WINDOW * bands
+    uf = _UnionFind(ids)
+    for a, b in pairs:
+        uf.union(a, b)
+    roots = {uf.find(i) for i in ids}
+    assert len(roots) == 2  # the two planted clusters, fully connected
+    assert uf.find(0) == uf.find(n_per - 1)
+    assert uf.find(n_per) == uf.find(n - 1)
