@@ -218,7 +218,12 @@ class CdcEngine:
         # in-flight ingest acks (backpressure)
         routed = ds.map_batches(router, batch_format="pyarrow",
                                 concurrency=8)
+        # routed rows are post-combine (the router LWW-combines each batch
+        # before pushing); raw event count comes from the segment footers
         total = sum(r["routed"] for r in routed.take_all())
+        import pyarrow.parquet as _pq
+
+        raw_events = sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
 
         flush_rows = ray.get([a.flush.remote(version) for a in self.actors])
         watermark = max(_segment_seq_bounds(p)[1] for p in paths)
@@ -240,7 +245,8 @@ class CdcEngine:
                               self.manifest.watermark_seq if self.manifest else -1),
             partitions=partitions)
         commit_manifest(self.lake_dir, self.manifest)
-        return {"events": int(total), "epochs": epochs}
+        return {"events": int(raw_events), "routed_rows": int(total),
+                "epochs": epochs}
 
     def tail(self, epochs_per_commit: int = 1) -> dict:
         """Apply everything unapplied. ``epochs_per_commit`` trades commit

@@ -85,10 +85,13 @@ def to_versioned_rows(flat: pa.Table, op_col: str = "op") -> pa.Table:
 
 def lww_dataset(ds, key: str = "url", ts: str = "warc_ts", seq: str = "seq",
                 num_partitions: int = 32):
-    """Dataset-level LWW: per-batch combine, then a key-hash bucket shuffle
-    with one vectorized reduce per bucket. The generic 'latest row per key'
-    operator (CDC apply uses the same kernels fused with the base merge)."""
+    """Dataset-level LWW: per-batch combine, then a key-hash partition-only
+    exchange (``raycdc.shuffle.partition_map`` — no sort barrier) with one
+    vectorized reduce per bucket. The generic 'latest row per key' operator
+    (CDC apply uses the same kernels fused with the base merge)."""
     import pandas as pd
+
+    from raycdc.shuffle import partition_map
 
     bcol = "__rcdc_lb"
 
@@ -98,10 +101,10 @@ def lww_dataset(ds, key: str = "url", ts: str = "warc_ts", seq: str = "seq",
         return r.append_column(bcol, pa.array((h % num_partitions).astype("int64")))
 
     def bucket(t: pa.Table) -> pa.Table:
-        return lww_reduce(t.drop_columns([bcol]), key, ts, seq)
+        return lww_reduce(t, key, ts, seq)
 
-    return (ds.map_batches(local, batch_format="pyarrow")
-            .groupby(bcol).map_groups(bucket, batch_format="pyarrow"))
+    return partition_map(ds.map_batches(local, batch_format="pyarrow"),
+                         bcol, num_partitions, bucket)
 
 
 class LocalLwwCombiner:

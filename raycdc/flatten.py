@@ -527,22 +527,24 @@ def _dedup(ds: ray.data.Dataset, cfg: FlattenConfig, out_schema: pa.Schema,
            num_partitions: int) -> ray.data.Dataset:
     """Hash-partition rows by (parent, child, level) and merge per partition.
 
-    Implemented as an explicit bucket column + ``groupby(bucket).map_groups``
-    so each shuffle partition is handled by ONE vectorized pandas call, not a
+    Implemented as an explicit bucket column + the engine's partition-only
+    exchange (``raycdc.shuffle.partition_map`` — no sample/sort/barrier) so
+    each shuffle partition is handled by ONE vectorized pandas call, not a
     Python call per (tiny) group. Equivalent to the reference's final
     ``groupBy(parent, child, level)`` shuffle (HierarchyFlattener.java:340).
     """
+    from raycdc.shuffle import partition_map
+
     def add_bucket(t: pa.Table) -> pa.Table:
         keys = t.select([cfg.parent_field, cfg.child_field, cfg.level_field]).to_pandas()
         h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
         return t.append_column(_BUCKET_COL, pa.array((h % num_partitions).astype(np.int64)))
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby(_BUCKET_COL)
-        .map_groups(lambda t: _dedup_partition(t, cfg, out_schema),
-                    batch_format="pyarrow")
-    )
+    return partition_map(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        _BUCKET_COL, num_partitions,
+        lambda t: _dedup_partition(t, cfg, out_schema),
+        empty_schema=out_schema)
 
 
 # --------------------------------------------------------------------------

@@ -125,7 +125,16 @@ def hash_join(
             joined = joined.select(lschema.names)
         return joined
 
-    return both.groupby(_JBUCKET).map_groups(join_bucket, batch_format="pyarrow")
+    # Partition-only exchange (raycdc.shuffle): a hash join needs
+    # co-location, not ordering — Ray's groupby would pay a sample + sort +
+    # barrier for an ordering the Acero per-bucket join never looks at.
+    from raycdc.shuffle import partition_map
+
+    out_schema = lschema if semi_anti else lschema.empty_table().join(
+        rschema.empty_table(), keys=on, right_keys=right_on, join_type=verb,
+        coalesce_keys=True).schema
+    return partition_map(both, _JBUCKET, num_partitions, join_bucket,
+                         empty_schema=out_schema)
 
 
 class BroadcastJoiner:
