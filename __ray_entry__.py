@@ -113,13 +113,18 @@ def _dag_edges(sf_dir: str) -> ray.data.Dataset:
     parts of one order converge on the same (order, line) edge at level 2 —
     exercises the multi-path min(path) dedup (SURVEY.md §2.1 note 5)."""
 
+    def po_keys(t: pa.Table) -> pa.Table:
+        # distinct on the int key pair FIRST; strings are built only for the
+        # ~10x smaller surviving edge set
+        return pa.table({"pk": t["l_partkey"], "ok": t["l_orderkey"]})
+
     def po_edges(t: pa.Table) -> pa.Table:
         parent = pc.binary_join_element_wise(
-            pa.array(["P"] * t.num_rows), pc.cast(t["l_partkey"], pa.string()), "")
+            pa.array(["P"] * t.num_rows), pc.cast(t["pk"], pa.string()), "")
         child = pc.binary_join_element_wise(
-            pa.array(["O"] * t.num_rows), pc.cast(t["l_orderkey"], pa.string()), "")
+            pa.array(["O"] * t.num_rows), pc.cast(t["ok"], pa.string()), "")
         label = pc.binary_join_element_wise(
-            pa.array(["p"] * t.num_rows), pc.cast(t["l_partkey"], pa.string()), "")
+            pa.array(["p"] * t.num_rows), pc.cast(t["pk"], pa.string()), "")
         return pa.table({"parent": parent, "child": child, "label": label})
 
     def ol_edges(t: pa.Table) -> pa.Table:
@@ -133,8 +138,9 @@ def _dag_edges(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"parent": parent, "child": child, "label": label})
 
     li = _rp(sf_dir, "lineitem", ["l_partkey", "l_orderkey", "l_linenumber"])
-    po = distinct_rows(li.map_batches(po_edges, batch_format="pyarrow"),
-                       ["parent", "child"], num_partitions=16)
+    po = distinct_rows(li.map_batches(po_keys, batch_format="pyarrow"),
+                       ["pk", "ok"], num_partitions=16) \
+        .map_batches(po_edges, batch_format="pyarrow")
     ol = li.map_batches(ol_edges, batch_format="pyarrow")
     return po.union(ol)
 
@@ -367,6 +373,13 @@ def _q_fingerprint(sf_dir: str):
         ["doc_id", "fp_full", "fp_min_kgram"])
 
 
+def _q_fingerprint_md5(sf_dir: str):
+    from raycdc.ops.text import add_md5_fingerprint
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return add_md5_fingerprint(docs).select_columns(["doc_id", "fp_md5"])
+
+
 def _q_minhash(sf_dir: str):
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     return minhash_lsh_pairs(docs, threshold=0.8)
@@ -527,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_oracle": _q_quality_oracle,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
+        "fingerprint_md5": _q_fingerprint_md5,
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
         "embed_dup_pairs": _q_embed_dups,
@@ -682,6 +696,8 @@ def oracle_sql() -> dict[str, str]:
                        AS window_start,
                    count(*) AS n
             FROM w GROUP BY event_type, ws""",
+        "fingerprint_md5": """
+            SELECT doc_id, md5(text) AS fp_md5 FROM documents""",
         "join_semi": """
             SELECT c_custkey, c_name FROM customer
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",

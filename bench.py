@@ -38,19 +38,19 @@ def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             logging_config=ray.LoggingConfig(log_level="ERROR"))
 
     # The events fixture's map-typed `props` column trips Ray's schema-dedup
-    # hashing ("Failed to hash the schemas ... unhashable type: 'dict'").
-    # Harmless but floods the log and buries real warnings.
+    # hashing ("Failed to hash the schemas ... unhashable type: 'dict'",
+    # transform_pyarrow.py). Harmless but floods the log and buries real
+    # warnings; the LoggingConfig above silences workers, this silences the
+    # driver-side module logger.
     import logging
 
-    class _SchemaHashFilter(logging.Filter):
-        def filter(self, record):
-            return "Failed to hash the schemas" not in record.getMessage()
-
-    for name in ("ray.data", "ray"):
-        logging.getLogger(name).addFilter(_SchemaHashFilter())
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
+        logging.ERROR)
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False

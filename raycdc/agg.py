@@ -19,7 +19,10 @@ from ray.data.aggregate import Max, Min, Sum
 def distinct_rows(ds: ray.data.Dataset, subset: list[str],
                   num_partitions: int = 32) -> ray.data.Dataset:
     """Global DISTINCT on ``subset``: per-batch local dedup (combiner) then a
-    hash-bucket shuffle with one vectorized drop_duplicates per bucket."""
+    key-hash partition-only exchange (no sort) with one vectorized
+    drop_duplicates per bucket."""
+    from raycdc.shuffle import partition_map
+
     b = "__rcdc_du"
 
     def local(t: pa.Table) -> pa.Table:
@@ -29,11 +32,11 @@ def distinct_rows(ds: ray.data.Dataset, subset: list[str],
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def bucket_dedup(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop(columns=[b]).drop_duplicates(subset=subset)
+        df = t.to_pandas().drop_duplicates(subset=subset)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    return (ds.map_batches(local, batch_format="pyarrow")
-            .groupby(b).map_groups(bucket_dedup, batch_format="pyarrow"))
+    return partition_map(ds.map_batches(local, batch_format="pyarrow"),
+                         b, num_partitions, bucket_dedup)
 
 
 def grouped_aggregate(

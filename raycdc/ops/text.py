@@ -209,3 +209,18 @@ def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text", k: int = 8,
                               concurrency=concurrency)
     return ds.map_batches(Fingerprinter(text_col, k),
                           batch_format="pyarrow", batch_size=batch_size)
+
+
+def add_md5_fingerprint(ds: ray.data.Dataset, text_col: str = "text",
+                        out_col: str = "fp_md5") -> ray.data.Dataset:
+    """Hex-MD5 content fingerprint (cross-engine checkable: DuckDB ``md5()``
+    produces the identical digest). Complements the rolling-hash
+    fingerprints, whose polynomial scheme no SQL engine reproduces."""
+    import hashlib
+
+    def fn(t: pa.Table) -> pa.Table:
+        vals = [hashlib.md5((s or "").encode("utf-8")).hexdigest()
+                for s in t[text_col].to_pylist()]
+        return t.append_column(out_col, pa.array(vals, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
