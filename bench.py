@@ -99,6 +99,10 @@ def run_bench() -> dict:
 
     one_apply("warmup")
     headline = min(one_apply("t1"), one_apply("t2"))
+    if os.environ.get("RAYCDC_BENCH_HEADLINE_ONLY"):
+        # scaling mode: low-CPU runs have ±15% run-to-run noise on this box;
+        # a third timed run tightens the reported best
+        headline = min(headline, one_apply("t3"))
     eps = CDC_EVENTS / headline if headline > 0 else 0.0
     metrics = {"events": CDC_EVENTS}
 

@@ -7,5 +7,10 @@ lake partitions → atomic manifest commit (exactly-once, resumable).
 """
 
 from raycdc.cdc.changelog import ChangelogSpec, generate_changelog
-from raycdc.cdc.apply import apply_changelog, read_lake, oracle_final_state
+from raycdc.cdc.apply import (
+    apply_changelog,
+    compact_lake,
+    oracle_final_state,
+    read_lake,
+)
 from raycdc.cdc.sink import LakeManifest, read_manifest

@@ -201,7 +201,11 @@ def apply_changelog(
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    nb = max(64, 4 * cpus, 2 * len(paths))
+    # 8x CPUs (floor 64): measured best at 8-32 CPUs on the 10M replay
+    # (5.4s -> 5.25s at 8 CPUs vs 4x; 16x regresses to 6.5s — per-task
+    # overhead outweighs the finer tail).
+    nb_factor = int(os.environ.get("RAYCDC_NB_FACTOR", "8"))
+    nb = max(64, nb_factor * cpus, 2 * len(paths))
     ds = ray.data.read_parquet(paths, override_num_blocks=nb)
     flat = flatten_records(ds, rename_strategy="leaf")
     versioned = flat.map_batches(
@@ -333,6 +337,63 @@ def _partitioned_merge(combined: ray.data.Dataset, merge: "MergePartition",
         slices = [refs[pid] for refs in per_block]
         merge_refs.append(_merge_task.remote(merge, pid, *slices))
     return [r for r in ray.get(merge_refs) if r is not None], drain_s
+
+
+@ray.remote(num_returns=2)
+def _compact_partition(lake_dir: str, pid: int, files: list[str],
+                       version: int) -> tuple:
+    """Merge one partition's LSM run set into a single base file."""
+    tables = [pq.read_table(os.path.join(lake_dir, f)) for f in files]
+    merged = lww_reduce(concat_evolved(tables))
+    merged = merged.take(pc.sort_indices(merged, sort_keys=[("url", "ascending")]))
+    rel = f"part-{pid:05d}/v{version}.parquet"
+    size = atomic_write_parquet(merged, os.path.join(lake_dir, rel))
+    live = int(pc.sum(pc.cast(pc.invert(merged[DELETED_COL]), pa.int64())).as_py() or 0)
+    return pid, {"file": rel, "rows": merged.num_rows, "live_rows": live,
+                 "bytes": size}
+
+
+def compact_lake(lake_dir: str) -> dict:
+    """Maintenance compaction: collapse every partition's delta-run set
+    (produced by the streaming engine's L0 flushes) into one base file per
+    partition and commit a new manifest version.
+
+    One parallel task per multi-file partition; single-file partitions are
+    untouched. Readers are never blocked: until the commit, the old manifest
+    (and its files) stay the visible truth; the commit is the usual atomic
+    manifest replace. Returns {partitions_compacted, files_removed}.
+    """
+    manifest = read_manifest(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed manifest in {lake_dir}")
+    version = manifest.version + 1
+    todo = {int(pid): manifest.partition_files(pid)
+            for pid in manifest.partitions
+            if len(manifest.partition_files(pid)) > 1}
+    if not todo:
+        return {"partitions_compacted": 0, "files_removed": 0}
+    pid_refs, row_refs = [], []
+    for pid, files in sorted(todo.items()):
+        pr, rr = _compact_partition.remote(lake_dir, pid, files, version)
+        pid_refs.append(pr)
+        row_refs.append(rr)
+    results = dict(zip(ray.get(pid_refs), ray.get(row_refs)))
+    partitions = dict(manifest.partitions)
+    removed = 0
+    for pid, r in results.items():
+        old = partitions[str(pid)]
+        removed += len(old["files"])
+        partitions[str(pid)] = {
+            "files": [r["file"]], "rows": int(r["rows"]),
+            "live_rows": int(r["live_rows"]), "bytes": int(r["bytes"]),
+            "lineage": {**old.get("lineage", {}), "compacted_from": old["files"],
+                        "version": version},
+        }
+    commit_manifest(lake_dir, LakeManifest(
+        version=version, num_partitions=manifest.num_partitions,
+        epochs_applied=manifest.epochs_applied,
+        watermark_seq=manifest.watermark_seq, partitions=partitions))
+    return {"partitions_compacted": len(results), "files_removed": removed}
 
 
 @ray.remote

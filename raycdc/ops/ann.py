@@ -19,7 +19,24 @@ import ray.data
 
 
 def _stack(col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+    """(n,) list<float> column → (n, dim) float64 matrix.
+
+    Zero-copy-ish fast path: when the lists are null-free and uniform width
+    (the embedding-table invariant) the values buffer is reshaped directly —
+    no per-row Python conversion. Ragged/nullable input falls back to the
+    row loop."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.FixedSizeListArray) and arr.null_count == 0:
+        dim = arr.type.list_size
+        return arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64, copy=False).reshape(len(arr), dim)
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray)) and arr.null_count == 0:
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) and (widths == widths[0]).all():
+            return arr.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64, copy=False).reshape(len(arr), int(widths[0]))
+    return np.stack([np.asarray(v, dtype=np.float64) for v in arr.to_pylist()])
 
 
 def _unit(m: np.ndarray) -> np.ndarray:

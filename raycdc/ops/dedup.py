@@ -175,10 +175,44 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        """Batch signatures: one concatenated byte buffer for the whole
+        batch, every shingle hash in a few vectorized passes, and per-doc
+        minima via ``np.minimum.reduceat`` — no per-document Python work on
+        the hot path (identical values to the per-doc kernel: min over a
+        multiset ignores duplicates, so the old per-doc ``np.unique`` was
+        only a size optimization)."""
         texts = t[self.text_col].to_pylist()
-        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
-        for i, s in enumerate(texts):
-            sigs[i] = self.signature(s)
+        n = len(texts)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        enc = [(s or "").encode("utf-8") for s in texts]
+        lens = np.array([len(b) for b in enc], dtype=np.int64)
+        long_idx = np.flatnonzero(lens >= self.k)
+        if len(long_idx):
+            data = np.frombuffer(
+                b"".join(enc[i] for i in long_idx), dtype=np.uint8
+            ).astype(np.uint64)
+            doc_lens = lens[long_idx]
+            offs = np.concatenate([[0], np.cumsum(doc_lens)])
+            n_win = doc_lens - self.k + 1
+            wstarts = np.concatenate([[0], np.cumsum(n_win)])
+            total = int(n_win.sum())
+            glob = (np.arange(total, dtype=np.int64)
+                    - np.repeat(wstarts[:-1], n_win)
+                    + np.repeat(offs[:-1], n_win))
+            h = np.zeros(total, dtype=np.uint64)
+            powers = np.multiply.accumulate(
+                np.full(self.k, np.uint64(1099511628211), dtype=np.uint64))
+            for j in range(self.k):
+                h += data[glob + j] * powers[j]
+            chunk = max(1, (1 << 22) // max(total, 1))  # ~32 MB of u64 vals
+            for c0 in range(0, self.num_perm, chunk):
+                a = self.a[c0:c0 + chunk][:, None]
+                b = self.b[c0:c0 + chunk][:, None]
+                vals = h[None, :] * a + b
+                sigs[long_idx, c0:c0 + chunk] = np.minimum.reduceat(
+                    vals, wstarts[:-1], axis=1).T
+        for i in np.flatnonzero(lens < self.k):
+            sigs[i] = self.signature(texts[i] or "")
         return pa.table({
             self.id_col: t[self.id_col],
             "sig": pa.FixedSizeListArray.from_arrays(
@@ -472,8 +506,9 @@ def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
     """
 
     def add_buckets(t: pa.Table) -> pa.Table:
-        vecs = np.stack([np.asarray(v, dtype=np.float64)
-                         for v in t[vec_col].to_pylist()])
+        from raycdc.ops.ann import _stack
+
+        vecs = _stack(t[vec_col])
         parts = []
         n = t.num_rows
         for tb in range(num_tables):
@@ -495,11 +530,12 @@ def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
                             ("cosine", pa.float64())])
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
+        from raycdc.ops.ann import _stack
+
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         tb = t["table_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         bucket = t["bucket"].to_numpy(zero_copy_only=False)
-        vecs = np.stack([np.asarray(v, dtype=np.float64)
-                         for v in t[vec_col].to_pylist()])
+        vecs = _stack(t[vec_col])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms

@@ -253,3 +253,76 @@ def test_schema_evolution_column_add(tmp_path):
     assert got["url"].to_pylist() == expected["url"].to_pylist()
     assert got["text"].to_pylist() == expected["text"].to_pylist()
     assert got["title"].to_pylist() == expected["title"].to_pylist()
+
+
+def test_compact_lake_collapses_run_sets(changelog, tmp_path):
+    # Maintenance compaction: streaming L0 run sets collapse to one base
+    # file per partition; the visible state is unchanged; version bumps.
+    from raycdc.cdc import compact_lake, read_manifest
+    from raycdc.cdc.actors import CdcEngine
+
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(changelog, lake, num_partitions=4, compact_threshold=10)
+    eng.advance(1)
+    eng.advance(1)
+    eng.advance(1)
+    eng.shutdown()
+    before = read_manifest(lake)
+    assert any(len(before.partition_files(pid)) > 1
+               for pid in before.partitions)
+    state_before = lake_state(lake)
+
+    m = compact_lake(lake)
+    assert m["partitions_compacted"] >= 1
+
+    after = read_manifest(lake)
+    assert after.version == before.version + 1
+    assert all(len(after.partition_files(pid)) == 1 for pid in after.partitions)
+    assert after.epochs_applied == before.epochs_applied
+    state_after = lake_state(lake)
+    assert state_before["url"].to_pylist() == state_after["url"].to_pylist()
+    assert state_before["text"].to_pylist() == state_after["text"].to_pylist()
+    # idempotent when already compacted
+    assert compact_lake(lake)["partitions_compacted"] == 0
+
+
+def _mk_widen_segment(path, epoch, seq_start, urls, score_type):
+    import pyarrow.parquet as pq
+
+    n = len(urls)
+    seqs = pa.array(range(seq_start, seq_start + n), pa.int64())
+    fetch = pa.StructArray.from_arrays(
+        [pa.array([1_700_000_000_000_000 + 10 * (seq_start + i)
+                   for i in range(n)]).cast(pa.timestamp("us")),
+         pa.array([b"<html>"] * n, pa.binary())],
+        ["warc_ts", "html"])
+    content = pa.StructArray.from_arrays(
+        [pa.array([f"text-{u}-{epoch}" for u in urls]),
+         pa.array(["en"] * n),
+         pa.array([seq_start + i for i in range(n)], score_type)],
+        ["text", "lang", "score"])
+    page = pa.StructArray.from_arrays(
+        [pa.array(urls), fetch, content], ["url", "fetch", "content"])
+    t = pa.table({"seq": seqs,
+                  "epoch": pa.array([epoch] * n, pa.int32()),
+                  "op": pa.array(["I"] * n),
+                  "page": page})
+    pq.write_table(t, path)
+
+
+def test_schema_evolution_type_widen(tmp_path):
+    # A later segment widens a numeric column (int32 -> int64); merge must
+    # unify to the wide type without rewriting the old segment.
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    _mk_widen_segment(str(wal / "events-00000.parquet"), 0, 0,
+                      ["a", "b", "c"], pa.int32())
+    _mk_widen_segment(str(wal / "events-00001.parquet"), 1, 100,
+                      ["b", "d"], pa.int64())
+    lake = str(tmp_path / "lake")
+    apply_changelog(str(wal), lake, num_partitions=2)
+    t = lake_state(lake)
+    assert t.schema.field("score").type == pa.int64()
+    got = dict(zip(t["url"].to_pylist(), t["score"].to_pylist()))
+    # b was updated by the later (wide) segment; a and c keep narrow values
+    assert got == {"a": 0, "b": 100, "c": 2, "d": 101}

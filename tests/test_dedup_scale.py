@@ -130,3 +130,21 @@ def test_degenerate_bucket_is_bounded_and_connected(op):
     assert len(roots) == 2  # the two planted clusters, fully connected
     assert uf.find(0) == uf.find(n_per - 1)
     assert uf.find(n_per) == uf.find(n - 1)
+
+
+def test_minhasher_batched_equals_per_doc():
+    # the batched reduceat kernel must produce byte-identical signatures to
+    # the per-document reference path (incl. short docs and empty strings)
+    mh = MinHasher("text", "doc_id", num_perm=16, shingle_k=5)
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "ab",           # shorter than k -> padded single-window path
+             "",             # empty
+             "aaaaaaaaaaaa",  # degenerate repeats (duplicate shingles)
+             "another document with more words in it than the first one"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = mh(t)
+    got = np.stack([np.asarray(x) for x in
+                    out["sig"].to_numpy(zero_copy_only=False)]).view(np.uint64)
+    for i, s in enumerate(texts):
+        assert (got[i] == mh.signature(s)).all(), f"doc {i} diverged"
