@@ -484,6 +484,33 @@ def _q_multimodal(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+def _q_multimodal_frames(sf_dir: str):
+    """Frame sampling over an opaque binary payload, oracle-checked on the
+    fan-out + slice-boundary math (one row per sampled frame offset, with
+    the byte-window length): DuckDB reproduces it with generate_series over
+    octet_length. Byte CONTENT equality is covered by unit tests — this
+    DuckDB build has no BLOB substring."""
+    from raycdc.ops.multimodal import frame_sample
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": t["text"].cast(pa.binary())})
+
+    frames = frame_sample(docs.map_batches(to_payload, batch_format="pyarrow"),
+                          stride=16)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "frame_idx": t["frame_idx"],
+            "frame_len": pc.cast(pc.binary_length(t["frame_bytes"]),
+                                 pa.int64())})
+
+    return frames.map_batches(project, batch_format="pyarrow")
+
+
 def _q_cdc_replay(sf_dir: str):
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     n = 50_000 if "0.01" in sf_tag else 20_000
@@ -545,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash,
         "embed_dup_pairs": _q_embed_dups,
         "multimodal_features": _q_multimodal,
+        "multimodal_frames": _q_multimodal_frames,
         "cdc_replay": _q_cdc_replay,
         "window_tumbling": _q_window_tumbling,
         "window_session": _q_window_session,
@@ -698,6 +726,18 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY event_type, ws""",
         "fingerprint_md5": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents""",
+        "multimodal_frames": """
+            WITH d AS (
+                SELECT doc_id,
+                       octet_length(encode(text)) AS blen,
+                       greatest(octet_length(encode(text)) // 16, 1) AS nf
+                FROM documents
+            )
+            SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                   CAST(greatest(least(16, blen - f), 0) AS BIGINT)
+                       AS frame_len
+            FROM d, unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 16))
+                     AS t(f)""",
         "join_semi": """
             SELECT c_custkey, c_name FROM customer
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",

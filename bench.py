@@ -25,8 +25,12 @@ CDC_PARTITIONS = int(os.environ.get("RAYCDC_BENCH_PARTITIONS", "32"))
 
 
 def consume(ds) -> int:
+    # batch_size=None yields whole blocks: the default (1024-row re-slicing
+    # on one driver thread) costs ~1.5s per million rows and was inflating
+    # every per-query number (measured: 14.7s -> 0.05s consuming a 10M-row
+    # materialized dataset).
     n = 0
-    for b in ds.iter_batches(batch_format="pyarrow"):
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
         n += b.num_rows
     return n
 

@@ -176,7 +176,10 @@ def session_window(
 
     from raycdc.shuffle import partition_map
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    # batch_size=None → whole blocks per call: the body is one vectorized
+    # pass, so Ray's 1024-row default would only multiply Python overhead
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              batch_size=None)
     return partition_map(bucketed, bcol, num_partitions, bucket_sessions)
 
 
