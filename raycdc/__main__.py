@@ -1,0 +1,95 @@
+"""CLI entrypoints — the `ray job submit` surface of the engine.
+
+On a cluster::
+
+    ray job submit --working-dir . -- python -m raycdc apply \
+        --wal s3://bucket/wal --lake s3://bucket/lake --partitions 4096
+
+Locally the same commands run against `ray.init(address="local")`. This
+module owns a Ray session (guarded init); the library and
+``__ray_entry__.py`` never call ``ray.init`` themselves.
+
+Subcommands:
+
+- ``apply``    batch replay of all unapplied WAL epochs into the lake
+- ``stream``   tail the WAL with the stateful actor engine (per-epoch commits)
+- ``compact``  collapse per-partition LSM run sets into single base files
+- ``stats``    print manifest/lineage/skew metrics for a lake
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(ignore_reinit_error=True, include_dashboard=False)
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+    except Exception:
+        pass
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="raycdc")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ap = sub.add_parser("apply", help="batch replay WAL -> lake")
+    ap.add_argument("--wal", required=True)
+    ap.add_argument("--lake", required=True)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--epochs", type=int, nargs="*", default=None)
+
+    sp = sub.add_parser("stream", help="tail WAL with the actor engine")
+    sp.add_argument("--wal", required=True)
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--partitions", type=int, default=32)
+    sp.add_argument("--epochs-per-commit", type=int, default=1)
+
+    cp = sub.add_parser("compact", help="compact per-partition run sets")
+    cp.add_argument("--lake", required=True)
+
+    st = sub.add_parser("stats", help="print lake metrics")
+    st.add_argument("--lake", required=True)
+
+    args = p.parse_args(argv)
+    _ray_init()
+    import ray
+
+    try:
+        if args.cmd == "apply":
+            from raycdc.cdc import apply_changelog
+
+            m = apply_changelog(args.wal, args.lake,
+                                num_partitions=args.partitions,
+                                epochs=args.epochs)
+        elif args.cmd == "stream":
+            from raycdc.cdc.actors import CdcEngine
+
+            eng = CdcEngine(args.wal, args.lake,
+                            num_partitions=args.partitions)
+            m = eng.tail(epochs_per_commit=args.epochs_per_commit)
+            eng.shutdown()
+        elif args.cmd == "compact":
+            from raycdc.cdc import compact_lake
+
+            m = compact_lake(args.lake)
+        else:
+            from raycdc.cdc.metrics import lake_stats
+
+            m = lake_stats(args.lake)
+        print(json.dumps(m, default=str))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -46,6 +46,9 @@ from raycdc.cdc.sink import (
 from raycdc.record_flatten import flatten_records
 
 PID_COL = "_pid"
+# merge fan-in width: above this many split-task slices per partition the
+# shuffle interleaves a tree-reduce layer of LWW combiners
+_FANIN = 64
 
 
 def _url_pid(urls: pa.ChunkedArray, num_partitions: int) -> np.ndarray:
@@ -90,6 +93,8 @@ class MergePartition:
     reduction, sorts by url for deterministic bytes, and writes the new
     partition file atomically. Returns one lineage/manifest row.
     """
+
+    lww_cols = ("url", "warc_ts", "seq")  # the LWW total order (north star)
 
     def __init__(self, lake_dir: str, version: int,
                  base_files: dict[int, list[str]], epochs: list[int]):
@@ -284,6 +289,19 @@ def _split_block(num_partitions: int, *blocks: pa.Table) -> tuple:
 
 
 @ray.remote
+def _combine_slices(key: str, ts: str, seq: str, *slices) -> Optional[pa.Table]:
+    """Tree-reduce inner node: concat + LWW-combine a partition's slices.
+    Associativity of the LWW reduction makes any fan-in grouping exact."""
+    tables = [s for s in slices if s is not None and s.num_rows]
+    if not tables:
+        return None
+    from raycdc.cdc.lww import lww_reduce
+
+    return lww_reduce(pa.concat_tables(tables, promote_options="default"),
+                      key, ts, seq)
+
+
+@ray.remote
 def _merge_task(merge: "MergePartition", pid: int, *slices) -> dict:
     tables = [s for s in slices if s is not None and s.num_rows]
     if not tables:
@@ -332,10 +350,24 @@ def _partitioned_merge(combined: ray.data.Dataset, merge: "MergePartition",
                 flush_chunk()
     flush_chunk()
     drain_s = time.perf_counter() - t0
-    merge_refs = []
-    for pid in range(num_partitions):
-        slices = [refs[pid] for refs in per_block]
-        merge_refs.append(_merge_task.remote(merge, pid, *slices))
+    # Tree fan-in: one merge task per partition takes one slice argument per
+    # split task, which at very large block counts (10^10-event jobs produce
+    # tens of thousands of map blocks) would mean tens of thousands of task
+    # arguments. Above _FANIN slices per partition, interleave a layer of
+    # LWW-combining reduce tasks (exact: the reduction is associative).
+    columns = [[refs[pid] for refs in per_block]
+               for pid in range(num_partitions)]
+    if len(per_block) > _FANIN:
+        key, ts, seq = merge.lww_cols
+        columns = [
+            [_combine_slices.remote(key, ts, seq, *col[i:i + _FANIN])
+             for i in range(0, len(col), _FANIN)]
+            for col in columns
+        ]
+    merge_refs = [
+        _merge_task.remote(merge, pid, *columns[pid])
+        for pid in range(num_partitions)
+    ]
     return [r for r in ray.get(merge_refs) if r is not None], drain_s
 
 

@@ -326,3 +326,18 @@ def test_schema_evolution_type_widen(tmp_path):
     got = dict(zip(t["url"].to_pylist(), t["score"].to_pylist()))
     # b was updated by the later (wide) segment; a and c keep narrow values
     assert got == {"a": 0, "b": 100, "c": 2, "d": 101}
+
+
+def test_tree_fanin_merge_matches_oracle(changelog, tmp_path, monkeypatch):
+    # Force the tree-reduce merge layer (fan-in width 2 over many tiny map
+    # blocks) and check the final state is still exactly the LWW oracle —
+    # the interleaved combine layer must be invisible (associativity).
+    from raycdc.cdc import apply as A
+
+    monkeypatch.setattr(A, "_FANIN", 2)
+    lake = str(tmp_path / "lake")
+    apply_changelog(changelog, lake, num_partitions=4, batch_size=512)
+    expected = oracle_final_state(generate_events(SPEC))
+    got = lake_state(lake)
+    assert got["url"].to_pylist() == expected["url"].to_pylist()
+    assert got["text"].to_pylist() == expected["text"].to_pylist()
