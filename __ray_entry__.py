@@ -304,6 +304,36 @@ def _q_join_orders_lineitem(sf_dir: str):
                              sums={"sum_qty": "qty"}, count_name="n_items")
 
 
+def _q_join_asof(sf_dir: str):
+    """As-of join: each 'view' event picks the user's latest 'purchase' at
+    or before its timestamp (Ray Data lacks an as-of join; the engine
+    composes one from the partition-only exchange + one vectorized
+    merge_asof per partition — raycdc/joins.asof_join). The right side is
+    deduped per (user, ts) so the winner is deterministic on both engines."""
+    from raycdc.joins import asof_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def views(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "view")
+        c = t.filter(m)
+        return pa.table({"event_id": c["event_id"], "ts": c["ts"],
+                         "user_id": c["user_id"]})
+
+    def purchases(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "purchase")
+        c = t.filter(m)
+        return pa.table({"user_id": c["user_id"], "ts": c["ts"],
+                         "r_event_id": c["event_id"]})
+
+    left = ev.map_batches(views, batch_format="pyarrow")
+    right = ev.map_batches(purchases, batch_format="pyarrow")
+    right = grouped_aggregate(right, ["user_id", "ts"],
+                              maxs={"r_event_id": "r_event_id"},
+                              count_name=None)
+    return asof_join(left, right, on="ts", by=["user_id"], num_partitions=16)
+
+
 def _q_lww_events(sf_dir: str):
     ev = _rp(sf_dir, "events")
     return lww_dataset(ev, key="user_id", ts="ts", seq="event_id",
@@ -563,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding": _q_window_sliding,
         "join_semi": _q_join_semi,
         "join_anti": _q_join_anti,
+        "join_asof": _q_join_asof,
         "quality": _q_quality,
         "quality_oracle": _q_quality_oracle,
         "langid": _q_langid,
@@ -746,6 +777,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority = '1-URGENT')""",
+        "join_asof": """
+            WITH l AS (
+                SELECT event_id, ts, user_id FROM events
+                WHERE event_type = 'view'
+            ),
+            r AS (
+                SELECT user_id, ts, max(event_id) AS r_event_id
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.ts, l.user_id, r.r_event_id
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "embed_dup_pairs": """
             WITH allv AS (
                 SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding

@@ -185,3 +185,83 @@ def broadcast_join(
 def _pa_schema(ds: ray.data.Dataset) -> pa.Schema:
     s = ds.schema()
     return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    by: list[str],
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Backward as-of join: each left row picks the right row with the
+    largest ``on`` value that is <= its own, within the same ``by`` group
+    (left outer: unmatched left rows keep nulls). Ray Data has no native
+    as-of join; this is the engine's composition — co-locate both sides by
+    ``hash(by)`` with the partition-only exchange, then ONE vectorized
+    ``pd.merge_asof`` per partition (sort + binary search, no per-key
+    Python).
+
+    Determinism note: if the right side has duplicate (by, on) rows the
+    winner is unspecified (like DuckDB's ASOF JOIN) — pre-dedup the right
+    side for reproducible output. Non-key column names must be disjoint.
+    """
+    lschema = _pa_schema(left)
+    rschema = _pa_schema(right)
+    overlap = (set(lschema.names) & set(rschema.names)) - {on, *by}
+    if overlap:
+        raise ValueError(f"Overlapping non-key columns in asof join: {sorted(overlap)}")
+    unified = pa.schema(
+        list(lschema)
+        + [f for f in rschema if f.name not in lschema.names]
+        + [pa.field(_SIDE, pa.int8())])
+
+    def align(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return unified.empty_table().append_column(
+                    _JBUCKET, pa.array([], pa.int64()))
+            cols = {}
+            for f in unified:
+                if f.name == _SIDE:
+                    cols[f.name] = pa.array(
+                        np.full(t.num_rows, side, dtype=np.int8))
+                elif f.name in t.column_names:
+                    cols[f.name] = t[f.name]
+                else:
+                    cols[f.name] = pa.nulls(t.num_rows, f.type)
+            out = pa.table(cols)
+            h = key_hash(t, by) % num_partitions
+            return out.append_column(_JBUCKET, pa.array(h.astype(np.int64)))
+        return fn
+
+    both = left.map_batches(align(0), batch_format="pyarrow").union(
+        right.map_batches(align(1), batch_format="pyarrow"))
+
+    out_schema = pa.schema(
+        list(lschema) + [f for f in rschema if f.name not in (on, *by)])
+    rdata = [f.name for f in rschema if f.name not in (on, *by)]
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        side = t[_SIDE]
+        lt = t.filter(pc.equal(side, 0)).select(lschema.names).cast(lschema)
+        rt = t.filter(pc.equal(side, 1)).select(rschema.names).cast(rschema)
+        ldf = lt.to_pandas().sort_values(on, kind="stable")
+        rdf = rt.to_pandas().sort_values(on, kind="stable")
+        merged = pd.merge_asof(ldf, rdf, on=on, by=by, direction="backward")
+        cols = []
+        for f in out_schema:
+            # unmatched left rows surface as NaN (pandas upcasts int right
+            # columns to float); from_pandas maps NaN -> null before the
+            # cast back to the declared type
+            arr = pa.Array.from_pandas(merged[f.name])
+            if arr.type != f.type:
+                arr = arr.cast(f.type)
+            cols.append(arr)
+        return pa.table(cols, schema=out_schema)
+
+    from raycdc.shuffle import partition_map
+
+    return partition_map(both, _JBUCKET, num_partitions, join_bucket,
+                         empty_schema=out_schema)

@@ -81,3 +81,28 @@ def test_config_from_properties_macros():
     assert cfg.path_separator == "|"
     with pytest.raises(KeyError, match="Unresolved macro"):
         config_from_properties({"parentField": "${NOPE}"}, resolver={})
+
+
+def test_asof_join_backward():
+    import numpy as np
+    from raycdc.joins import asof_join
+
+    left = pa.table({
+        "lid": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([10, 20, 5, 25], pa.int64()),
+        "k": ["a", "a", "b", "b"],
+    })
+    right = pa.table({
+        "k": ["a", "a", "b"],
+        "ts": pa.array([10, 15, 30], pa.int64()),
+        "rv": pa.array([100, 150, 300], pa.int64()),
+    })
+    out = to_table(asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="ts", by=["k"], num_partitions=4)).to_pandas()
+    got = dict(zip(out["lid"], out["rv"]))
+    # exact match counts (ts=10 -> rv=100); latest at-or-before wins
+    # (ts=20 -> rv=150); no match at all -> null (b rows before ts=30)
+    assert got[1] == 100 and got[2] == 150
+    assert np.isnan(got[3]) and np.isnan(got[4])
+    assert len(out) == 4
