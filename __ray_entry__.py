@@ -304,6 +304,17 @@ def _q_join_orders_lineitem(sf_dir: str):
                              sums={"sum_qty": "qty"}, count_name="n_items")
 
 
+def _q_topk_lineitems(sf_dir: str):
+    """Distributed top-k (no global sort: local top-k per block + one tiny
+    final reduce). Deterministic under ties via the id columns."""
+    from raycdc.agg import top_k
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return top_k(li, ["l_extendedprice", "l_orderkey", "l_linenumber"], 100,
+                 descending=[True, False, False])
+
+
 def _q_join_asof(sf_dir: str):
     """As-of join: each 'view' event picks the user's latest 'purchase' at
     or before its timestamp (Ray Data lacks an as-of join; the engine
@@ -332,6 +343,22 @@ def _q_join_asof(sf_dir: str):
                               maxs={"r_event_id": "r_event_id"},
                               count_name=None)
     return asof_join(left, right, on="ts", by=["user_id"], num_partitions=16)
+
+
+def _q_join_interval(sf_dir: str):
+    """Interval join: assign every event to its session window (the output
+    of session_window feeds interval_join — two engine operators composed).
+    Sessions are non-overlapping per user, so each event matches exactly
+    one interval."""
+    from raycdc.joins import interval_join
+    from raycdc.ops.window import session_window
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+    sessions = session_window(ev, ts_col="ts", key_col="user_id", gap="1h")
+    out = interval_join(ev, sessions, on="ts", by=["user_id"],
+                        lo="session_start", hi="session_end",
+                        join_type="inner", num_partitions=16)
+    return out.select_columns(["event_id", "user_id", "session_start", "n"])
 
 
 def _q_lww_events(sf_dir: str):
@@ -594,6 +621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_semi": _q_join_semi,
         "join_anti": _q_join_anti,
         "join_asof": _q_join_asof,
+        "join_interval": _q_join_interval,
+        "topk_lineitems": _q_topk_lineitems,
         "quality": _q_quality,
         "quality_oracle": _q_quality_oracle,
         "langid": _q_langid,
@@ -757,6 +786,11 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY event_type, ws""",
         "fingerprint_md5": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents""",
+        "topk_lineitems": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+            LIMIT 100""",
         "multimodal_frames": """
             WITH d AS (
                 SELECT doc_id,
@@ -790,6 +824,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.ts, l.user_id, r.r_event_id
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "join_interval": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d
+            ),
+            sess AS (
+                SELECT user_id, min(ts) AS session_start,
+                       max(ts) AS session_end, count(*) AS n
+                FROM s GROUP BY user_id, sid
+            )
+            SELECT e.event_id, e.user_id, sess.session_start, sess.n
+            FROM events e JOIN sess
+              ON e.user_id = sess.user_id
+             AND e.ts BETWEEN sess.session_start AND sess.session_end""",
         "embed_dup_pairs": """
             WITH allv AS (
                 SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding

@@ -131,3 +131,33 @@ def grouped_aggregate(
         return t.drop_columns(drop)
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def top_k(
+    ds: ray.data.Dataset,
+    sort_cols: list[str],
+    k: int,
+    *,
+    descending: bool | list[bool] = True,
+) -> ray.data.Dataset:
+    """Distributed top-k under a total order: every block keeps its local
+    top-k (vectorized sort + head), then one tiny final reduce merges the
+    ≤ k·num_blocks survivors — no global sort, no all-to-all. Include a
+    unique id in ``sort_cols`` for a deterministic result under ties.
+    """
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_cols)
+    ascending = [not d for d in descending]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(sort_cols, ascending=ascending,
+                                       kind="stable").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow",
+                          batch_size=None)
+    tabs = list(cand.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tabs:
+        return cand
+    final = local_topk(pa.concat_tables(tabs, promote_options="default"))
+    return ray.data.from_arrow(final)

@@ -187,6 +187,68 @@ def _pa_schema(ds: ray.data.Dataset) -> pa.Schema:
     return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
 
 
+def _df_to_schema(df: "pd.DataFrame", out_schema: pa.Schema) -> pa.Table:
+    """pandas → Arrow under a declared schema. Unmatched-row NaNs (pandas
+    upcasts int columns to float on outer-style merges) become nulls before
+    the cast back to the declared type."""
+    cols = []
+    for f in out_schema:
+        arr = pa.Array.from_pandas(df[f.name])
+        if arr.type != f.type:
+            arr = arr.cast(f.type)
+        cols.append(arr)
+    return pa.table(cols, schema=out_schema)
+
+
+def _copartition_apply(left, right, by, num_partitions, key_cols, out_schema,
+                       fn):
+    """Co-locate two Datasets by ``hash(by)`` with the partition-only
+    exchange and run ``fn(left_table, right_table) -> table`` once per
+    partition. The shared machinery behind asof_join / interval_join."""
+    lschema = _pa_schema(left)
+    rschema = _pa_schema(right)
+    overlap = (set(lschema.names) & set(rschema.names)) - set(key_cols)
+    if overlap:
+        raise ValueError(f"Overlapping non-key columns: {sorted(overlap)}")
+    unified = pa.schema(
+        list(lschema)
+        + [f for f in rschema if f.name not in lschema.names]
+        + [pa.field(_SIDE, pa.int8())])
+
+    def align(side: int):
+        def amap(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return unified.empty_table().append_column(
+                    _JBUCKET, pa.array([], pa.int64()))
+            cols = {}
+            for f in unified:
+                if f.name == _SIDE:
+                    cols[f.name] = pa.array(
+                        np.full(t.num_rows, side, dtype=np.int8))
+                elif f.name in t.column_names:
+                    cols[f.name] = t[f.name]
+                else:
+                    cols[f.name] = pa.nulls(t.num_rows, f.type)
+            out = pa.table(cols)
+            h = key_hash(t, by) % num_partitions
+            return out.append_column(_JBUCKET, pa.array(h.astype(np.int64)))
+        return amap
+
+    both = left.map_batches(align(0), batch_format="pyarrow").union(
+        right.map_batches(align(1), batch_format="pyarrow"))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        side = t[_SIDE]
+        lt = t.filter(pc.equal(side, 0)).select(lschema.names).cast(lschema)
+        rt = t.filter(pc.equal(side, 1)).select(rschema.names).cast(rschema)
+        return fn(lt, rt)
+
+    from raycdc.shuffle import partition_map
+
+    return partition_map(both, _JBUCKET, num_partitions, bucket,
+                         empty_schema=out_schema)
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -209,59 +271,56 @@ def asof_join(
     """
     lschema = _pa_schema(left)
     rschema = _pa_schema(right)
-    overlap = (set(lschema.names) & set(rschema.names)) - {on, *by}
-    if overlap:
-        raise ValueError(f"Overlapping non-key columns in asof join: {sorted(overlap)}")
-    unified = pa.schema(
-        list(lschema)
-        + [f for f in rschema if f.name not in lschema.names]
-        + [pa.field(_SIDE, pa.int8())])
-
-    def align(side: int):
-        def fn(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return unified.empty_table().append_column(
-                    _JBUCKET, pa.array([], pa.int64()))
-            cols = {}
-            for f in unified:
-                if f.name == _SIDE:
-                    cols[f.name] = pa.array(
-                        np.full(t.num_rows, side, dtype=np.int8))
-                elif f.name in t.column_names:
-                    cols[f.name] = t[f.name]
-                else:
-                    cols[f.name] = pa.nulls(t.num_rows, f.type)
-            out = pa.table(cols)
-            h = key_hash(t, by) % num_partitions
-            return out.append_column(_JBUCKET, pa.array(h.astype(np.int64)))
-        return fn
-
-    both = left.map_batches(align(0), batch_format="pyarrow").union(
-        right.map_batches(align(1), batch_format="pyarrow"))
-
     out_schema = pa.schema(
         list(lschema) + [f for f in rschema if f.name not in (on, *by)])
-    rdata = [f.name for f in rschema if f.name not in (on, *by)]
 
-    def join_bucket(t: pa.Table) -> pa.Table:
-        side = t[_SIDE]
-        lt = t.filter(pc.equal(side, 0)).select(lschema.names).cast(lschema)
-        rt = t.filter(pc.equal(side, 1)).select(rschema.names).cast(rschema)
+    def join_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
         ldf = lt.to_pandas().sort_values(on, kind="stable")
         rdf = rt.to_pandas().sort_values(on, kind="stable")
         merged = pd.merge_asof(ldf, rdf, on=on, by=by, direction="backward")
-        cols = []
-        for f in out_schema:
-            # unmatched left rows surface as NaN (pandas upcasts int right
-            # columns to float); from_pandas maps NaN -> null before the
-            # cast back to the declared type
-            arr = pa.Array.from_pandas(merged[f.name])
-            if arr.type != f.type:
-                arr = arr.cast(f.type)
-            cols.append(arr)
-        return pa.table(cols, schema=out_schema)
+        return _df_to_schema(merged, out_schema)
 
-    from raycdc.shuffle import partition_map
+    return _copartition_apply(left, right, by, num_partitions,
+                              {on, *by}, out_schema, join_fn)
 
-    return partition_map(both, _JBUCKET, num_partitions, join_bucket,
-                         empty_schema=out_schema)
+
+def interval_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    by: list[str],
+    lo: str,
+    hi: str,
+    join_type: str = "inner",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Point-in-interval join: each left row matches the right interval of
+    its ``by`` group with ``lo <= on <= hi``. Intervals within a group must
+    be NON-OVERLAPPING (sessions, windows) — that makes the match unique
+    and the kernel one ``merge_asof`` (binary search on interval starts)
+    plus a vectorized upper-bound filter. ``join_type`` 'inner' drops
+    unmatched left rows, 'left_outer' keeps them with nulls.
+    """
+    if join_type not in ("inner", "left_outer"):
+        raise ValueError("interval_join supports inner / left_outer")
+    lschema = _pa_schema(left)
+    rschema = _pa_schema(right)
+    out_schema = pa.schema(
+        list(lschema) + [f for f in rschema if f.name not in by])
+
+    def join_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        ldf = lt.to_pandas().sort_values(on, kind="stable")
+        rdf = rt.to_pandas().sort_values(lo, kind="stable")
+        merged = pd.merge_asof(ldf, rdf, left_on=on, right_on=lo, by=by,
+                               direction="backward")
+        inside = merged[hi].notna() & (merged[hi] >= merged[on])
+        if join_type == "inner":
+            merged = merged[inside]
+        else:
+            rcols = [f.name for f in rschema if f.name not in by]
+            merged.loc[~inside, rcols] = None
+        return _df_to_schema(merged, out_schema)
+
+    return _copartition_apply(left, right, by, num_partitions,
+                              set(by), out_schema, join_fn)

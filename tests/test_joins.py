@@ -106,3 +106,30 @@ def test_asof_join_backward():
     assert got[1] == 100 and got[2] == 150
     assert np.isnan(got[3]) and np.isnan(got[4])
     assert len(out) == 4
+
+
+def test_interval_join_inner_and_outer():
+    from raycdc.joins import interval_join
+
+    left = pa.table({
+        "lid": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([5, 12, 99], pa.int64()),
+        "k": ["a", "a", "a"],
+    })
+    right = pa.table({
+        "k": ["a", "a"],
+        "lo": pa.array([0, 10], pa.int64()),
+        "hi": pa.array([7, 20], pa.int64()),
+        "tag": ["first", "second"],
+    })
+    inner = to_table(interval_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="ts", by=["k"], lo="lo", hi="hi", num_partitions=2)).to_pandas()
+    got = dict(zip(inner["lid"], inner["tag"]))
+    assert got == {1: "first", 2: "second"}  # lid 3 outside all intervals
+    outer = to_table(interval_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="ts", by=["k"], lo="lo", hi="hi", join_type="left_outer",
+        num_partitions=2)).to_pandas()
+    assert len(outer) == 3
+    assert outer.set_index("lid").loc[3, "tag"] is None

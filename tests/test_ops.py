@@ -233,3 +233,17 @@ def test_grouped_aggregate_salted_equals_unsalted(sf_dir):
     assert (a["n"] == b["n"]).all()
     assert (abs(a["sum_qty"] - b["sum_qty"]) < 1e-9).all()
     assert (abs(a["avg_qty"] - b["avg_qty"]) < 1e-12).all()
+
+
+def test_top_k():
+    from raycdc.agg import top_k
+
+    t = pa.table({"id": pa.array(range(1000), pa.int64()),
+                  "v": pa.array([i % 97 for i in range(1000)], pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = to_table(top_k(ds, ["v", "id"], 5, descending=[True, False]))
+    df = out.to_pandas().sort_values(["v", "id"],
+                                     ascending=[False, True])
+    # global max v is 96 (ids 96, 193, 290, ...); ties break by min id
+    assert df["v"].tolist() == [96] * 5
+    assert df["id"].tolist() == [96, 193, 290, 387, 484]
