@@ -158,6 +158,8 @@ def run_bench() -> dict:
         "join_customer_region", "lww_events", "dedup_exact", "token_count",
         "ann_topk", "quality", "langid", "minhash_pairs", "record_flatten",
         "window_tumbling", "explode_embeddings", "simhash_pairs",
+        "window_session", "join_asof", "join_interval", "topk_lineitems",
+        "embed_dup_pairs",
     ]
     q_times: dict[str, float] = {}
     for name in bench_set:
