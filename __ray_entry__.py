@@ -725,7 +725,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, unnest(embedding) AS element FROM embeddings""",
         "window_session": """
             WITH d AS (
-                SELECT user_id, ts,
+                SELECT user_id, ts, event_id,
                        CASE WHEN lag(ts) OVER w IS NULL
                                  OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
                             THEN 1 ELSE 0 END AS brk
@@ -734,7 +734,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
                 SELECT user_id, ts,
-                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS sid
                 FROM d
             )
@@ -826,7 +826,7 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "join_interval": """
             WITH d AS (
-                SELECT user_id, ts,
+                SELECT user_id, ts, event_id,
                        CASE WHEN lag(ts) OVER w IS NULL
                                  OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
                             THEN 1 ELSE 0 END AS brk
@@ -835,7 +835,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
                 SELECT user_id, ts,
-                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS sid
                 FROM d
             ),

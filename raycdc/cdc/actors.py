@@ -40,8 +40,13 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
-from raycdc.cdc.apply import PID_COL, _url_pid, discover_segments, _segment_epoch, \
-    _segment_seq_bounds
+from raycdc.cdc.apply import (
+    PID_COL,
+    _footer_infos,
+    _segment_epoch,
+    _url_pid,
+    discover_segments,
+)
 from raycdc.cdc.evolve import concat_evolved
 from raycdc.cdc.lww import DELETED_COL, lww_reduce, to_versioned_rows
 from raycdc.cdc.sink import LakeManifest, atomic_write_parquet, commit_manifest, \
@@ -219,14 +224,14 @@ class CdcEngine:
         routed = ds.map_batches(router, batch_format="pyarrow",
                                 concurrency=8)
         # routed rows are post-combine (the router LWW-combines each batch
-        # before pushing); raw event count comes from the segment footers
+        # before pushing); raw event count + watermark come from ONE
+        # threaded footer pass (apply._footer_infos)
         total = sum(r["routed"] for r in routed.take_all())
-        import pyarrow.parquet as _pq
-
-        raw_events = sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
+        infos = _footer_infos(paths)
+        raw_events = sum(i[1] for i in infos)
+        watermark = max(i[0] for i in infos)
 
         flush_rows = ray.get([a.flush.remote(version) for a in self.actors])
-        watermark = max(_segment_seq_bounds(p)[1] for p in paths)
         partitions = dict(self.manifest.partitions) if self.manifest else {}
         for r in flush_rows:
             if not r["files"]:

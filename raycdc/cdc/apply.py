@@ -85,6 +85,29 @@ def _segment_seq_bounds(path: str) -> tuple[int, int]:
     return (lo if lo is not None else -1, hi if hi is not None else -1)
 
 
+def _footer_info(path: str) -> tuple[int, int, pa.Schema]:
+    """One footer open per segment: (max seq, row count, schema) — every
+    fact the driver needs, gathered together because driver-side serial
+    footer walks are fixed cost that dents scaling efficiency."""
+    f = pq.ParquetFile(path)
+    md = f.metadata
+    schema = md.schema.to_arrow_schema()
+    idx = schema.get_field_index("seq")
+    hi = -1
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is not None:
+            hi = max(hi, st.max)
+    return hi, md.num_rows, schema
+
+
+def _footer_infos(paths: list[str]) -> list[tuple[int, int, pa.Schema]]:
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        return list(pool.map(_footer_info, paths))
+
+
 class MergePartition:
     """Per-partition merge task body (one call per url-hash partition).
 
@@ -162,25 +185,7 @@ def apply_changelog(
 
     new_epochs = sorted(e for e, _ in segs)
     paths = [p for _, p in segs]
-    # One footer open per segment gathers everything the driver needs (seq
-    # watermark, row count, schema) — parallelized; driver-side serial time
-    # is fixed cost that directly dents scaling efficiency.
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _footer_info(p):
-        f = pq.ParquetFile(p)
-        md = f.metadata
-        schema = md.schema.to_arrow_schema()
-        idx = schema.get_field_index("seq")
-        hi = -1
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is not None:
-                hi = max(hi, st.max)
-        return hi, md.num_rows, schema
-
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        infos = list(pool.map(_footer_info, paths))
+    infos = _footer_infos(paths)
     watermark = max(i[0] for i in infos)
     total_events = sum(i[1] for i in infos)
     timings["meta"] = time.perf_counter() - t0

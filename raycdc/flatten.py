@@ -345,7 +345,18 @@ class ExpandPaths:
         rows = np.flatnonzero(in_dup)
         sort_cols = [f.name for f in self.emit_schema
                      if f.name in set(self.data_fields)]
-        df = idx.sorted_table.select(sort_cols).take(pa.array(rows)).to_pandas()
+        dup_payload = idx.sorted_table.select(sort_cols).take(pa.array(rows))
+        for name in dup_payload.column_names:
+            col = dup_payload[name]
+            if pa.types.is_floating(col.type) and pc.any(
+                    pc.is_nan(pc.fill_null(col, 0.0))).as_py():
+                # pandas cannot distinguish NaN from null, but the final
+                # dedup's polars sort orders NaN last and null first — a
+                # pandas-computed rank would pick a different winner. Fall
+                # back to output-level dedup only (always sound).
+                self._can_frontier_dedup = False
+                return None
+        df = dup_payload.to_pandas()
         df["__p"], df["__c"] = ps[rows], cs[rows]
         df = df.sort_values(sort_cols, kind="stable", na_position="first")
         rank = df.groupby(["__p", "__c"], sort=False).cumcount().to_numpy()

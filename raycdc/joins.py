@@ -275,9 +275,18 @@ def asof_join(
         list(lschema) + [f for f in rschema if f.name not in (on, *by)])
 
     def join_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
-        ldf = lt.to_pandas().sort_values(on, kind="stable")
-        rdf = rt.to_pandas().sort_values(on, kind="stable")
+        ldf = lt.to_pandas()
+        rdf = rt.to_pandas()
+        # SQL null-key semantics (pd.merge_asof would RAISE on null keys):
+        # a null right `on` can never win; a null left `on` matches nothing
+        # but survives as an unmatched left-outer row.
+        rdf = rdf[rdf[on].notna()]
+        lnull = ldf[ldf[on].isna()]
+        ldf = ldf[ldf[on].notna()].sort_values(on, kind="stable")
+        rdf = rdf.sort_values(on, kind="stable")
         merged = pd.merge_asof(ldf, rdf, on=on, by=by, direction="backward")
+        if len(lnull):
+            merged = pd.concat([merged, lnull], ignore_index=True)
         return _df_to_schema(merged, out_schema)
 
     return _copartition_apply(left, right, by, num_partitions,
@@ -310,8 +319,12 @@ def interval_join(
         list(lschema) + [f for f in rschema if f.name not in by])
 
     def join_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
-        ldf = lt.to_pandas().sort_values(on, kind="stable")
-        rdf = rt.to_pandas().sort_values(lo, kind="stable")
+        ldf = lt.to_pandas()
+        rdf = rt.to_pandas()
+        # null keys never match (merge_asof raises on them instead)
+        rdf = rdf[rdf[lo].notna()].sort_values(lo, kind="stable")
+        lnull = ldf[ldf[on].isna()]
+        ldf = ldf[ldf[on].notna()].sort_values(on, kind="stable")
         merged = pd.merge_asof(ldf, rdf, left_on=on, right_on=lo, by=by,
                                direction="backward")
         inside = merged[hi].notna() & (merged[hi] >= merged[on])
@@ -320,6 +333,8 @@ def interval_join(
         else:
             rcols = [f.name for f in rschema if f.name not in by]
             merged.loc[~inside, rcols] = None
+            if len(lnull):
+                merged = pd.concat([merged, lnull], ignore_index=True)
         return _df_to_schema(merged, out_schema)
 
     return _copartition_apply(left, right, by, num_partitions,

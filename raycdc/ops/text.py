@@ -215,11 +215,13 @@ def add_md5_fingerprint(ds: ray.data.Dataset, text_col: str = "text",
                         out_col: str = "fp_md5") -> ray.data.Dataset:
     """Hex-MD5 content fingerprint (cross-engine checkable: DuckDB ``md5()``
     produces the identical digest). Complements the rolling-hash
-    fingerprints, whose polynomial scheme no SQL engine reproduces."""
+    fingerprints, whose polynomial scheme no SQL engine reproduces.
+    Null text stays null (SQL ``md5(NULL) IS NULL``)."""
     import hashlib
 
     def fn(t: pa.Table) -> pa.Table:
-        vals = [hashlib.md5((s or "").encode("utf-8")).hexdigest()
+        vals = [None if s is None
+                else hashlib.md5(s.encode("utf-8")).hexdigest()
                 for s in t[text_col].to_pylist()]
         return t.append_column(out_col, pa.array(vals, pa.string()))
 

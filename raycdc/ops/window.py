@@ -20,6 +20,18 @@ import ray.data
 from raycdc.agg import grouped_aggregate
 
 
+def _pin_us(out: "ray.data.Dataset", window_col: str) -> "ray.data.Dataset":
+    """Pin the window column to timestamp[us]: the pandas leg of the
+    aggregate can narrow second-aligned window starts to timestamp[s]."""
+
+    def fix_unit(t: pa.Table) -> pa.Table:
+        i = t.column_names.index(window_col)
+        return t.set_column(i, window_col,
+                            t[window_col].cast(pa.timestamp("us")))
+
+    return out.map_batches(fix_unit, batch_format="pyarrow")
+
+
 def _ts_us(col) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_timestamp(arr.type):
@@ -57,14 +69,7 @@ def tumbling_window(
     out = grouped_aggregate(assigned, key_cols + [window_col], sums=sums,
                             means=means, mins=mins, maxs=maxs,
                             count_name=count_name)
-
-    def fix_unit(t: pa.Table) -> pa.Table:
-        # the pandas leg of the aggregate can narrow second-aligned window
-        # starts to timestamp[s]; pin the engine-wide µs unit
-        i = t.column_names.index(window_col)
-        return t.set_column(i, window_col, t[window_col].cast(pa.timestamp("us")))
-
-    return out.map_batches(fix_unit, batch_format="pyarrow")
+    return _pin_us(out, window_col)
 
 
 def sliding_window(
@@ -105,14 +110,7 @@ def sliding_window(
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     out = grouped_aggregate(assigned, key_cols + [window_col], sums=sums,
                             count_name=count_name)
-
-    def fix_unit(t: pa.Table) -> pa.Table:
-        # the pandas leg of the aggregate can narrow second-aligned window
-        # starts to timestamp[s]; pin the engine-wide µs unit
-        i = t.column_names.index(window_col)
-        return t.set_column(i, window_col, t[window_col].cast(pa.timestamp("us")))
-
-    return out.map_batches(fix_unit, batch_format="pyarrow")
+    return _pin_us(out, window_col)
 
 
 def session_window(
@@ -176,11 +174,21 @@ def session_window(
 
     from raycdc.shuffle import partition_map
 
+    try:
+        s = ds.schema()
+        key_type = dict(zip(s.names, s.types))[key_col]
+    except Exception:  # schema unavailable (e.g. empty upstream)
+        key_type = pa.string()
+    empty_schema = pa.schema([
+        (key_col, key_type), ("session_start", pa.timestamp("us")),
+        ("session_end", pa.timestamp("us")), (count_name, pa.int64())])
+
     # batch_size=None → whole blocks per call: the body is one vectorized
     # pass, so Ray's 1024-row default would only multiply Python overhead
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
                               batch_size=None)
-    return partition_map(bucketed, bcol, num_partitions, bucket_sessions)
+    return partition_map(bucketed, bcol, num_partitions, bucket_sessions,
+                         empty_schema=empty_schema)
 
 
 def _parse_window_us(w: str | int) -> int:

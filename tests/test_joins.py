@@ -133,3 +133,35 @@ def test_interval_join_inner_and_outer():
         num_partitions=2)).to_pandas()
     assert len(outer) == 3
     assert outer.set_index("lid").loc[3, "tag"] is None
+
+
+def test_asof_and_interval_join_null_keys():
+    # null `on` keys must not crash (pd.merge_asof raises on them): a null
+    # left timestamp survives as an unmatched left-outer row; null right
+    # keys never match (SQL semantics)
+    import numpy as np
+    from raycdc.joins import asof_join, interval_join
+
+    left = pa.table({
+        "lid": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([10, None], pa.int64()),
+        "k": ["a", "a"],
+    })
+    right = pa.table({
+        "k": ["a", "a"],
+        "ts": pa.array([5, None], pa.int64()),
+        "rv": pa.array([50, 99], pa.int64()),
+    })
+    out = to_table(asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="ts", by=["k"], num_partitions=2)).to_pandas()
+    got = dict(zip(out["lid"], out["rv"]))
+    assert got[1] == 50 and np.isnan(got[2]) and len(out) == 2
+
+    iright = pa.table({"k": ["a"], "lo": pa.array([None], pa.int64()),
+                       "hi": pa.array([20], pa.int64()), "tag": ["x"]})
+    inner = to_table(interval_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(iright),
+        on="ts", by=["k"], lo="lo", hi="hi", num_partitions=2))
+    # null interval start never matches (empty result)
+    assert inner is None or inner.num_rows == 0
