@@ -304,6 +304,17 @@ def _q_join_orders_lineitem(sf_dir: str):
                              sums={"sum_qty": "qty"}, count_name="n_items")
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct count over events.user_id (a
+    mergeable sketch: 4 KiB of registers per task, elementwise-max merge —
+    parallelism-invariant by construction; accuracy gated in pytest at <3%
+    error vs the exact count)."""
+    from raycdc.ops.sketch import approx_distinct
+
+    ev = _rp(sf_dir, "events", ["user_id"])
+    return approx_distinct(ev, "user_id")
+
+
 def _q_topk_lineitems(sf_dir: str):
     """Distributed top-k (no global sort: local top-k per block + one tiny
     final reduce). Deterministic under ties via the id columns."""
@@ -623,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_asof": _q_join_asof,
         "join_interval": _q_join_interval,
         "topk_lineitems": _q_topk_lineitems,
+        "approx_distinct_users": _q_approx_distinct_users,
         "quality": _q_quality,
         "quality_oracle": _q_quality_oracle,
         "langid": _q_langid,

@@ -247,3 +247,18 @@ def test_top_k():
     # global max v is 96 (ids 96, 193, 290, ...); ties break by min id
     assert df["v"].tolist() == [96] * 5
     assert df["id"].tolist() == [96, 193, 290, 387, 484]
+
+
+def test_approx_distinct_accuracy_and_merge_invariance():
+    from raycdc.ops.sketch import approx_distinct
+
+    n_distinct = 40_000
+    vals = pa.array([f"u{i % n_distinct}" for i in range(120_000)])
+    t = pa.table({"v": vals})
+    est1 = to_table(approx_distinct(
+        ray.data.from_arrow(t), "v"))["approx_distinct"][0].as_py()
+    assert abs(est1 - n_distinct) / n_distinct < 0.03
+    # merge invariance: a different block layout gives the SAME sketch
+    est2 = to_table(approx_distinct(
+        ray.data.from_arrow(t).repartition(16), "v"))["approx_distinct"][0].as_py()
+    assert est1 == est2
