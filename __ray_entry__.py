@@ -315,6 +315,18 @@ def _q_approx_distinct_users(sf_dir: str):
     return approx_distinct(ev, "user_id")
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters via two scalable passes (Misra-Gries candidate
+    summaries + exact count of the broadcast candidate set) — equivalent to
+    GROUP BY ... HAVING without ever building per-item state for the long
+    tail. Threshold 20% discriminates: 3 of the 5 event types qualify on
+    this fixture."""
+    from raycdc.ops.sketch import heavy_hitters
+
+    ev = _rp(sf_dir, "events", ["event_type"])
+    return heavy_hitters(ev, "event_type", threshold_frac=0.2)
+
+
 def _q_topk_lineitems(sf_dir: str):
     """Distributed top-k (no global sort: local top-k per block + one tiny
     final reduce). Deterministic under ties via the id columns."""
@@ -635,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_interval": _q_join_interval,
         "topk_lineitems": _q_topk_lineitems,
         "approx_distinct_users": _q_approx_distinct_users,
+        "heavy_hitters": _q_heavy_hitters,
         "quality": _q_quality,
         "quality_oracle": _q_quality_oracle,
         "langid": _q_langid,
@@ -803,6 +816,10 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
             LIMIT 100""",
+        "heavy_hitters": """
+            SELECT event_type, count(*) AS n
+            FROM events GROUP BY event_type
+            HAVING count(*) >= 0.2 * (SELECT count(*) FROM events)""",
         "multimodal_frames": """
             WITH d AS (
                 SELECT doc_id,

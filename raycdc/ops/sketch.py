@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 
@@ -64,3 +65,76 @@ def approx_distinct(ds: ray.data.Dataset, col: str, *,
     return ray.data.from_arrow(pa.table({
         "approx_distinct": pa.array([int(round(_estimate(merged)))],
                                     pa.int64())}))
+
+
+def heavy_hitters(ds: ray.data.Dataset, col: str, *,
+                  threshold_frac: float = 0.01) -> ray.data.Dataset:
+    """EXACT heavy hitters at corpus scale, without a full groupby.
+
+    Two passes: (1) mergeable Misra-Gries summaries (k = 2/threshold_frac
+    counters per batch; the merged summary is a guaranteed superset of every
+    item with frequency >= threshold_frac*n, since MG undercounts by at
+    most n/k = threshold*n/2), then (2) the small candidate set is
+    broadcast and counted exactly in one vectorized filtered pass. Output
+    (col, n) for items with exact count >= threshold_frac*n — identical to
+    GROUP BY ... HAVING, but the only per-item state that ever exists is
+    k counters per task plus the candidate set.
+    """
+    import ray
+
+    k = max(8, int(np.ceil(2.0 / threshold_frac)))
+
+    def batch_summary(t: pa.Table) -> pa.Table:
+        vc = t[col].to_pandas().value_counts()
+        head = vc.head(k)
+        # decrement by the (k+1)-th count: the MG "reduce to k counters"
+        # step; undercount per batch is bounded by batch_rows / k
+        cut = int(vc.iloc[k]) if len(vc) > k else 0
+        kept = head[head > cut] - cut
+        vals = pa.Array.from_pandas(kept.index.to_series().reset_index(drop=True))
+        # marker row (null item) carries the batch row count so empty
+        # summaries still contribute to the total
+        return pa.table({
+            col: pa.concat_arrays([vals.cast(t[col].type),
+                                   pa.nulls(1, t[col].type)]),
+            "mg": pa.array(list(kept.to_numpy()) + [0], pa.int64()),
+            "rows": pa.array([0] * len(kept) + [t.num_rows], pa.int64()),
+        })
+
+    summaries = ds.map_batches(batch_summary, batch_format="pyarrow",
+                               batch_size=None)
+    tabs = list(summaries.iter_batches(batch_format="pyarrow",
+                                       batch_size=None))
+    col_type = dict(zip(ds.schema().names, ds.schema().types))[col]
+    out_schema = pa.schema([(col, col_type), ("n", pa.int64())])
+    if not tabs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    merged = pa.concat_tables(tabs)
+    total = int(pc.sum(merged["rows"]).as_py() or 0)
+    items = merged.filter(pc.is_valid(merged[col]))
+    candidates = set(items[col].to_pylist())
+    threshold = threshold_frac * total
+    cand_ref = ray.put(candidates)
+
+    def count_candidates(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref) if isinstance(cand_ref, ray.ObjectRef) else cand_ref
+        s = t[col].to_pandas()
+        vc = s[s.isin(list(cand))].value_counts()
+        vals = pa.Array.from_pandas(
+            vc.index.to_series().reset_index(drop=True)).cast(col_type)
+        return pa.table({col: vals,
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    counts = ds.map_batches(count_candidates, batch_format="pyarrow",
+                            batch_size=None)
+    ctabs = list(counts.iter_batches(batch_format="pyarrow",
+                                     batch_size=None))
+    if not ctabs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    exact = pa.concat_tables(ctabs).to_pandas().groupby(col)["n"].sum()
+    final = exact[exact >= threshold].sort_values(ascending=False)
+    vals = pa.Array.from_pandas(
+        final.index.to_series().reset_index(drop=True)).cast(col_type)
+    return ray.data.from_arrow(pa.table(
+        {col: vals, "n": pa.array(final.to_numpy(), pa.int64())},
+        schema=out_schema))

@@ -262,3 +262,17 @@ def test_approx_distinct_accuracy_and_merge_invariance():
     est2 = to_table(approx_distinct(
         ray.data.from_arrow(t).repartition(16), "v"))["approx_distinct"][0].as_py()
     assert est1 == est2
+
+
+def test_heavy_hitters_exact():
+    from raycdc.ops.sketch import heavy_hitters
+
+    # 1 item at 30%, 1 at 10%, the rest spread thin across batches
+    vals = (["hot"] * 3000 + ["warm"] * 1000
+            + [f"cold{i}" for i in range(6000)])
+    rng = np.random.default_rng(11)
+    vals = [vals[i] for i in rng.permutation(len(vals))]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(8)
+    out = to_table(heavy_hitters(ds, "v", threshold_frac=0.05)).to_pandas()
+    got = dict(zip(out["v"], out["n"]))
+    assert got == {"hot": 3000, "warm": 1000}  # exact counts, no cold items
