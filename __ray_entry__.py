@@ -315,6 +315,13 @@ def _q_approx_distinct_users(sf_dir: str):
     return approx_distinct(ev, "user_id")
 
 
+def _q_normalize_text(sf_dir: str):
+    from raycdc.ops.text import normalize_text
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return normalize_text(docs).select_columns(["doc_id", "text_norm"])
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact heavy hitters via two scalable passes (Misra-Gries candidate
     summaries + exact count of the broadcast candidate set) — equivalent to
@@ -648,6 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_lineitems": _q_topk_lineitems,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitters": _q_heavy_hitters,
+        "normalize_text": _q_normalize_text,
         "quality": _q_quality,
         "quality_oracle": _q_quality_oracle,
         "langid": _q_langid,
@@ -820,6 +828,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n
             FROM events GROUP BY event_type
             HAVING count(*) >= 0.2 * (SELECT count(*) FROM events)""",
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                       AS text_norm
+            FROM documents""",
         "multimodal_frames": """
             WITH d AS (
                 SELECT doc_id,

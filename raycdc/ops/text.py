@@ -226,3 +226,34 @@ def add_md5_fingerprint(ds: ray.data.Dataset, text_col: str = "text",
         return t.append_column(out_col, pa.array(vals, pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def normalize_text(ds: ray.data.Dataset, text_col: str = "text",
+                   out_col: str = "text_norm") -> ray.data.Dataset:
+    """Canonical text normalization for dedup/training prep: lowercase,
+    collapse every whitespace run to one space, strip the ends. Pure
+    pyarrow kernels (RE2), no Python per row; DuckDB reproduces it with
+    lower + regexp_replace + trim."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t[text_col])
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        return t.append_column(out_col, s)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def extract_host(ds: ray.data.Dataset, url_col: str = "url",
+                 out_col: str = "host") -> ray.data.Dataset:
+    """Registrable-host extraction from Common-Crawl-style URLs (scheme
+    optional, port/path stripped, lowercased) — one RE2 pass per batch."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            t[url_col], r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?"
+                        r"(?P<host>[^/:?#]+)")
+        host = pc.utf8_lower(pc.struct_field(ex, "host"))
+        return t.append_column(out_col, host)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

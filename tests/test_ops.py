@@ -276,3 +276,15 @@ def test_heavy_hitters_exact():
     out = to_table(heavy_hitters(ds, "v", threshold_frac=0.05)).to_pandas()
     got = dict(zip(out["v"], out["n"]))
     assert got == {"hot": 3000, "warm": 1000}  # exact counts, no cold items
+
+
+def test_normalize_text_and_extract_host():
+    from raycdc.ops.text import extract_host, normalize_text
+
+    t = pa.table({"text": ["  Hello\t\nWORLD  x ", None],
+                  "url": ["HTTPS://User@Example.COM:8080/a/b?q=1",
+                          "example.org/path"]})
+    out = to_table(normalize_text(ray.data.from_arrow(t)))
+    assert out["text_norm"].to_pylist() == ["hello world x", None]
+    out = to_table(extract_host(ray.data.from_arrow(t)))
+    assert out["host"].to_pylist() == ["example.com", "example.org"]
