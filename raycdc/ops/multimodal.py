@@ -118,3 +118,62 @@ def frame_sample(ds: ray.data.Dataset, payload_col: str = "payload",
                   .append_column("frame_bytes", frame_bytes)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+class ImageResizer:
+    """Actor-pool stage: resize an image payload to (target_w, target_h).
+
+    Real codec decode/resample is STUBBED (``decoder="strict"`` raises —
+    no image libraries exist in this environment); ``decoder="fake"``
+    treats the payload as a row-major byte raster of the row's declared
+    (width, height) and nearest-neighbour samples it to the target size
+    with one vectorized numpy gather per batch, so the schema, actor
+    signature, batch sizing and output layout are all real and tested.
+    """
+
+    def __init__(self, payload_col: str = "payload", width_col: str = "width",
+                 height_col: str = "height", target_w: int = 32,
+                 target_h: int = 32, decoder: str = "fake"):
+        self.payload_col = payload_col
+        self.width_col, self.height_col = width_col, height_col
+        self.tw, self.th = target_w, target_h
+        self.decoder = decoder
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.decoder == "strict":
+            # STUB: real decode/resample needs an image codec library.
+            raise NotImplementedError(
+                "image resize requires an image codec library")
+        n = t.num_rows
+        out = np.zeros((n, self.th * self.tw), dtype=np.uint8)
+        payloads = t[self.payload_col]
+        widths = t[self.width_col].to_numpy(zero_copy_only=False)
+        heights = t[self.height_col].to_numpy(zero_copy_only=False)
+        ty, tx = np.meshgrid(np.arange(self.th), np.arange(self.tw),
+                             indexing="ij")
+        for i in range(n):  # per-image resample; pixels vectorized
+            data = np.frombuffer(payloads[i].as_py() or b"", dtype=np.uint8)
+            w, h = int(widths[i]), int(heights[i])
+            if w <= 0 or h <= 0 or len(data) < w * h:
+                continue
+            sy = (ty * h) // self.th
+            sx = (tx * w) // self.tw
+            out[i] = data[(sy * w + sx).reshape(-1)]
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(out.reshape(-1), pa.uint8()), self.th * self.tw)
+        return t.append_column("resized", col)
+
+
+def resize_images(ds: ray.data.Dataset, *, payload_col: str = "payload",
+                  width_col: str = "width", height_col: str = "height",
+                  target_w: int = 32, target_h: int = 32,
+                  decoder: str = "fake", batch_size: int = 64,
+                  concurrency=(1, 4)) -> ray.data.Dataset:
+    """Resize an image column with an actor pool (small batches: wide
+    binary payloads × concurrency must fit the worker heap)."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_args=(payload_col, width_col, height_col,
+                             target_w, target_h, decoder),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

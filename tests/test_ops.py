@@ -288,3 +288,22 @@ def test_normalize_text_and_extract_host():
     assert out["text_norm"].to_pylist() == ["hello world x", None]
     out = to_table(extract_host(ray.data.from_arrow(t)))
     assert out["host"].to_pylist() == ["example.com", "example.org"]
+
+
+def test_resize_images_fake_decoder():
+    from raycdc.ops.multimodal import ImageResizer, resize_images
+
+    # 4x4 gradient raster resized to 2x2 picks the nearest-neighbour corners
+    img = bytes(range(16))
+    t = pa.table({"payload": pa.array([img, None], pa.binary()),
+                  "width": pa.array([4, 4], pa.int32()),
+                  "height": pa.array([4, 0], pa.int32())})
+    out = to_table(resize_images(ray.data.from_arrow(t),
+                                 target_w=2, target_h=2))
+    first = out["resized"][0].as_py()
+    assert first == [0, 2, 8, 10]
+    assert out["resized"][1].as_py() == [0, 0, 0, 0]  # invalid dims -> zeros
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        to_table(resize_images(ray.data.from_arrow(t), target_w=2,
+                               target_h=2, decoder="strict"))
