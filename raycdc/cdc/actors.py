@@ -175,6 +175,19 @@ class PartitionRouter:
         return pa.table({"routed": pa.array([flat.num_rows], pa.int64())})
 
 
+@ray.remote
+def _route_chunk(actor_handles: list, num_partitions: int, path: str,
+                 row_groups: list) -> int:
+    """One routing task: read a row-group slice of a segment, flatten +
+    LWW-combine + push per-partition slices to the merge actors (reuses
+    PartitionRouter's kernel); returns the routed (post-combine) row
+    count after all ingest acks have drained."""
+    t = pq.ParquetFile(path).read_row_groups(row_groups)
+    router = PartitionRouter(actor_handles, num_partitions)
+    out = router(t)
+    return int(out["routed"][0].as_py())
+
+
 class CdcEngine:
     """Tail a changelog directory with a persistent merge-actor pool.
 
@@ -206,10 +219,17 @@ class CdcEngine:
         return [(e, p) for p in discover_segments(self.changelog_dir)
                 if (e := _segment_epoch(p)) not in applied]
 
-    def advance(self, max_epochs: int = 1) -> dict:
-        """Ingest up to ``max_epochs`` unapplied epochs and commit once."""
-        import ray.data
+    def advance(self, max_epochs: int = 1,
+                max_in_flight_tasks: int = 16) -> dict:
+        """Ingest up to ``max_epochs`` unapplied epochs and commit once.
 
+        The read+route phase is raw Ray tasks over row-group splits rather
+        than a Ray Data pipeline: a streaming commit pays this phase once
+        PER COMMIT, and the Dataset executor's ~0.5 s spin-up dominated the
+        measured per-commit fixed cost (BASELINE.md cadence table). The
+        driver bounds in-flight routing tasks (backpressure); each task
+        additionally bounds its in-flight actor-ingest acks.
+        """
         todo = self._unapplied()[:max_epochs]
         if not todo:
             return {"events": 0, "epochs": []}
@@ -217,19 +237,26 @@ class CdcEngine:
         paths = [p for _, p in todo]
         version = (self.manifest.version + 1) if self.manifest else 1
 
-        ds = ray.data.read_parquet(paths)
-        router = PartitionRouter(self.actors, self.p)
-        # stateless routing tasks run in parallel; each task bounds its own
-        # in-flight ingest acks (backpressure)
-        routed = ds.map_batches(router, batch_format="pyarrow",
-                                concurrency=8)
-        # routed rows are post-combine (the router LWW-combines each batch
-        # before pushing); raw event count + watermark come from ONE
-        # threaded footer pass (apply._footer_infos)
-        total = sum(r["routed"] for r in routed.take_all())
         infos = _footer_infos(paths)
         raw_events = sum(i[1] for i in infos)
         watermark = max(i[0] for i in infos)
+        # row-group-granular routing tasks, bounded in flight
+        import pyarrow.parquet as _pq
+
+        specs = []
+        for p in paths:
+            n_rg = _pq.ParquetFile(p).metadata.num_row_groups
+            for rg in range(0, n_rg, 2):
+                specs.append((p, list(range(rg, min(rg + 2, n_rg)))))
+        pending, counts = [], []
+        for spec in specs:
+            pending.append(_route_chunk.remote(
+                self.actors, self.p, spec[0], spec[1]))
+            if len(pending) >= max_in_flight_tasks:
+                done, pending = ray.wait(pending, num_returns=1)
+                counts.extend(ray.get(done))
+        counts.extend(ray.get(pending))
+        total = sum(counts)
 
         flush_rows = ray.get([a.flush.remote(version) for a in self.actors])
         partitions = dict(self.manifest.partitions) if self.manifest else {}
