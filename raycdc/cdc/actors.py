@@ -240,12 +240,11 @@ class CdcEngine:
         infos = _footer_infos(paths)
         raw_events = sum(i[1] for i in infos)
         watermark = max(i[0] for i in infos)
-        # row-group-granular routing tasks, bounded in flight
-        import pyarrow.parquet as _pq
-
+        # row-group-granular routing tasks, bounded in flight (row-group
+        # counts come from the same single threaded footer pass)
         specs = []
-        for p in paths:
-            n_rg = _pq.ParquetFile(p).metadata.num_row_groups
+        for p, info in zip(paths, infos):
+            n_rg = info[3]
             for rg in range(0, n_rg, 2):
                 specs.append((p, list(range(rg, min(rg + 2, n_rg)))))
         pending, counts = [], []

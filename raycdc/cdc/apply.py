@@ -72,23 +72,11 @@ def discover_segments(changelog_dir: str) -> list[str]:
     )
 
 
-def _segment_seq_bounds(path: str) -> tuple[int, int]:
-    md = pq.ParquetFile(path).metadata
-    idx = md.schema.to_arrow_schema().get_field_index("seq")
-    lo, hi = None, None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is None:
-            continue
-        lo = st.min if lo is None else min(lo, st.min)
-        hi = st.max if hi is None else max(hi, st.max)
-    return (lo if lo is not None else -1, hi if hi is not None else -1)
-
-
-def _footer_info(path: str) -> tuple[int, int, pa.Schema]:
-    """One footer open per segment: (max seq, row count, schema) — every
-    fact the driver needs, gathered together because driver-side serial
-    footer walks are fixed cost that dents scaling efficiency."""
+def _footer_info(path: str) -> tuple[int, int, pa.Schema, int]:
+    """One footer open per segment: (max seq, row count, schema,
+    num_row_groups) — every fact the driver needs, gathered together
+    because driver-side serial footer walks are fixed cost that dents
+    scaling efficiency."""
     f = pq.ParquetFile(path)
     md = f.metadata
     schema = md.schema.to_arrow_schema()
@@ -98,10 +86,10 @@ def _footer_info(path: str) -> tuple[int, int, pa.Schema]:
         st = md.row_group(rg).column(idx).statistics
         if st is not None:
             hi = max(hi, st.max)
-    return hi, md.num_rows, schema
+    return hi, md.num_rows, schema, md.num_row_groups
 
 
-def _footer_infos(paths: list[str]) -> list[tuple[int, int, pa.Schema]]:
+def _footer_infos(paths: list[str]) -> list[tuple[int, int, pa.Schema, int]]:
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=16) as pool:

@@ -144,11 +144,17 @@ class ImageResizer:
             # STUB: real decode/resample needs an image codec library.
             raise NotImplementedError(
                 "image resize requires an image codec library")
+        import pyarrow.compute as pc
+
         n = t.num_rows
         out = np.zeros((n, self.th * self.tw), dtype=np.uint8)
         payloads = t[self.payload_col]
-        widths = t[self.width_col].to_numpy(zero_copy_only=False)
-        heights = t[self.height_col].to_numpy(zero_copy_only=False)
+        # null dimension metadata -> 0 -> the invalid-dims guard emits zeros
+        # (int(NaN) from a raw to_numpy would crash the whole batch instead)
+        widths = pc.fill_null(t[self.width_col], 0).to_numpy(
+            zero_copy_only=False)
+        heights = pc.fill_null(t[self.height_col], 0).to_numpy(
+            zero_copy_only=False)
         ty, tx = np.meshgrid(np.arange(self.th), np.arange(self.tw),
                              indexing="ij")
         for i in range(n):  # per-image resample; pixels vectorized

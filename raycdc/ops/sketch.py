@@ -85,20 +85,24 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, *,
     k = max(8, int(np.ceil(2.0 / threshold_frac)))
 
     def batch_summary(t: pa.Table) -> pa.Table:
-        vc = t[col].to_pandas().value_counts()
+        s = t[col].to_pandas()
+        vc = s.value_counts()  # non-null items; nulls are tallied exactly
         head = vc.head(k)
         # decrement by the (k+1)-th count: the MG "reduce to k counters"
         # step; undercount per batch is bounded by batch_rows / k
         cut = int(vc.iloc[k]) if len(vc) > k else 0
         kept = head[head > cut] - cut
         vals = pa.Array.from_pandas(kept.index.to_series().reset_index(drop=True))
-        # marker row (null item) carries the batch row count so empty
-        # summaries still contribute to the total
+        # marker row (null item) carries the batch row count AND the exact
+        # null tally: SQL GROUP BY treats NULL as a group, and the null
+        # group needs no candidate pass — its exact count is free here
         return pa.table({
             col: pa.concat_arrays([vals.cast(t[col].type),
                                    pa.nulls(1, t[col].type)]),
             "mg": pa.array(list(kept.to_numpy()) + [0], pa.int64()),
             "rows": pa.array([0] * len(kept) + [t.num_rows], pa.int64()),
+            "nulls": pa.array([0] * len(kept) + [int(s.isna().sum())],
+                              pa.int64()),
         })
 
     summaries = ds.map_batches(batch_summary, batch_format="pyarrow",
@@ -111,6 +115,7 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, *,
         return ray.data.from_arrow(out_schema.empty_table())
     merged = pa.concat_tables(tabs)
     total = int(pc.sum(merged["rows"]).as_py() or 0)
+    total_nulls = int(pc.sum(merged["nulls"]).as_py() or 0)
     items = merged.filter(pc.is_valid(merged[col]))
     candidates = set(items[col].to_pylist())
     threshold = threshold_frac * total
@@ -135,6 +140,10 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, *,
     final = exact[exact >= threshold].sort_values(ascending=False)
     vals = pa.Array.from_pandas(
         final.index.to_series().reset_index(drop=True)).cast(col_type)
+    ns = list(final.to_numpy())
+    if total_nulls >= threshold and total_nulls > 0:
+        # the NULL group (SQL GROUP BY semantics) — exact count from markers
+        vals = pa.concat_arrays([vals, pa.nulls(1, col_type)])
+        ns.append(total_nulls)
     return ray.data.from_arrow(pa.table(
-        {col: vals, "n": pa.array(final.to_numpy(), pa.int64())},
-        schema=out_schema))
+        {col: vals, "n": pa.array(ns, pa.int64())}, schema=out_schema))

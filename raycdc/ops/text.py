@@ -238,7 +238,11 @@ def normalize_text(ds: ray.data.Dataset, text_col: str = "text",
     def fn(t: pa.Table) -> pa.Table:
         s = pc.utf8_lower(t[text_col])
         s = pc.replace_substring_regex(s, r"\s+", " ")
-        s = pc.utf8_trim_whitespace(s)
+        # trim SPACES only (after the collapse, RE2-\s edges are single
+        # spaces): Arrow's unicode-aware trim_whitespace would also strip
+        # characters like \x0b that SQL trim() (and RE2 \s) leave alone,
+        # diverging from the oracle
+        s = pc.utf8_trim(s, " ")
         return t.append_column(out_col, s)
 
     return ds.map_batches(fn, batch_format="pyarrow")

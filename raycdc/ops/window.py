@@ -174,14 +174,15 @@ def session_window(
 
     from raycdc.shuffle import partition_map
 
-    try:
+    def empty_schema():
+        # evaluated ONLY when every partition came up empty: ds.schema()
+        # may trigger partial upstream execution, so don't pay it on the
+        # happy path
         s = ds.schema()
         key_type = dict(zip(s.names, s.types))[key_col]
-    except Exception:  # schema unavailable (e.g. empty upstream)
-        key_type = pa.string()
-    empty_schema = pa.schema([
-        (key_col, key_type), ("session_start", pa.timestamp("us")),
-        ("session_end", pa.timestamp("us")), (count_name, pa.int64())])
+        return pa.schema([
+            (key_col, key_type), ("session_start", pa.timestamp("us")),
+            ("session_end", pa.timestamp("us")), (count_name, pa.int64())])
 
     # batch_size=None → whole blocks per call: the body is one vectorized
     # pass, so Ray's 1024-row default would only multiply Python overhead

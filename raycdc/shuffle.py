@@ -66,7 +66,7 @@ def partition_map(
     fn: Callable[[pa.Table], pa.Table],
     *,
     drop_partition_col: bool = True,
-    empty_schema: Optional[pa.Schema] = None,
+    empty_schema=None,
 ) -> ray.data.Dataset:
     """Hash-partition ``ds`` by an existing int partition-id column and apply
     ``fn`` once per partition (the partition's rows concatenated into one
@@ -94,6 +94,10 @@ def partition_map(
     live = [r for r, n in zip(table_refs, counts) if n]
     if not live:
         if empty_schema is not None:
-            return ray.data.from_arrow(empty_schema.empty_table())
+            # may be a pa.Schema or a zero-arg callable returning one —
+            # callables defer (possibly execution-triggering) schema
+            # derivation to this corner case only
+            schema = empty_schema() if callable(empty_schema) else empty_schema
+            return ray.data.from_arrow(schema.empty_table())
         return ray.data.from_items([])
     return ray.data.from_arrow_refs(live)

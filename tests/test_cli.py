@@ -9,12 +9,7 @@ import os
 import subprocess
 import sys
 
-import pyarrow as pa
-import pytest
-
-
-@pytest.mark.parametrize("dummy", [0])
-def test_cli_apply_and_stats(tmp_path, dummy):
+def test_cli_apply_and_stats(tmp_path):
     from raycdc.cdc.changelog import ChangelogSpec, generate_changelog
 
     wal = str(tmp_path / "wal")

@@ -307,3 +307,34 @@ def test_resize_images_fake_decoder():
     with _pytest.raises(Exception):
         to_table(resize_images(ray.data.from_arrow(t), target_w=2,
                                target_h=2, decoder="strict"))
+
+
+def test_review_fix_null_edges():
+    # null width/height metadata -> zeros (not a batch crash)
+    from raycdc.ops.multimodal import resize_images
+
+    t = pa.table({"payload": pa.array([bytes(range(16))], pa.binary()),
+                  "width": pa.array([None], pa.int32()),
+                  "height": pa.array([4], pa.int32())})
+    out = to_table(resize_images(ray.data.from_arrow(t), target_w=2,
+                                 target_h=2))
+    assert out["resized"][0].as_py() == [0, 0, 0, 0]
+
+    # heavy hitters: the NULL group counts like SQL GROUP BY
+    from raycdc.ops.sketch import heavy_hitters
+
+    vals = pa.array(["a"] * 30 + [None] * 40 + [f"x{i}" for i in range(30)])
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(4)
+    out = to_table(heavy_hitters(ds, "v", threshold_frac=0.2)).to_pandas()
+    got = dict(zip(out["v"], out["n"]))
+    assert got.get("a") == 30
+    import numpy as np
+    nulls = out[out["v"].isna()]
+    assert len(nulls) == 1 and nulls["n"].iloc[0] == 40
+
+    # normalize_text leaves non-RE2 whitespace edges alone (like SQL trim)
+    from raycdc.ops.text import normalize_text
+
+    t = pa.table({"text": ["hi\x0b", "  A  b "]})
+    out = to_table(normalize_text(ray.data.from_arrow(t)))
+    assert out["text_norm"].to_pylist() == ["hi\x0b", "a b"]
