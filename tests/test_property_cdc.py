@@ -97,3 +97,47 @@ def test_bounded_pairs_invariants(n, cap, window):
         assert len(ia) <= n * window
         pairs = set(zip(ia.tolist(), ib.tolist()))
         assert all((i, i + 1) in pairs for i in range(n - 1))
+
+
+rows_asof = st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)),
+                     min_size=0, max_size=25)
+
+
+@settings(max_examples=50, deadline=None)
+@given(rows_asof, rows_asof)
+def test_asof_join_matches_brute_force(lrows, rrows):
+    """Distributed as-of join == per-row brute force over random inputs —
+    exercises the by-hash co-partitioning, not just the per-partition
+    kernel. Right side deduped per (k, ts) for a deterministic winner."""
+    import ray.data
+    from raycdc.joins import asof_join
+
+    rdedup = {}
+    for i, (k, ts) in enumerate(rrows):
+        rdedup[(k, ts)] = max(rdedup.get((k, ts), -1), i * 10)
+    left = pa.table({
+        "lid": pa.array(range(len(lrows)), pa.int64()),
+        "ts": pa.array([t for _, t in lrows], pa.int64()),
+        "k": pa.array([f"k{k}" for k, _ in lrows], pa.string()),
+    })
+    right = pa.table({
+        "k": pa.array([f"k{k}" for k, _ in rdedup], pa.string()),
+        "ts": pa.array([t for _, t in rdedup], pa.int64()),
+        "rv": pa.array(list(rdedup.values()), pa.int64()),
+    })
+    out = pa.concat_tables(list(asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="ts", by=["k"], num_partitions=3,
+    ).iter_batches(batch_format="pyarrow"))) if lrows else None
+
+    expected = {}
+    for lid, (k, ts) in enumerate(lrows):
+        best = None
+        for (rk, rts), rv in rdedup.items():
+            if rk == k and rts <= ts and (best is None or rts > best[0]):
+                best = (rts, rv)
+        expected[lid] = best[1] if best else None
+    if not lrows:
+        return
+    got = dict(zip(out["lid"].to_pylist(), out["rv"].to_pylist()))
+    assert got == expected
