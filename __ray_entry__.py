@@ -322,6 +322,19 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(docs).select_columns(["doc_id", "text_norm"])
 
 
+def _q_curation(sf_dir: str):
+    """End-to-end corpus curation: normalize → quality filter → language
+    filter → exact dedup, as ONE streaming composition of engine operators
+    (raycdc/pipelines/curation.py). Every stage is individually
+    oracle-proven; this query hash-checks the whole chain — operator
+    compatibility, not just each operator alone."""
+    from raycdc.pipelines import curate_documents
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return curate_documents(docs, min_tokens=5, max_punct_ratio=0.2,
+                            keep_lang="en", num_partitions=16)
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact heavy hitters via two scalable passes (Misra-Gries candidate
     summaries + exact count of the broadcast candidate set) — equivalent to
@@ -656,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitters": _q_heavy_hitters,
         "normalize_text": _q_normalize_text,
+        "curation_pipeline": _q_curation,
         "quality": _q_quality,
         "quality_oracle": _q_quality_oracle,
         "langid": _q_langid,
@@ -833,6 +847,52 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                        AS text_norm
             FROM documents""",
+        "curation_pipeline": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+                           AS text_norm
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id, text_norm,
+                       CAST(len(regexp_extract_all(text_norm, '\S+'))
+                            AS BIGINT) AS n_tokens,
+                       CAST(len(regexp_extract_all(text_norm, '[^\w\s]'))
+                            AS DOUBLE)
+                           / greatest(length(text_norm), 1) AS punct_ratio
+                FROM n
+            ),
+            f AS (
+                SELECT * FROM q
+                WHERE n_tokens >= 5 AND punct_ratio < 0.2
+            ),
+            c AS (
+                SELECT doc_id, text_norm, n_tokens,
+                    len(regexp_extract_all(text_norm, '(?i)\b(?:the|and|of|to|in|is|that|it|was|for)\b')) AS c_en,
+                    len(regexp_extract_all(text_norm, '(?i)\b(?:der|die|das|und|ist|nicht|ein|mit|sich|auf)\b')) AS c_de,
+                    len(regexp_extract_all(text_norm, '(?i)\b(?:le|la|les|et|est|une|pour|dans|que|pas)\b')) AS c_fr,
+                    len(regexp_extract_all(text_norm, '(?i)\b(?:el|la|los|las|es|una|para|con|por|como)\b')) AS c_es,
+                    len(regexp_extract_all(text_norm, '(?:の|に|は|を|た|が|で|て|と|です)')) AS c_ja
+                FROM f
+            ),
+            l AS (
+                SELECT doc_id, text_norm, n_tokens,
+                    CASE WHEN greatest(c_en, c_de, c_fr, c_es, c_ja) = 0
+                              THEN 'und'
+                         WHEN c_en >= c_de AND c_en >= c_fr
+                              AND c_en >= c_es AND c_en >= c_ja THEN 'en'
+                         WHEN c_de >= c_fr AND c_de >= c_es
+                              AND c_de >= c_ja THEN 'de'
+                         WHEN c_fr >= c_es AND c_fr >= c_ja THEN 'fr'
+                         WHEN c_es >= c_ja THEN 'es'
+                         ELSE 'ja' END AS lang_pred
+                FROM c
+            )
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text_norm,
+                   min(n_tokens) AS n_tokens, min(lang_pred) AS lang_pred
+            FROM l WHERE lang_pred = 'en'
+            GROUP BY text_norm""",
         "multimodal_frames": """
             WITH d AS (
                 SELECT doc_id,
