@@ -35,8 +35,11 @@ def distinct_rows(ds: ray.data.Dataset, subset: list[str],
         df = t.to_pandas().drop_duplicates(subset=subset)
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    from raycdc.shuffle import lazy_schema
+
     return partition_map(ds.map_batches(local, batch_format="pyarrow"),
-                         b, num_partitions, bucket_dedup)
+                         b, num_partitions, bucket_dedup,
+                         empty_schema=lazy_schema(ds))
 
 
 def grouped_aggregate(

@@ -241,7 +241,8 @@ class CdcEngine:
         raw_events = sum(i[1] for i in infos)
         watermark = max(i[0] for i in infos)
         # row-group-granular routing tasks, bounded in flight (row-group
-        # counts come from the same single threaded footer pass)
+        # counts come from the one parallel footer pass above — no extra
+        # footer opens)
         specs = []
         for p, info in zip(paths, infos):
             n_rg = info[3]

@@ -103,8 +103,11 @@ def lww_dataset(ds, key: str = "url", ts: str = "warc_ts", seq: str = "seq",
     def bucket(t: pa.Table) -> pa.Table:
         return lww_reduce(t, key, ts, seq)
 
+    from raycdc.shuffle import lazy_schema
+
     return partition_map(ds.map_batches(local, batch_format="pyarrow"),
-                         bcol, num_partitions, bucket)
+                         bcol, num_partitions, bucket,
+                         empty_schema=lazy_schema(ds))
 
 
 class LocalLwwCombiner:

@@ -72,8 +72,11 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
         df = df.drop_duplicates(subset=[text_col], keep="first")
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    from raycdc.shuffle import lazy_schema
+
     return partition_map(ds.map_batches(add_bucket, batch_format="pyarrow"),
-                         _B, num_partitions, dedup_bucket)
+                         _B, num_partitions, dedup_bucket,
+                         empty_schema=lazy_schema(ds))
 
 
 def _bounded_pairs(n: int, cap: int, window: int) -> tuple[np.ndarray, np.ndarray]:

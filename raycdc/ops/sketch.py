@@ -86,6 +86,13 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, *,
 
     def batch_summary(t: pa.Table) -> pa.Table:
         s = t[col].to_pandas()
+        # Arrow-level null count: pandas isna() would also swallow float
+        # NaN VALUES, which SQL groups separately from NULL. (Float NaN
+        # keys remain unsupported through the pandas value_counts leg —
+        # intended for string/int key columns.)
+        arr = t[col]
+        n_null = arr.null_count if not isinstance(arr, pa.ChunkedArray) \
+            else sum(c.null_count for c in arr.chunks)
         vc = s.value_counts()  # non-null items; nulls are tallied exactly
         head = vc.head(k)
         # decrement by the (k+1)-th count: the MG "reduce to k counters"
@@ -101,8 +108,7 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, *,
                                    pa.nulls(1, t[col].type)]),
             "mg": pa.array(list(kept.to_numpy()) + [0], pa.int64()),
             "rows": pa.array([0] * len(kept) + [t.num_rows], pa.int64()),
-            "nulls": pa.array([0] * len(kept) + [int(s.isna().sum())],
-                              pa.int64()),
+            "nulls": pa.array([0] * len(kept) + [int(n_null)], pa.int64()),
         })
 
     summaries = ds.map_batches(batch_summary, batch_format="pyarrow",
@@ -130,13 +136,17 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, *,
         return pa.table({col: vals,
                          "n": pa.array(vc.to_numpy(), pa.int64())})
 
-    counts = ds.map_batches(count_candidates, batch_format="pyarrow",
-                            batch_size=None)
-    ctabs = list(counts.iter_batches(batch_format="pyarrow",
-                                     batch_size=None))
-    if not ctabs:
-        return ray.data.from_arrow(out_schema.empty_table())
-    exact = pa.concat_tables(ctabs).to_pandas().groupby(col)["n"].sum()
+    if candidates:
+        counts = ds.map_batches(count_candidates, batch_format="pyarrow",
+                                batch_size=None)
+        ctabs = list(counts.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+    else:
+        ctabs = []
+    if ctabs:
+        exact = pa.concat_tables(ctabs).to_pandas().groupby(col)["n"].sum()
+    else:
+        exact = pd.Series([], dtype="int64", name="n")
     final = exact[exact >= threshold].sort_values(ascending=False)
     vals = pa.Array.from_pandas(
         final.index.to_series().reset_index(drop=True)).cast(col_type)

@@ -177,9 +177,13 @@ def session_window(
     def empty_schema():
         # evaluated ONLY when every partition came up empty: ds.schema()
         # may trigger partial upstream execution, so don't pay it on the
-        # happy path
+        # happy path; fully-empty upstream (schema None) falls back to a
+        # string key so the result still carries the contracted columns
         s = ds.schema()
-        key_type = dict(zip(s.names, s.types))[key_col]
+        try:
+            key_type = dict(zip(s.names, s.types))[key_col]
+        except (AttributeError, KeyError):
+            key_type = pa.string()
         return pa.schema([
             (key_col, key_type), ("session_start", pa.timestamp("us")),
             ("session_end", pa.timestamp("us")), (count_name, pa.int64())])

@@ -15,12 +15,28 @@ phase produces them — no materialization barrier.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
+
+
+def lazy_schema(ds: ray.data.Dataset):
+    """Zero-arg callable deriving a pa.Schema from ``ds`` — for
+    partition_map's ``empty_schema``: evaluated only when every partition
+    came up empty, so the (possibly execution-triggering) ``ds.schema()``
+    is never paid on the happy path. Returns None when no schema is
+    derivable (fully empty upstream)."""
+
+    def get():
+        s = ds.schema()
+        if s is None:
+            return None
+        return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+
+    return get
 
 
 @ray.remote
@@ -98,6 +114,7 @@ def partition_map(
             # callables defer (possibly execution-triggering) schema
             # derivation to this corner case only
             schema = empty_schema() if callable(empty_schema) else empty_schema
-            return ray.data.from_arrow(schema.empty_table())
+            if schema is not None:
+                return ray.data.from_arrow(schema.empty_table())
         return ray.data.from_items([])
     return ray.data.from_arrow_refs(live)

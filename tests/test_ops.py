@@ -328,7 +328,6 @@ def test_review_fix_null_edges():
     out = to_table(heavy_hitters(ds, "v", threshold_frac=0.2)).to_pandas()
     got = dict(zip(out["v"], out["n"]))
     assert got.get("a") == 30
-    import numpy as np
     nulls = out[out["v"].isna()]
     assert len(nulls) == 1 and nulls["n"].iloc[0] == 40
 
@@ -338,3 +337,22 @@ def test_review_fix_null_edges():
     t = pa.table({"text": ["hi\x0b", "  A  b "]})
     out = to_table(normalize_text(ray.data.from_arrow(t)))
     assert out["text_norm"].to_pylist() == ["hi\x0b", "a b"]
+
+
+def test_heavy_hitters_all_null_and_empty_session():
+    # all-null column: the NULL group alone must survive (SQL semantics)
+    from raycdc.ops.sketch import heavy_hitters
+    from raycdc.ops.window import session_window
+
+    t = pa.table({"v": pa.array([None] * 50, pa.string())})
+    out = to_table(heavy_hitters(ray.data.from_arrow(t),
+                                 "v", threshold_frac=0.2)).to_pandas()
+    assert len(out) == 1 and out["n"].iloc[0] == 50 and out["v"].isna().all()
+
+    # empty-upstream session_window returns the contracted columns
+    ds = ray.data.from_items([])
+    res = session_window(ds, ts_col="ts", key_col="user_id", gap="30m")
+    tabs = list(res.iter_batches(batch_format="pyarrow"))
+    got = pa.concat_tables(tabs) if tabs else res.schema()
+    names = got.column_names if isinstance(got, pa.Table) else got.names
+    assert names == ["user_id", "session_start", "session_end", "n"]
