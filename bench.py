@@ -104,9 +104,10 @@ def run_bench() -> dict:
     one_apply("warmup")
     headline = min(one_apply("t1"), one_apply("t2"))
     if os.environ.get("RAYCDC_BENCH_HEADLINE_ONLY"):
-        # scaling mode: low-CPU runs have ±15% run-to-run noise on this box;
-        # a third timed run tightens the reported best
-        headline = min(headline, one_apply("t3"))
+        # scaling mode: runs have ±10-15% noise on this box and the
+        # efficiency RATIO compounds noise from both legs — four timed
+        # runs per level converge each leg to its true best
+        headline = min(headline, one_apply("t3"), one_apply("t4"))
     eps = CDC_EVENTS / headline if headline > 0 else 0.0
     metrics = {"events": CDC_EVENTS}
 
