@@ -195,7 +195,9 @@ def run_scaling() -> dict:
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(res.stdout.strip().splitlines()[-1])
 
+    load_start = os.getloadavg()
     r2, r8, r32 = one(2), one(8), one(32)
+    load_end = os.getloadavg()
     eff_2_8 = (r8["cdc_events_per_sec"] / r2["cdc_events_per_sec"]) / 4 \
         if r2["cdc_events_per_sec"] else 0.0
     eff_8_32 = (r32["cdc_events_per_sec"] / r8["cdc_events_per_sec"]) / 4 \
@@ -218,6 +220,11 @@ def run_scaling() -> dict:
         "sec": {"2cpu": r2["value"], "8cpu": r8["value"],
                 "32cpu": r32["value"]},
         "cdc_events": r32["cdc_events"],
+        # contention context: the ratio is only meaningful on an idle box
+        # (BASELINE.md methodology note); a high 1-min loadavg here means
+        # unrelated sandbox load shared the measurement
+        "loadavg_1m": {"start": round(load_start[0], 2),
+                       "end": round(load_end[0], 2)},
     }
 
 
