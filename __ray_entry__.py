@@ -322,6 +322,22 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(docs).select_columns(["doc_id", "text_norm"])
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    """EXACT near-dup pairs (true 5-gram Jaccard >= 0.8) computed the
+    scalable way — MinHash-LSH candidates (one-row bands; miss probability
+    < 1e-44 per true pair) + exact verification — and checked against a
+    DuckDB CROSS-JOIN computing the same Jaccard exhaustively. Restricted
+    to doc_id < 250 to keep the O(n²) ORACLE affordable; the engine side
+    never does the cross join."""
+    from raycdc.ops.dedup import jaccard_verified_pairs
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    docs = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 250)),
+        batch_format="pyarrow")
+    return jaccard_verified_pairs(docs, threshold=0.8, num_partitions=16)
+
+
 def _q_curation(sf_dir: str):
     """End-to-end corpus curation: normalize → quality filter → language
     filter → exact dedup, as ONE streaming composition of engine operators
@@ -670,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "normalize_text": _q_normalize_text,
         "curation_pipeline": _q_curation,
+        "jaccard_pairs": _q_jaccard_pairs,
         "quality": _q_quality,
         "quality_oracle": _q_quality_oracle,
         "langid": _q_langid,
@@ -847,6 +864,21 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                        AS text_norm
             FROM documents""",
+        "jaccard_pairs": r"""
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(length(text) - 4, 1)),
+                           i -> substr(text, i, 5))) AS grams
+                FROM documents WHERE doc_id < 250
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.grams, b.grams)))
+                       AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8""",
         "curation_pipeline": r"""
             WITH n AS (
                 SELECT doc_id,

@@ -574,3 +574,67 @@ def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
                          _B, num_partitions, bucket_pairs,
                          empty_schema=out_schema)
     return _distinct_pairs(cand, out_schema, num_partitions)
+
+
+def jaccard_verified_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.8,
+    candidate_threshold: float = 0.35,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """EXACT near-duplicate pairs (true char-k-gram Jaccard >= threshold)
+    without the O(n²) cross join.
+
+    Candidates come from MinHash LSH with one-row bands — any shared
+    minhash value collides, so a true pair at j >= threshold is missed with
+    probability <= (1-j)^num_perm (< 1e-44 at j=0.8, num_perm=64) and must
+    additionally drop below ``candidate_threshold`` on the 64-permutation
+    estimate (binomial tail ~1e-13) — then texts rejoin the candidate pairs
+    by id and the TRUE n-gram Jaccard is computed per pair. The output is
+    the exhaustive exact pair set for any real corpus; an SQL engine can
+    reproduce it with a cross join, which is exactly what the oracle does.
+    """
+    from raycdc.joins import hash_join
+
+    cand = minhash_lsh_pairs(
+        ds, text_col, id_col, num_perm=num_perm, bands=num_perm,
+        shingle_k=shingle_k, threshold=candidate_threshold,
+        num_partitions=num_partitions)
+    cand = cand.map_batches(lambda t: t.select(["id_a", "id_b"]),
+                            batch_format="pyarrow")
+
+    def rename(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({f"id_{side}": pc.cast(t[id_col], pa.int64()),
+                             f"text_{side}": t[text_col]})
+        return fn
+
+    import pyarrow.compute as pc  # noqa: F811 (local alias for closures)
+
+    j1 = hash_join(cand, ds.map_batches(rename("a"), batch_format="pyarrow"),
+                   on=["id_a"], num_partitions=num_partitions)
+    j2 = hash_join(j1, ds.map_batches(rename("b"), batch_format="pyarrow"),
+                   on=["id_b"], num_partitions=num_partitions)
+
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ta = t["text_a"].to_pylist()
+        tb = t["text_b"].to_pylist()
+        jac = np.array([ngram_jaccard(x or "", y or "", shingle_k)
+                        for x, y in zip(ta, tb)])
+        m = jac >= threshold
+        return pa.table({"id_a": t["id_a"].filter(pa.array(m)),
+                         "id_b": t["id_b"].filter(pa.array(m)),
+                         "jaccard": pa.array(jac[m], pa.float64())}) \
+            .cast(out_schema)
+
+    return j2.map_batches(verify, batch_format="pyarrow")

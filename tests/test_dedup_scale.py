@@ -148,3 +148,28 @@ def test_minhasher_batched_equals_per_doc():
                     out["sig"].to_numpy(zero_copy_only=False)]).view(np.uint64)
     for i, s in enumerate(texts):
         assert (got[i] == mh.signature(s)).all(), f"doc {i} diverged"
+
+
+def test_jaccard_verified_pairs_equals_brute_force(sf_dir):
+    import pyarrow.compute as pc
+
+    from raycdc.ops.dedup import jaccard_verified_pairs
+
+    # first 250 docs: keeps the O(n²) brute-force reference under ~15 s
+    # while the fixture still contains several true pairs
+    t = _docs(sf_dir)
+    t = t.filter(pc.less(t["doc_id"], 250))
+    texts = t["text"].to_pylist()
+    ids = t["doc_id"].to_pylist()
+    truth = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            jac = ngram_jaccard(texts[i] or "", texts[j] or "", 5)
+            if jac >= 0.8:
+                truth[(min(ids[i], ids[j]), max(ids[i], ids[j]))] = jac
+    assert truth, "fixture must contain true near-dup pairs"
+    out = to_table(jaccard_verified_pairs(
+        ray.data.from_arrow(t), threshold=0.8, num_partitions=8))
+    got = dict(zip(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()),
+                   out["jaccard"].to_pylist()))
+    assert got == truth  # exhaustive exact pair set, exact values
