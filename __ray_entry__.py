@@ -658,6 +658,84 @@ def _q_window_session(sf_dir: str):
     return session_window(ev, ts_col="ts", key_col="user_id", gap="1h")
 
 
+def _q_window_funcs(sf_dir: str):
+    """SQL window functions (row_number / lag / lead / inter-event gap) per
+    user ordered by (ts, event_id) — Ray Data has none; the engine computes
+    them with one partition-only exchange + one vectorized lexsort pass per
+    bucket (raycdc/ops/ordered.py). Total order ⇒ deterministic ⇒
+    oracle-hashable."""
+    from raycdc.ops.ordered import ordered_window
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return ordered_window(ev, key_col="user_id", ts_col="ts",
+                          id_col="event_id", lag_cols=["event_id"],
+                          lead_cols=["event_id"], num_partitions=16)
+
+
+def _q_grouped_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (percentile_disc convention).
+    Element selection, not interpolation — float outputs are actual input
+    values, bit-exact vs the DuckDB quantile_disc oracle."""
+    from raycdc.ops.ordered import grouped_quantile
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity"])
+    return grouped_quantile(li, ["l_returnflag", "l_linestatus"],
+                            "l_quantity", [0.25, 0.5, 0.9],
+                            names=["q25", "q50", "q90"], num_partitions=8)
+
+
+def _q_rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP: the raw table is aggregated once at the finest
+    level; coarser levels re-aggregate the tiny previous level (mergeable
+    aggregates only). Quantity floored to BIGINT so sums stay
+    accumulation-order-free (CLAUDE.md oracle invariant)."""
+    from raycdc.agg import rollup_aggregate
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def qty_int(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.floor(t["l_quantity"]), pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"], "qty": q})
+
+    return rollup_aggregate(li.map_batches(qty_int, batch_format="pyarrow"),
+                            ["l_returnflag", "l_linestatus"],
+                            sums={"sum_qty": "qty"}, mins={"min_qty": "qty"},
+                            maxs={"max_qty": "qty"}, count_name="n")
+
+
+def _q_sample_events(sf_dir: str):
+    """Deterministic 5% hash sample (Knuth multiplicative hash) — the same
+    predicate runs in ANSI SQL, so the sampled set itself is oracle-checked,
+    unlike seeded random_sample which differs per engine."""
+    from raycdc.agg import hash_sample
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return hash_sample(ev, "event_id", 0.05)
+
+
+def _q_redact_pii(sf_dir: str):
+    """PII redaction over documents. The synthetic corpus carries no real
+    PII, so deterministic emails/phones derived from doc_id are planted
+    first (vectorized concat) — the same planting runs in the oracle, and
+    both engines then apply identical RE2 patterns."""
+    from raycdc.ops.text import redact_pii
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        planted = pc.binary_join_element_wise(
+            t["text"], " contact user", ids, "@example.com or call +1 555-010-",
+            ids, " now", "")
+        return pa.table({"doc_id": t["doc_id"], "text": planted})
+
+    out = redact_pii(docs.map_batches(plant, batch_format="pyarrow"))
+    return out.select_columns(["doc_id", "text_redacted"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "flatten_tree": _q_flatten_tree,
@@ -701,6 +779,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": _q_window_tumbling,
         "window_session": _q_window_session,
         "explode_embeddings": _q_explode_embeddings,
+        "window_funcs": _q_window_funcs,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "rollup_lineitem": _q_rollup_lineitem,
+        "sample_events": _q_sample_events,
+        "redact_pii": _q_redact_pii,
     }
 
 
@@ -723,6 +806,29 @@ _ANN_TOPK_SQL = """
     )
     SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 10"""
+
+
+def _redact_pii_sql() -> str:
+    # Patterns come from the engine module so the oracle can't drift; both
+    # Arrow's replace_substring_regex and DuckDB's regexp_replace are RE2.
+    from raycdc.ops.text import PII_EMAIL_RE, PII_PHONE_RE
+
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call +1 555-010-'
+                        || CAST(doc_id AS VARCHAR) || ' now' AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+        FROM p"""
+
+
+_REDACT_PII_SQL = _redact_pii_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -995,4 +1101,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.9""",
         "ann_topk": _ANN_TOPK_SQL,
+        "window_funcs": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   lag(event_id) OVER w AS prev_event_id,
+                   lead(event_id) OVER w AS next_event_id,
+                   CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT)
+                       AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "grouped_quantiles": """
+            SELECT l_returnflag, l_linestatus,
+                   quantile_disc(l_quantity, 0.25) AS q25,
+                   quantile_disc(l_quantity, 0.5)  AS q50,
+                   quantile_disc(l_quantity, 0.9)  AS q90
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   MIN(CAST(FLOOR(l_quantity) AS BIGINT)) AS min_qty,
+                   MAX(CAST(FLOOR(l_quantity) AS BIGINT)) AS max_qty,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "sample_events": f"""
+            SELECT event_id, user_id, event_type FROM events
+            WHERE (event_id * 2654435761) % 4294967296
+                  < {int(0.05 * 4294967296)}""",
+        "redact_pii": _REDACT_PII_SQL,
     }

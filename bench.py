@@ -160,7 +160,8 @@ def run_bench() -> dict:
         "ann_topk", "quality", "langid", "minhash_pairs", "record_flatten",
         "window_tumbling", "explode_embeddings", "simhash_pairs",
         "window_session", "join_asof", "join_interval", "topk_lineitems",
-        "embed_dup_pairs", "curation_pipeline",
+        "embed_dup_pairs", "curation_pipeline", "window_funcs",
+        "grouped_quantiles", "rollup_lineitem", "sample_events", "redact_pii",
     ]
     q_times: dict[str, float] = {}
     for name in bench_set:

@@ -164,3 +164,127 @@ def top_k(
         return cand
     final = local_topk(pa.concat_tables(tabs, promote_options="default"))
     return ray.data.from_arrow(final)
+
+
+def rollup_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    *,
+    sums: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+    count_name: str | None = "n",
+) -> ray.data.Dataset:
+    """``GROUP BY ROLLUP(keys...)``: one aggregate row per prefix of the key
+    list, with grouped-out key columns null (SQL rollup convention).
+
+    Scale shape: the raw data is aggregated ONCE at the finest level (full
+    partial-combine pipeline of :func:`grouped_aggregate`); every coarser
+    level re-aggregates the previous level's already-tiny result — sums of
+    sums, min of mins, max of maxs, sum of counts are all mergeable, so the
+    rollup costs one real shuffle plus len(keys) shuffles over `num_groups`
+    rows. Means are intentionally unsupported (not re-aggregatable without
+    carrying sum+count; compute them from sums/counts downstream).
+    """
+    sums = dict(sums or {})
+    mins = dict(mins or {})
+    maxs = dict(maxs or {})
+    cnt = "__rollup_cnt" if count_name is None else count_name
+    # one canonical column order shared by every level (union needs
+    # identical schemas; the per-level aggregates emit columns in
+    # different orders)
+    canonical = list(keys) + list(sums) + list(mins) + list(maxs) + [cnt]
+
+    levels: list[ray.data.Dataset] = []
+    # materialize each level before deriving the next: levels are tiny
+    # (num_groups rows), and without this the lazy `prev` Dataset would
+    # re-execute the full raw-data aggregation once per coarser level
+    finest = grouped_aggregate(ds, keys, sums=sums, mins=mins, maxs=maxs,
+                               count_name=cnt).materialize()
+    levels.append(finest)
+    prev = finest
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        dropped = keys[depth:]
+        resums = {out: out for out in sums}
+        resums[cnt] = cnt
+        if kept:
+            lvl = grouped_aggregate(
+                prev, kept, sums=resums,
+                mins={out: out for out in mins},
+                maxs={out: out for out in maxs},
+                count_name=None).materialize()
+        else:
+            # grand total: no key — a single global combine over the tiny
+            # previous level (driver-side concat of partial rows is fine:
+            # the input here is at most `num_groups(level 1)` rows)
+            tabs = list(prev.iter_batches(batch_format="pyarrow",
+                                          batch_size=None))
+            if tabs:
+                t = pa.concat_tables(tabs, promote_options="default")
+            else:
+                t = None
+            import pyarrow.compute as pc
+
+            cols: dict = {}
+            for out in sums:
+                cols[out] = [pc.sum(t[out]).as_py() if t is not None else None]
+            for out in mins:
+                cols[out] = [pc.min(t[out]).as_py() if t is not None else None]
+            for out in maxs:
+                cols[out] = [pc.max(t[out]).as_py() if t is not None else None]
+            cols[cnt] = [pc.sum(t[cnt]).as_py() if t is not None else 0]
+            lvl = ray.data.from_arrow(pa.table(cols))
+        # restore the dropped key columns as typed nulls so every level
+        # shares one schema and unions cleanly
+        schema = None
+        try:
+            s = ds.schema()
+            schema = dict(zip(s.names, s.types))
+        except AttributeError:
+            pass
+
+        def add_nulls(t: pa.Table, dropped=tuple(dropped), schema=schema,
+                      order=tuple(canonical)) -> pa.Table:
+            for k in dropped:
+                typ = (schema or {}).get(k, pa.string())
+                t = t.append_column(k, pa.nulls(t.num_rows, typ))
+            return t.select(list(order))
+
+        levels.append(lvl.map_batches(add_nulls, batch_format="pyarrow"))
+        prev = lvl
+    out = levels[0].map_batches(
+        lambda t, order=tuple(canonical): t.select(list(order)),
+        batch_format="pyarrow")
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    if count_name is None:
+        out = out.map_batches(lambda t: t.drop_columns([cnt]),
+                              batch_format="pyarrow")
+    return out
+
+
+def hash_sample(ds: ray.data.Dataset, id_col: str, frac: float,
+                *, mult: int = 2654435761) -> ray.data.Dataset:
+    """Deterministic hash sampling: keep rows where
+    ``(id * mult) mod 2^32 < frac * 2^32`` (Knuth multiplicative hash).
+
+    Unlike ``Dataset.random_sample`` this is reproducible across runs,
+    parallelism levels and engines — the same predicate is expressible in
+    ANSI SQL (``(id * 2654435761) % 4294967296 < floor(frac * 4294967296)``),
+    which is what makes the sample itself oracle-checkable. Stateless
+    per-batch filter: no shuffle, no driver participation, streams at full
+    read speed.
+    """
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError("frac must be in [0, 1]")
+    cut = int(frac * 4294967296)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(mult)) & np.uint64(0xFFFFFFFF)
+        return t.filter(pa.array(h < np.uint64(cut)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

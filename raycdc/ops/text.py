@@ -261,3 +261,27 @@ def extract_host(ds: ray.data.Dataset, url_col: str = "url",
         return t.append_column(out_col, host)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\[\] .-]{6,}[0-9]"
+
+
+def redact_pii(ds: ray.data.Dataset, text_col: str = "text",
+               out_col: str = "text_redacted") -> ray.data.Dataset:
+    """PII scrubbing for training-corpus prep: replace email addresses with
+    ``<EMAIL>`` and phone-number-shaped digit runs with ``<PHONE>``. Two RE2
+    passes per batch (``pc.replace_substring_regex``), fully vectorized.
+
+    Emails are redacted first so a phone-shaped digit run inside a local
+    part can't split an address. Both patterns are plain RE2 also accepted
+    verbatim by DuckDB's regexp_replace (RE2 as well), which keeps the op
+    oracle-checkable end to end.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.replace_substring_regex(t[text_col], PII_EMAIL_RE, "<EMAIL>")
+        s = pc.replace_substring_regex(s, PII_PHONE_RE, "<PHONE>")
+        return t.append_column(out_col, s)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,233 @@
+"""Ordered-window functions, grouped quantiles, rollup, hash sampling,
+PII redaction — each compared against DuckDB computing the same thing."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from raycdc.agg import hash_sample, rollup_aggregate
+from raycdc.ops.ordered import grouped_quantile, ordered_window
+from raycdc.ops.text import redact_pii
+
+
+def to_table(ds) -> pa.Table:
+    tabs = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tabs:
+        s = ds.schema()
+        return pa.schema(
+            [pa.field(n, t) for n, t in zip(s.names, s.types)]).empty_table()
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+def _sorted_df(t: pa.Table, by) -> pd.DataFrame:
+    return (t.to_pandas().sort_values(by).reset_index(drop=True)
+            .reindex(sorted(t.column_names), axis=1))
+
+
+# ---------------------------------------------------------------- windows
+
+def test_ordered_window_vs_duckdb(sf_dir):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+    out = to_table(ordered_window(
+        ev, key_col="user_id", ts_col="ts", id_col="event_id",
+        lag_cols=["event_id"], lead_cols=["event_id"], num_partitions=8))
+    ref = duckdb.sql(f"""
+        SELECT event_id, user_id,
+               row_number() OVER w AS rn,
+               lag(event_id) OVER w AS prev_event_id,
+               lead(event_id) OVER w AS next_event_id,
+               CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT)
+                   AS gap_us
+        FROM '{sf_dir}/events.parquet'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """).arrow()
+    a = _sorted_df(out, ["event_id"])
+    b = _sorted_df(ref, ["event_id"])
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_ordered_window_tie_and_null_lag():
+    # two rows with identical ts -> tiebreak by id; singleton key -> null lag
+    t = pa.table({
+        "id": pa.array([3, 1, 2, 9], pa.int64()),
+        "k": ["a", "a", "a", "b"],
+        "ts": pa.array([100, 100, 50, 7], pa.timestamp("us")),
+    })
+    out = to_table(ordered_window(
+        ray.data.from_arrow(t), key_col="k", ts_col="ts", id_col="id",
+        lag_cols=["id"], lead_cols=["id"], num_partitions=2))
+    rows = {r["id"]: r for r in out.to_pylist()}
+    assert rows[2]["rn"] == 1 and rows[2]["prev_id"] is None
+    assert rows[1]["rn"] == 2 and rows[1]["prev_id"] == 2
+    assert rows[3]["rn"] == 3 and rows[3]["prev_id"] == 1  # ts tie: id order
+    assert rows[3]["next_id"] is None
+    assert rows[9]["rn"] == 1 and rows[9]["prev_id"] is None
+    assert rows[9]["gap_us"] is None
+    assert rows[1]["gap_us"] == 50 and rows[3]["gap_us"] == 0
+
+
+def test_ordered_window_empty_input():
+    t = pa.table({"id": pa.array([], pa.int64()),
+                  "k": pa.array([], pa.string()),
+                  "ts": pa.array([], pa.timestamp("us"))})
+    out = to_table(ordered_window(
+        ray.data.from_arrow(t), key_col="k", ts_col="ts", id_col="id",
+        lag_cols=["id"], num_partitions=2))
+    assert out.num_rows == 0
+    assert set(out.column_names) == {"id", "k", "rn", "prev_id", "gap_us"}
+
+
+# -------------------------------------------------------------- quantiles
+
+def test_grouped_quantile_vs_duckdb(sf_dir):
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_linestatus",
+                                        "l_quantity"])
+    out = to_table(grouped_quantile(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity",
+        [0.25, 0.5, 0.9], num_partitions=4))
+    ref = duckdb.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               quantile_disc(l_quantity, 0.25) AS q25,
+               quantile_disc(l_quantity, 0.5)  AS q50,
+               quantile_disc(l_quantity, 0.9)  AS q90
+        FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2
+    """).arrow()
+    a = _sorted_df(out, ["l_returnflag", "l_linestatus"])
+    b = _sorted_df(ref, ["l_returnflag", "l_linestatus"])
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_grouped_quantile_nulls_and_all_null_group():
+    t = pa.table({
+        "g": ["a"] * 5 + ["b"] * 2,
+        "x": pa.array([5.0, None, 1.0, 3.0, None, None, None]),
+    })
+    out = to_table(grouped_quantile(
+        ray.data.from_arrow(t), ["g"], "x", [0.5], names=["med"],
+        num_partitions=2))
+    got = {r["g"]: r["med"] for r in out.to_pylist()}
+    # group a: non-null sorted [1,3,5], median disc -> ceil(0.5*3)-1 = idx 1
+    assert got == {"a": 3.0, "b": None}
+    ref = duckdb.sql(
+        "SELECT g, quantile_disc(x, 0.5) med FROM t GROUP BY 1").arrow()
+    assert {r["g"]: r["med"] for r in ref.to_pylist()} == got
+
+
+def test_grouped_quantile_single_key_int_col():
+    rng = np.random.default_rng(7)
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 5, 500), pa.int64()),
+        "x": pa.array(rng.integers(0, 1000, 500), pa.int64()),
+    })
+    out = to_table(grouped_quantile(
+        ray.data.from_arrow(t), ["g"], "x", [0.1, 0.99],
+        names=["p10", "p99"], num_partitions=3))
+    ref = duckdb.sql("""
+        SELECT g, quantile_disc(x, 0.1) p10, quantile_disc(x, 0.99) p99
+        FROM t GROUP BY 1""").arrow()
+    a = _sorted_df(out, ["g"])
+    b = _sorted_df(ref, ["g"])
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ----------------------------------------------------------------- rollup
+
+def test_rollup_vs_duckdb(sf_dir):
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_linestatus",
+                                        "l_quantity"])
+
+    def qty_int(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        q = pc.cast(pc.floor(t["l_quantity"]), pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"], "qty": q})
+
+    out = to_table(rollup_aggregate(
+        li.map_batches(qty_int, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], sums={"sum_qty": "qty"},
+        mins={"min_qty": "qty"}, maxs={"max_qty": "qty"}, count_name="n"))
+    ref = duckdb.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
+               MIN(CAST(FLOOR(l_quantity) AS BIGINT)) AS min_qty,
+               MAX(CAST(FLOOR(l_quantity) AS BIGINT)) AS max_qty,
+               COUNT(*) AS n
+        FROM '{sf_dir}/lineitem.parquet'
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """).arrow()
+    key = ["l_returnflag", "l_linestatus"]
+    a = _sorted_df(out, key)
+    b = _sorted_df(ref, key)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_rollup_single_key_empty():
+    t = pa.table({"k": pa.array([], pa.string()),
+                  "v": pa.array([], pa.int64())})
+    out = to_table(rollup_aggregate(
+        ray.data.from_arrow(t), ["k"], sums={"s": "v"}, count_name="n"))
+    # only the grand-total row survives on empty input (null sum, n = 0)
+    rows = out.to_pylist()
+    assert len(rows) == 1
+    assert rows[0]["k"] is None and rows[0]["n"] == 0
+
+
+# --------------------------------------------------------------- sampling
+
+def test_hash_sample_vs_sql(sf_dir):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id"])
+    out = to_table(hash_sample(ev, "event_id", 0.05))
+    cut = int(0.05 * 4294967296)
+    ref = duckdb.sql(f"""
+        SELECT event_id, user_id FROM '{sf_dir}/events.parquet'
+        WHERE (event_id * 2654435761) % 4294967296 < {cut}
+    """).arrow()
+    a = _sorted_df(out, ["event_id"])
+    b = _sorted_df(ref, ["event_id"])
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # sanity: the sample is a real subset, roughly the requested fraction
+    n_total = ray.data.read_parquet(f"{sf_dir}/events.parquet").count()
+    assert 0 < out.num_rows < n_total
+    assert abs(out.num_rows / n_total - 0.05) < 0.02
+
+
+def test_hash_sample_deterministic_and_parallelism_invariant():
+    t = pa.table({"id": pa.array(range(10_000), pa.int64())})
+    a = to_table(hash_sample(ray.data.from_arrow(t), "id", 0.1))
+    b = to_table(hash_sample(
+        ray.data.from_arrow(t).repartition(7), "id", 0.1))
+    assert sorted(a["id"].to_pylist()) == sorted(b["id"].to_pylist())
+
+
+# ------------------------------------------------------------------- PII
+
+def test_redact_pii_vs_duckdb():
+    texts = [
+        "mail me at jane.doe+spam@mail.example.org today",
+        "call +1 (555) 010-4477 or 555 010 9999 now",
+        "no pii here at all",
+        "two mails a@b.co and c.d@e.f.museum plus 0800-123-456-789",
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = to_table(redact_pii(ray.data.from_arrow(t)))
+    from raycdc.ops.text import PII_EMAIL_RE, PII_PHONE_RE
+    ref = duckdb.sql(f"""
+        SELECT doc_id, regexp_replace(
+                 regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PII_PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+        FROM t
+    """).arrow()
+    got = {r["doc_id"]: r["text_redacted"] for r in out.to_pylist()}
+    want = {r["doc_id"]: r["text_redacted"] for r in ref.to_pylist()}
+    assert got == want
+    assert "<EMAIL>" in got[0] and "jane" not in got[0]
+    assert got[1].count("<PHONE>") == 2
+    assert got[2] == "no pii here at all"
