@@ -666,10 +666,21 @@ def _q_window_funcs(sf_dir: str):
     oracle-hashable."""
     from raycdc.ops.ordered import ordered_window
 
-    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
-    return ordered_window(ev, key_col="user_id", ts_col="ts",
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_int(t: pa.Table) -> pa.Table:
+        # running sums must be integer to stay accumulation-exact across
+        # engines; scale the double to cents and floor (same expr in SQL)
+        v = pc.fill_null(
+            pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()), 0)
+        return t.append_column("value_c", v)
+
+    return ordered_window(ev.map_batches(add_int, batch_format="pyarrow"),
+                          key_col="user_id", ts_col="ts",
                           id_col="event_id", lag_cols=["event_id"],
-                          lead_cols=["event_id"], num_partitions=16)
+                          lead_cols=["event_id"],
+                          cum_sums={"cum_value_c": "value_c"},
+                          num_partitions=16)
 
 
 def _q_grouped_quantiles(sf_dir: str):
@@ -714,6 +725,18 @@ def _q_sample_events(sf_dir: str):
 
     ev = _rp(sf_dir, "events", ["event_id", "user_id", "event_type"])
     return hash_sample(ev, "event_id", 0.05)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: up to 50 rows per event_type, each
+    group keeping the rows with the smallest (knuth_hash(id), id) — the
+    same rule a SQL QUALIFY row_number() OVER hash-order window expresses,
+    so the sampled set itself is oracle-checked."""
+    from raycdc.agg import stratified_sample
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return stratified_sample(ev, "event_type", "event_id", 50,
+                             num_partitions=8)
 
 
 def _q_redact_pii(sf_dir: str):
@@ -783,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "rollup_lineitem": _q_rollup_lineitem,
         "sample_events": _q_sample_events,
+        "stratified_sample_events": _q_stratified_sample,
         "redact_pii": _q_redact_pii,
     }
 
@@ -1106,6 +1130,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER w AS BIGINT) AS rn,
                    lag(event_id) OVER w AS prev_event_id,
                    lead(event_id) OVER w AS next_event_id,
+                   CAST(SUM(COALESCE(CAST(FLOOR(value * 100) AS BIGINT), 0))
+                        OVER w AS BIGINT) AS cum_value_c,
                    CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT)
                        AS gap_us
             FROM events
@@ -1130,4 +1156,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE (event_id * 2654435761) % 4294967296
                   < {int(0.05 * 4294967296)}""",
         "redact_pii": _REDACT_PII_SQL,
+        "stratified_sample_events": """
+            SELECT event_id, user_id, event_type FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY (event_id * 2654435761) % 4294967296, event_id)
+                <= 50""",
     }

@@ -288,3 +288,52 @@ def hash_sample(ds: ray.data.Dataset, id_col: str, frac: float,
         return t.filter(pa.array(h < np.uint64(cut)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds: ray.data.Dataset, key_col: str, id_col: str,
+                      n: int, *, mult: int = 2654435761,
+                      num_partitions: int = 32) -> ray.data.Dataset:
+    """Deterministic stratified sample: every group keeps (up to) the ``n``
+    rows with the smallest ``(knuth_hash(id), id)`` — i.e. a per-group
+    uniform-ish sample that is reproducible across runs, parallelism levels
+    and engines. ANSI-SQL equivalent::
+
+        QUALIFY row_number() OVER (
+            PARTITION BY key
+            ORDER BY (id * 2654435761) % 4294967296, id) <= n
+
+    Scale shape: one partition-only exchange on hash(key), then one
+    vectorized lexsort pass per bucket (no per-group Python calls). A
+    single group's rows must fit in one partition task — the same
+    assumption as every keyed operator here.
+    """
+    from raycdc.ops.ordered import _hash_bucket, _key_codes
+    from raycdc.shuffle import lazy_schema, partition_map
+
+    import numpy as np
+
+    bcol = "__rcdc_ss"
+
+    def bucket_sample(t: pa.Table) -> pa.Table:
+        codes, _ = _key_codes(t, key_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * np.uint64(mult)) & np.uint64(0xFFFFFFFF)
+        order = np.lexsort((ids, h, codes))
+        c = codes[order]
+        m = len(c)
+        new = np.empty(m, dtype=bool)
+        if m:
+            new[0] = True
+            new[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, m))
+        rn = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
+        keep = order[rn < n]
+        keep.sort()  # preserve input order within the bucket
+        return t.take(pa.array(keep))
+
+    bucketed = ds.map_batches(
+        lambda t: _hash_bucket(t, key_col, bcol, num_partitions),
+        batch_format="pyarrow", batch_size=None)
+    return partition_map(bucketed, bcol, num_partitions, bucket_sample,
+                         empty_schema=lazy_schema(ds))

@@ -65,6 +65,7 @@ def ordered_window(
     id_col: str,
     lag_cols: list[str] | None = None,
     lead_cols: list[str] | None = None,
+    cum_sums: dict[str, str] | None = None,
     rn_name: str = "rn",
     gap_name: str | None = "gap_us",
     num_partitions: int = 64,
@@ -74,20 +75,29 @@ def ordered_window(
         row_number() OVER w AS rn,
         lag(c)  OVER w AS prev_c,   -- for c in lag_cols
         lead(c) OVER w AS next_c,   -- for c in lead_cols
+        sum(c)  OVER w AS <out>,    -- for out -> c in cum_sums
         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
         WINDOW w AS (PARTITION BY key ORDER BY ts, id)
 
     Output: one row per input row with (id_col, key_col, rn, prev_*/next_*,
-    gap_us). Ordering is total — ties on ts break by id_col, so the result
-    is deterministic and oracle-hashable. lag/lead columns keep their input
-    types (boundary rows are null via a validity mask + take, so any Arrow
-    type works, not just numerics).
+    cum-sum columns, gap_us). Ordering is total — ties on ts break by
+    id_col, so the result is deterministic, the SQL default RANGE frame
+    equals ROWS (no peer rows), and the output is oracle-hashable. lag/lead
+    columns keep their input types (boundary rows are null via a validity
+    mask + take, so any Arrow type works, not just numerics).
+
+    ``cum_sums`` columns must be integer (the running sum is a sequential
+    reduction — int64 keeps it accumulation-exact; float running sums are
+    FP-rounding-order-sensitive vs other engines and are rejected). Null
+    inputs count as 0 per running sum (callers wanting SQL's
+    all-null-prefix -> null semantics should pre-filter).
     """
     lag_cols = list(lag_cols or [])
     lead_cols = list(lead_cols or [])
+    cum_sums = dict(cum_sums or {})
     bcol = "__rcdc_ow"
     need = [id_col, key_col, ts_col] + [
-        c for c in dict.fromkeys(lag_cols + lead_cols)
+        c for c in dict.fromkeys(lag_cols + lead_cols + list(cum_sums.values()))
         if c not in (id_col, key_col, ts_col)]
 
     def bucket_windows(t: pa.Table) -> pa.Table:
@@ -130,6 +140,20 @@ def ordered_window(
                      ).take(next_idx)
             cols[f"next_{col}"] = pc.if_else(
                 pa.array(last), pa.nulls(n, taken.type), taken)
+        for out, col in cum_sums.items():
+            arr = s[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not pa.types.is_integer(arr.type):
+                raise TypeError(
+                    f"cum_sums column {col!r} must be integer, got "
+                    f"{arr.type} (float running sums are rounding-order-"
+                    f"sensitive; cast or scale to int first)")
+            v = pc.fill_null(pc.cast(arr, pa.int64()), 0).to_numpy(
+                zero_copy_only=False)
+            cs = np.cumsum(v)
+            base = cs[starts] - v[starts]
+            cols[out] = pa.array(cs - np.repeat(base, counts))
         if gap_name is not None:
             gap = u - np.concatenate([u[:1], u[:-1]])
             cols[gap_name] = pc.if_else(
@@ -152,6 +176,8 @@ def ordered_window(
             fields.append((f"prev_{col}", types.get(col, pa.int64())))
         for col in lead_cols:
             fields.append((f"next_{col}", types.get(col, pa.int64())))
+        for out in cum_sums:
+            fields.append((out, pa.int64()))
         if gap_name is not None:
             fields.append((gap_name, pa.int64()))
         return pa.schema(fields)

@@ -88,24 +88,38 @@ def partition_map(
     ``fn`` once per partition (the partition's rows concatenated into one
     table). Returns a Dataset of fn's outputs. No sort, no barrier between
     the upstream map phase and the split stage."""
-    split = _split_by_column.options(num_returns=num_partitions)
-    per_block = []
-    try:
-        for bundle in ds.iter_internal_ref_bundles():
-            for block_ref in bundle.block_refs:
-                per_block.append(split.remote(
-                    block_ref, partition_col, num_partitions,
-                    drop_partition_col))
-    except AttributeError:  # pragma: no cover - older Ray
-        for block_ref in ds.to_arrow_refs():
-            per_block.append(split.remote(
-                block_ref, partition_col, num_partitions, drop_partition_col))
+    def block_refs_of(ds):
+        try:
+            for bundle in ds.iter_internal_ref_bundles():
+                yield from bundle.block_refs
+        except AttributeError:  # pragma: no cover - older Ray
+            yield from ds.to_arrow_refs()
+
     table_refs, count_refs = [], []
-    for pid in range(num_partitions):
-        slices = [r[pid] for r in per_block]
-        tref, cref = _partition_task.remote(fn, pid, *slices)
+    if num_partitions == 1:
+        # degenerate single partition: with num_returns=1 Ray would hand
+        # back one ref to the whole 1-tuple, so skip the split stage and
+        # route every block straight to the one partition task
+        def fn1(t: pa.Table) -> pa.Table:
+            if drop_partition_col and partition_col in t.column_names:
+                t = t.drop_columns([partition_col])
+            return fn(t)
+
+        blocks = list(block_refs_of(ds))
+        tref, cref = _partition_task.remote(fn1, 0, *blocks)
         table_refs.append(tref)
         count_refs.append(cref)
+    else:
+        split = _split_by_column.options(num_returns=num_partitions)
+        per_block = []
+        for block_ref in block_refs_of(ds):
+            per_block.append(split.remote(
+                block_ref, partition_col, num_partitions, drop_partition_col))
+        for pid in range(num_partitions):
+            slices = [r[pid] for r in per_block]
+            tref, cref = _partition_task.remote(fn, pid, *slices)
+            table_refs.append(tref)
+            count_refs.append(cref)
     counts = ray.get(count_refs)
     live = [r for r, n in zip(table_refs, counts) if n]
     if not live:

@@ -231,3 +231,82 @@ def test_redact_pii_vs_duckdb():
     assert "<EMAIL>" in got[0] and "jane" not in got[0]
     assert got[1].count("<PHONE>") == 2
     assert got[2] == "no pii here at all"
+
+
+def test_ordered_window_cum_sum_vs_duckdb(sf_dir):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id", "value"])
+
+    def add_int(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = pc.fill_null(
+            pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()), 0)
+        return t.append_column("value_c", v)
+
+    out = to_table(ordered_window(
+        ev.map_batches(add_int, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        cum_sums={"cum_value": "value_c"}, gap_name=None, num_partitions=8))
+    ref = duckdb.sql(f"""
+        SELECT event_id, user_id,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(SUM(COALESCE(CAST(FLOOR(value * 100) AS BIGINT), 0))
+                    OVER w AS BIGINT) AS cum_value
+        FROM '{sf_dir}/events.parquet'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """).arrow()
+    a = _sorted_df(out, ["event_id"])
+    b = _sorted_df(ref, ["event_id"])
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_ordered_window_cum_sum_rejects_float():
+    import pytest
+    t = pa.table({"id": pa.array([1], pa.int64()), "k": ["a"],
+                  "ts": pa.array([1], pa.timestamp("us")),
+                  "v": pa.array([1.5])})
+    with pytest.raises((TypeError, Exception)) as e:
+        to_table(ordered_window(
+            ray.data.from_arrow(t), key_col="k", ts_col="ts", id_col="id",
+            cum_sums={"cv": "v"}, num_partitions=1))
+    assert "must be integer" in str(e.value)
+
+
+# ------------------------------------------------------- stratified sample
+
+def test_stratified_sample_vs_sql(sf_dir):
+    from raycdc.agg import stratified_sample
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "event_type"])
+    out = to_table(stratified_sample(ev, "event_type", "event_id", 50,
+                                     num_partitions=4))
+    ref = duckdb.sql(f"""
+        SELECT event_id, user_id, event_type
+        FROM '{sf_dir}/events.parquet'
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type
+            ORDER BY (event_id * 2654435761) % 4294967296, event_id) <= 50
+    """).arrow()
+    a = _sorted_df(out, ["event_id"])
+    b = _sorted_df(ref, ["event_id"])
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_stratified_sample_parallelism_invariant():
+    from raycdc.agg import stratified_sample
+
+    rng = np.random.default_rng(3)
+    t = pa.table({
+        "id": pa.array(range(5000), pa.int64()),
+        "g": pa.array(rng.integers(0, 7, 5000).astype("U1")),
+    })
+    a = to_table(stratified_sample(
+        ray.data.from_arrow(t), "g", "id", 10, num_partitions=2))
+    b = to_table(stratified_sample(
+        ray.data.from_arrow(t).repartition(9), "g", "id", 10,
+        num_partitions=5))
+    assert sorted(a["id"].to_pylist()) == sorted(b["id"].to_pylist())
+    import collections
+    by_g = collections.Counter(a["g"].to_pylist())
+    assert all(v == 10 for v in by_g.values()) and len(by_g) == 7
