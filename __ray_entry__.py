@@ -739,6 +739,33 @@ def _q_stratified_sample(sf_dir: str):
                              num_partitions=8)
 
 
+def _q_approx_quantile(sf_dir: str):
+    """Compressed mergeable quantile summary (MRL-style, m=2048): blocks
+    reduce to (value, weight) reps, merged with re-compression so driver
+    state stays O(m). Approximate by design — rank-error gated in pytest
+    (<1% on a skewed 200k fixture); the full-fidelity configuration is
+    oracle-checked as approx_quantile_full."""
+    from raycdc.ops.sketch import approx_quantile
+
+    ev = _rp(sf_dir, "events", ["value"])
+    return approx_quantile(ev, "value", [0.5, 0.95, 0.99],
+                           names=["q50", "q95", "q99"], m=2048)
+
+
+def _q_approx_quantile_full(sf_dir: str):
+    """The same sketch at full fidelity (m ≥ every block's rows): each
+    block emits all values at weight 1 and the pick is literally
+    percentile_disc — must equal DuckDB quantile_disc exactly (the
+    ann_ivf_full pattern: the sketch's exact configuration gets a SQL
+    oracle, proving the machinery; the compressed path is accuracy-gated
+    in pytest)."""
+    from raycdc.ops.sketch import approx_quantile
+
+    ev = _rp(sf_dir, "events", ["value"])
+    return approx_quantile(ev, "value", [0.5, 0.95, 0.99],
+                           names=["q50", "q95", "q99"], m=10_000_000)
+
+
 def _q_redact_pii(sf_dir: str):
     """PII redaction over documents. The synthetic corpus carries no real
     PII, so deterministic emails/phones derived from doc_id are planted
@@ -808,6 +835,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_events": _q_sample_events,
         "stratified_sample_events": _q_stratified_sample,
         "redact_pii": _q_redact_pii,
+        "approx_quantile_value": _q_approx_quantile,
+        "approx_quantile_full": _q_approx_quantile_full,
     }
 
 
@@ -1162,4 +1191,9 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY event_type
                 ORDER BY (event_id * 2654435761) % 4294967296, event_id)
                 <= 50""",
+        "approx_quantile_full": """
+            SELECT quantile_disc(value, 0.5)  AS q50,
+                   quantile_disc(value, 0.95) AS q95,
+                   quantile_disc(value, 0.99) AS q99
+            FROM events""",
     }

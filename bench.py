@@ -162,7 +162,7 @@ def run_bench() -> dict:
         "window_session", "join_asof", "join_interval", "topk_lineitems",
         "embed_dup_pairs", "curation_pipeline", "window_funcs",
         "grouped_quantiles", "rollup_lineitem", "sample_events", "redact_pii",
-        "stratified_sample_events",
+        "stratified_sample_events", "approx_quantile_value",
     ]
     q_times: dict[str, float] = {}
     for name in bench_set:

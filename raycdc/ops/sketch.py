@@ -157,3 +157,99 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, *,
         ns.append(total_nulls)
     return ray.data.from_arrow(pa.table(
         {col: vals, "n": pa.array(ns, pa.int64())}, schema=out_schema))
+
+
+def _compress(vals: np.ndarray, weights: np.ndarray, m: int
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Compress a weighted, value-sorted summary to ``m`` representatives.
+
+    Representative j is the smallest value whose cumulative weight reaches
+    target t_j = ceil((j+1)·W/m), carrying weight t_j − t_{j-1}. Each rep
+    upper-bounds every value it absorbs, so the final "smallest rep with
+    cumweight ≥ target" pick never understates a quantile's rank by more
+    than one run (≤ W/m)."""
+    if len(vals) <= m:
+        return vals, weights
+    cw = np.cumsum(weights)
+    total = int(cw[-1])
+    targets = np.ceil(np.arange(1, m + 1) * (total / m)).astype(np.int64)
+    targets[-1] = total
+    idx = np.searchsorted(cw, targets, side="left")
+    out_w = np.diff(np.concatenate([[0], targets]))
+    keep = out_w > 0
+    return vals[idx[keep]], out_w[keep]
+
+
+def approx_quantile(ds: ray.data.Dataset, col: str, qs: list[float],
+                    names: list[str] | None = None, *,
+                    m: int = 2048) -> ray.data.Dataset:
+    """Approximate global quantiles via a mergeable compressed summary
+    (MRL-style): every block reduces to ≤ m (value, weight) representatives
+    — value-sorted, each rep the max of its run — and summaries merge by
+    concatenation + re-compression whenever the buffer exceeds 64·m, so
+    driver memory stays O(m) no matter how many blocks stream in. Rank
+    error is bounded by ~2·n/m (one run per compression level; two levels
+    here). Nulls are excluded per SQL; NaN sorts last (DuckDB's "NaN is
+    largest" convention).
+
+    EXACT when m ≥ rows-per-block and no re-compression triggers: each
+    block then emits every value at weight 1 and the final pick is
+    literally percentile_disc — which is what the oracle-checked
+    ``approx_quantile_full`` entry exercises (same pattern as
+    ``ann_ivf_full``: the sketch at full fidelity must equal the exact
+    engine). The compressed configuration is accuracy-gated in pytest
+    (rank error < 1% vs exact on a skewed fixture).
+
+    Output: one row, one float64 column per q (disc convention — actual
+    input values, never interpolated).
+    """
+    names = names or [f"q{int(q * 100)}" for q in qs]
+    if len(names) != len(qs):
+        raise ValueError("names must match qs")
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        v = arr.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        v.sort()
+        n = len(v)
+        if n > m:
+            # m runs of near-equal length; representative = run max, so the
+            # smallest-rep-with-cumweight>=target pick stays conservative
+            bounds = np.floor(np.arange(1, m + 1) * (n / m)).astype(np.int64)
+            bounds[-1] = n
+            w = np.diff(np.concatenate([[0], bounds]))
+            keep = w > 0
+            v, w = v[bounds[keep] - 1], w[keep]
+        else:
+            w = np.ones(n, dtype=np.int64)
+        return pa.table({"v": pa.array(v, pa.float64()),
+                         "w": pa.array(w, pa.int64())})
+
+    partials = ds.map_batches(block_summary, batch_format="pyarrow",
+                              batch_size=None)
+    buf_v = np.empty(0, dtype=np.float64)
+    buf_w = np.empty(0, dtype=np.int64)
+    for t in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        bv = t["v"].to_numpy(zero_copy_only=False)
+        bw = t["w"].to_numpy(zero_copy_only=False)
+        buf_v = np.concatenate([buf_v, bv])
+        buf_w = np.concatenate([buf_w, bw])
+        if len(buf_v) > 64 * m:
+            order = np.argsort(buf_v, kind="stable")
+            buf_v, buf_w = _compress(buf_v[order], buf_w[order], m)
+    cols: dict[str, pa.Array] = {}
+    if len(buf_v) == 0:
+        for name in names:
+            cols[name] = pa.nulls(1, pa.float64())
+    else:
+        order = np.argsort(buf_v, kind="stable")
+        v, w = buf_v[order], buf_w[order]
+        cw = np.cumsum(w)
+        total = int(cw[-1])
+        for q, name in zip(qs, names):
+            target = max(int(np.ceil(q * total)), 1)
+            i = int(np.searchsorted(cw, target, side="left"))
+            cols[name] = pa.array([float(v[i])], pa.float64())
+    return ray.data.from_arrow(pa.table(cols))

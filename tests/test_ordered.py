@@ -310,3 +310,46 @@ def test_stratified_sample_parallelism_invariant():
     import collections
     by_g = collections.Counter(a["g"].to_pylist())
     assert all(v == 10 for v in by_g.values()) and len(by_g) == 7
+
+
+# ------------------------------------------------------- approx quantiles
+
+def test_approx_quantile_full_fidelity_is_exact(sf_dir):
+    from raycdc.ops.sketch import approx_quantile
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    out = to_table(approx_quantile(ev, "value", [0.5, 0.95, 0.99],
+                                   names=["q50", "q95", "q99"],
+                                   m=10_000_000))
+    ref = duckdb.sql(f"""
+        SELECT quantile_disc(value, 0.5) q50, quantile_disc(value, 0.95) q95,
+               quantile_disc(value, 0.99) q99
+        FROM '{sf_dir}/events.parquet'""").arrow()
+    assert out.to_pylist() == ref.to_pylist()
+
+
+def test_approx_quantile_compressed_rank_error():
+    from raycdc.ops.sketch import approx_quantile
+
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(0.0, 2.0, 200_000)
+    ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(16)
+    qs = [0.5, 0.9, 0.99]
+    out = to_table(approx_quantile(ds, "x", qs, m=2048)).to_pylist()[0]
+    sv = np.sort(vals)
+    n = len(sv)
+    for q in qs:
+        got = out[f"q{int(q*100)}"]
+        rank = np.searchsorted(sv, got, side="right")
+        assert abs(rank / n - q) < 0.01, (q, got, rank / n)
+
+
+def test_approx_quantile_empty_and_nulls():
+    from raycdc.ops.sketch import approx_quantile
+
+    t = pa.table({"x": pa.array([None, None], pa.float64())})
+    out = to_table(approx_quantile(ray.data.from_arrow(t), "x", [0.5]))
+    assert out.to_pylist() == [{"q50": None}]
+    t2 = pa.table({"x": pa.array([None, 7.0, None, 3.0], pa.float64())})
+    out2 = to_table(approx_quantile(ray.data.from_arrow(t2), "x", [0.5]))
+    assert out2.to_pylist() == [{"q50": 3.0}]
