@@ -766,6 +766,26 @@ def _q_approx_quantile_full(sf_dir: str):
                            names=["q50", "q95", "q99"], m=10_000_000)
 
 
+def _q_pivot_lineitem(sf_dir: str):
+    """PIVOT by conditional aggregation — the wide columns are built in the
+    same map_batches as the partial pre-agg, so a pivot costs exactly one
+    grouped_aggregate (no discovery pass, no extra shuffle). Explicit pivot
+    values keep the schema deterministic."""
+    from raycdc.agg import pivot_aggregate
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def qty_int(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.floor(t["l_quantity"]), pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"], "qty": q})
+
+    return pivot_aggregate(li.map_batches(qty_int, batch_format="pyarrow"),
+                           ["l_returnflag"], "l_linestatus", ["O", "F"],
+                           sums={"qty": "qty"}, count_prefix="n")
+
+
 def _q_redact_pii(sf_dir: str):
     """PII redaction over documents. The synthetic corpus carries no real
     PII, so deterministic emails/phones derived from doc_id are planted
@@ -837,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "approx_quantile_value": _q_approx_quantile,
         "approx_quantile_full": _q_approx_quantile_full,
+        "pivot_lineitem": _q_pivot_lineitem,
     }
 
 
@@ -1196,4 +1217,17 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.95) AS q95,
                    quantile_disc(value, 0.99) AS q99
             FROM events""",
+        "pivot_lineitem": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(FLOOR(l_quantity) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS qty_O,
+                   CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O')
+                        AS BIGINT) AS n_O,
+                   CAST(SUM(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(FLOOR(l_quantity) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS qty_F,
+                   CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F')
+                        AS BIGINT) AS n_F
+            FROM lineitem GROUP BY l_returnflag""",
     }

@@ -337,3 +337,51 @@ def stratified_sample(ds: ray.data.Dataset, key_col: str, id_col: str,
         batch_format="pyarrow", batch_size=None)
     return partition_map(bucketed, bcol, num_partitions, bucket_sample,
                          empty_schema=lazy_schema(ds))
+
+
+def pivot_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    pivot_col: str,
+    pivot_values: list,
+    *,
+    sums: dict[str, str] | None = None,
+    count_prefix: str | None = None,
+) -> ray.data.Dataset:
+    """PIVOT as conditional aggregation: for every pivot value ``v`` emit
+    ``<out>_<v>`` columns (``sums``) and ``<count_prefix>_<v>`` counts.
+    Semantics match SQL ``SUM(CASE WHEN p = v THEN x ELSE 0 END)`` /
+    ``COUNT(*) FILTER (WHERE p = v)`` — rows whose pivot value is not in
+    ``pivot_values`` contribute zeros.
+
+    ``pivot_values`` is explicit (not discovered) so the output schema is
+    deterministic and the whole thing stays ONE streaming pass over the
+    data: the conditional columns are added in the same map_batches that
+    does the partial pre-aggregation — no discovery pass, no extra
+    shuffle beyond :func:`grouped_aggregate`'s tiny partial exchange.
+    """
+    import pyarrow.compute as pc
+
+    sums = dict(sums or {})
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        for v in pivot_values:
+            mask = pc.fill_null(pc.equal(t[pivot_col], v), False)
+            for out, col in sums.items():
+                src = pc.fill_null(t[col], 0)
+                zero = pa.scalar(0, src.type if not isinstance(
+                    src, pa.ChunkedArray) else src.type)
+                cols[f"{out}_{v}"] = pc.if_else(mask, src, zero)
+            if count_prefix is not None:
+                cols[f"{count_prefix}_{v}"] = pc.cast(mask, pa.int64())
+        return pa.table(cols)
+
+    out_sums = {}
+    for v in pivot_values:
+        for out in sums:
+            out_sums[f"{out}_{v}"] = f"{out}_{v}"
+        if count_prefix is not None:
+            out_sums[f"{count_prefix}_{v}"] = f"{count_prefix}_{v}"
+    widened = ds.map_batches(widen, batch_format="pyarrow")
+    return grouped_aggregate(widened, keys, sums=out_sums, count_name=None)

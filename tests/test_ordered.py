@@ -353,3 +353,58 @@ def test_approx_quantile_empty_and_nulls():
     t2 = pa.table({"x": pa.array([None, 7.0, None, 3.0], pa.float64())})
     out2 = to_table(approx_quantile(ray.data.from_arrow(t2), "x", [0.5]))
     assert out2.to_pylist() == [{"q50": 3.0}]
+
+
+# ------------------------------------------------------------------ pivot
+
+def test_pivot_vs_duckdb(sf_dir):
+    from raycdc.agg import pivot_aggregate
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_linestatus",
+                                        "l_quantity"])
+
+    def qty_int(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        q = pc.cast(pc.floor(t["l_quantity"]), pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"], "qty": q})
+
+    out = to_table(pivot_aggregate(
+        li.map_batches(qty_int, batch_format="pyarrow"),
+        ["l_returnflag"], "l_linestatus", ["O", "F"],
+        sums={"qty": "qty"}, count_prefix="n"))
+    ref = duckdb.sql(f"""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(FLOOR(l_quantity) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS qty_O,
+               CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT)
+                    AS n_O,
+               CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(FLOOR(l_quantity) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS qty_F,
+               CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT)
+                    AS n_F
+        FROM '{sf_dir}/lineitem.parquet' GROUP BY l_returnflag
+    """).arrow()
+    a = _sorted_df(out, ["l_returnflag"])
+    b = _sorted_df(ref, ["l_returnflag"])
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_pivot_null_pivot_values_contribute_zero():
+    from raycdc.agg import pivot_aggregate
+
+    t = pa.table({
+        "k": ["a", "a", "b"],
+        "p": pa.array(["x", None, "x"]),
+        "v": pa.array([5, 7, 1], pa.int64()),
+    })
+    out = to_table(pivot_aggregate(
+        ray.data.from_arrow(t), ["k"], "p", ["x", "y"],
+        sums={"v": "v"}, count_prefix="n"))
+    rows = {r["k"]: r for r in out.to_pylist()}
+    assert rows["a"]["v_x"] == 5 and rows["a"]["n_x"] == 1
+    assert rows["a"]["v_y"] == 0 and rows["a"]["n_y"] == 0
+    assert rows["b"]["v_x"] == 1 and rows["b"]["n_x"] == 1
