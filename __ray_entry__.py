@@ -351,6 +351,27 @@ def _q_curation(sf_dir: str):
                             keep_lang="en", num_partitions=16)
 
 
+def _q_curation_v2(sf_dir: str):
+    """Round-2 composition: deterministic hash sample → normalize → PII
+    redaction → token filter → exact dedup, one lazy streaming chain.
+    PII is planted deterministically first (as in redact_pii) so the
+    redaction stage has real work on the synthetic corpus."""
+    from raycdc.pipelines import curate_documents_v2
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        planted = pc.binary_join_element_wise(
+            t["text"], " contact user", ids, "@example.com or call +1 555-010-",
+            ids, " now", "")
+        return pa.table({"doc_id": t["doc_id"], "text": planted})
+
+    return curate_documents_v2(docs.map_batches(plant, batch_format="pyarrow"),
+                               sample_frac=0.5, min_tokens=5,
+                               num_partitions=16)
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact heavy hitters via two scalable passes (Misra-Gries candidate
     summaries + exact count of the broadcast candidate set) — equivalent to
@@ -858,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantile_value": _q_approx_quantile,
         "approx_quantile_full": _q_approx_quantile_full,
         "pivot_lineitem": _q_pivot_lineitem,
+        "curation_pipeline_v2": _q_curation_v2,
     }
 
 
@@ -903,6 +925,48 @@ def _redact_pii_sql() -> str:
 
 
 _REDACT_PII_SQL = _redact_pii_sql()
+
+
+def _curation_v2_sql() -> str:
+    from raycdc.ops.text import PII_EMAIL_RE, PII_PHONE_RE
+
+    cut = int(0.5 * 4294967296)
+    return rf"""
+        WITH s AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call +1 555-010-'
+                        || CAST(doc_id AS VARCHAR) || ' now' AS t
+            FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 < {cut}
+        ),
+        n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(t), '\s+', ' ', 'g'), ' ')
+                       AS text_norm
+            FROM s
+        ),
+        r AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text_norm, '{PII_EMAIL_RE}',
+                                      '<EMAIL>', 'g'),
+                       '{PII_PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+            FROM n
+        ),
+        q AS (
+            SELECT doc_id, text_redacted,
+                   CAST(len(regexp_extract_all(text_redacted, '\S+'))
+                        AS BIGINT) AS n_tokens
+            FROM r
+        )
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text_redacted,
+               min(n_tokens) AS n_tokens
+        FROM q WHERE n_tokens >= 5
+        GROUP BY text_redacted"""
+
+
+_CURATION_V2_SQL = _curation_v2_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1217,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.95) AS q95,
                    quantile_disc(value, 0.99) AS q99
             FROM events""",
+        "curation_pipeline_v2": _CURATION_V2_SQL,
         "pivot_lineitem": """
             SELECT l_returnflag,
                    CAST(SUM(CASE WHEN l_linestatus = 'O'

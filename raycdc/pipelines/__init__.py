@@ -1,3 +1,3 @@
-from raycdc.pipelines.curation import curate_documents
+from raycdc.pipelines.curation import curate_documents, curate_documents_v2
 
-__all__ = ["curate_documents"]
+__all__ = ["curate_documents", "curate_documents_v2"]

@@ -64,3 +64,38 @@ def curate_documents(
     filtered = langed.map_batches(lang_filter, batch_format="pyarrow")
     return exact_dedup(filtered, text_col="text_norm", id_col=id_col,
                        num_partitions=num_partitions)
+
+
+def curate_documents_v2(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_frac: float = 0.5,
+    min_tokens: int = 5,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Second composition story, exercising the round-2 operator additions
+    end to end: deterministic hash sample → normalize → PII redaction →
+    token-count filter → exact dedup (min doc_id survives). Every stage is
+    individually oracle-proven and the chain stays one lazy streaming
+    pipeline (the sample is a stateless filter; redaction is two RE2
+    passes; the only exchange is the dedup's partition-only shuffle).
+    Returns (doc_id, text_redacted, n_tokens)."""
+    from raycdc.agg import hash_sample
+    from raycdc.ops.text import add_token_count, redact_pii
+
+    sampled = hash_sample(ds, id_col, sample_frac)
+    normed = normalize_text(sampled, text_col=text_col)
+    redacted = redact_pii(normed, text_col="text_norm",
+                          out_col="text_redacted")
+    counted = add_token_count(redacted, text_col="text_redacted")
+
+    def token_filter(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["n_tokens"], min_tokens)
+        t = t.filter(pc.fill_null(keep, False))
+        return t.select([id_col, "text_redacted", "n_tokens"])
+
+    filtered = counted.map_batches(token_filter, batch_format="pyarrow")
+    return exact_dedup(filtered, text_col="text_redacted", id_col=id_col,
+                       num_partitions=num_partitions)
