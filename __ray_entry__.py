@@ -738,6 +738,26 @@ def _q_rollup_lineitem(sf_dir: str):
                             maxs={"max_qty": "qty"}, count_name="n")
 
 
+def _q_cube_lineitem(sf_dir: str):
+    """GROUP BY CUBE: 2^k grouping sets, raw data aggregated once, every
+    other set re-aggregated from the materialized tiny finest level
+    (mergeable aggregates only)."""
+    from raycdc.agg import cube_aggregate
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def qty_int(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.floor(t["l_quantity"]), pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"], "qty": q})
+
+    return cube_aggregate(li.map_batches(qty_int, batch_format="pyarrow"),
+                          ["l_returnflag", "l_linestatus"],
+                          sums={"sum_qty": "qty"}, maxs={"max_qty": "qty"},
+                          count_name="n")
+
+
 def _q_sample_events(sf_dir: str):
     """Deterministic 5% hash sample (Knuth multiplicative hash) — the same
     predicate runs in ANSI SQL, so the sampled set itself is oracle-checked,
@@ -880,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantile_full": _q_approx_quantile_full,
         "pivot_lineitem": _q_pivot_lineitem,
         "curation_pipeline_v2": _q_curation_v2,
+        "cube_lineitem": _q_cube_lineitem,
     }
 
 
@@ -1282,6 +1303,14 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.99) AS q99
             FROM events""",
         "curation_pipeline_v2": _CURATION_V2_SQL,
+        "cube_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   MAX(CAST(FLOOR(l_quantity) AS BIGINT)) AS max_qty,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)""",
         "pivot_lineitem": """
             SELECT l_returnflag,
                    CAST(SUM(CASE WHEN l_linestatus = 'O'

@@ -163,7 +163,7 @@ def run_bench() -> dict:
         "embed_dup_pairs", "curation_pipeline", "window_funcs",
         "grouped_quantiles", "rollup_lineitem", "sample_events", "redact_pii",
         "stratified_sample_events", "approx_quantile_value",
-        "pivot_lineitem", "curation_pipeline_v2",
+        "pivot_lineitem", "curation_pipeline_v2", "cube_lineitem",
     ]
     q_times: dict[str, float] = {}
     for name in bench_set:

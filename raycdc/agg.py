@@ -166,6 +166,100 @@ def top_k(
     return ray.data.from_arrow(final)
 
 
+def _grouping_sets(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    subsets: list[list[str]],
+    sums: dict[str, str],
+    mins: dict[str, str],
+    maxs: dict[str, str],
+    count_name: str | None,
+) -> ray.data.Dataset:
+    """Shared machinery for ROLLUP / CUBE: aggregate the raw data ONCE at
+    the finest level (full distributed partial-combine pipeline of
+    :func:`grouped_aggregate`), then compute every coarser grouping set
+    from that result LOCALLY on the driver — the finest level is only
+    ``num_groups`` rows (bounded by key-combination cardinality, which must
+    be smallish for a rollup/cube to be meaningful), and sums of sums /
+    min of mins / max of maxs / sum of counts are all mergeable. One real
+    shuffle total; no per-level Ray barriers. Grouped-out key columns are
+    emitted as typed nulls (SQL convention)."""
+    import pyarrow.compute as pc
+
+    cnt = "__gs_cnt" if count_name is None else count_name
+    canonical = list(keys) + list(sums) + list(mins) + list(maxs) + [cnt]
+
+    finest = grouped_aggregate(ds, keys, sums=sums, mins=mins, maxs=maxs,
+                               count_name=cnt)
+    tabs = list(finest.iter_batches(batch_format="pyarrow",
+                                    batch_size=None))
+    schema_map: dict = {}
+    try:
+        s = ds.schema()
+        schema_map = dict(zip(s.names, s.types))
+    except AttributeError:
+        pass
+    agg_fields = ([(out, pa.int64()) for out in sums]
+                  + [(out, schema_map.get(col, pa.int64()))
+                     for out, col in mins.items()]
+                  + [(out, schema_map.get(col, pa.int64()))
+                     for out, col in maxs.items()])
+    if tabs:
+        base = pa.concat_tables(tabs, promote_options="default")
+        base = base.select(canonical)
+    else:
+        base = pa.schema(
+            [(k, schema_map.get(k, pa.string())) for k in keys]
+            + agg_fields + [(cnt, pa.int64())]).empty_table()
+
+    levels = [base]
+    df = base.to_pandas()
+    for kept in subsets:
+        dropped = [k for k in keys if k not in kept]
+        if kept:
+            g = df.groupby(kept, sort=False, dropna=False)
+            parts = {out: g[out].sum() for out in sums}
+            for out in mins:
+                parts[out] = g[out].min()
+            for out in maxs:
+                parts[out] = g[out].max()
+            parts[cnt] = g[cnt].sum()
+            lvl_df = pd.DataFrame(parts).reset_index()
+            lvl = pa.Table.from_pandas(lvl_df, preserve_index=False)
+            # pandas groupby can widen/narrow dtypes; realign to base types
+            for name in kept + list(sums) + list(mins) + list(maxs) + [cnt]:
+                want = base.schema.field(name).type
+                i = lvl.column_names.index(name)
+                if lvl.schema.field(name).type != want:
+                    lvl = lvl.set_column(i, name, lvl[name].cast(want))
+        else:
+            cols = {}
+            for out in sums:
+                cols[out] = pa.array(
+                    [pc.sum(base[out]).as_py() if base.num_rows else None],
+                    base.schema.field(out).type)
+            for out in mins:
+                cols[out] = pa.array(
+                    [pc.min(base[out]).as_py() if base.num_rows else None],
+                    base.schema.field(out).type)
+            for out in maxs:
+                cols[out] = pa.array(
+                    [pc.max(base[out]).as_py() if base.num_rows else None],
+                    base.schema.field(out).type)
+            cols[cnt] = pa.array(
+                [int(pc.sum(base[cnt]).as_py() or 0) if base.num_rows
+                 else 0], pa.int64())
+            lvl = pa.table(cols)
+        for k in dropped:
+            lvl = lvl.append_column(
+                k, pa.nulls(lvl.num_rows, base.schema.field(k).type))
+        levels.append(lvl.select(canonical))
+    out = pa.concat_tables(levels, promote_options="default")
+    if count_name is None:
+        out = out.drop_columns([cnt])
+    return ray.data.from_arrow(out)
+
+
 def rollup_aggregate(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -175,93 +269,36 @@ def rollup_aggregate(
     maxs: dict[str, str] | None = None,
     count_name: str | None = "n",
 ) -> ray.data.Dataset:
-    """``GROUP BY ROLLUP(keys...)``: one aggregate row per prefix of the key
-    list, with grouped-out key columns null (SQL rollup convention).
+    """``GROUP BY ROLLUP(keys...)``: one aggregate row per prefix of the
+    key list, grouped-out key columns null (SQL rollup convention). See
+    :func:`_grouping_sets` for the scale shape (one distributed shuffle at
+    the finest level; prefixes computed locally from its tiny result).
+    Means are intentionally unsupported (not re-aggregatable without
+    carrying sum+count; compute them from sums/counts downstream)."""
+    prefixes = [keys[:d] for d in range(len(keys) - 1, -1, -1)]
+    return _grouping_sets(ds, keys, prefixes, dict(sums or {}),
+                          dict(mins or {}), dict(maxs or {}), count_name)
 
-    Scale shape: the raw data is aggregated ONCE at the finest level (full
-    partial-combine pipeline of :func:`grouped_aggregate`); every coarser
-    level re-aggregates the previous level's already-tiny result — sums of
-    sums, min of mins, max of maxs, sum of counts are all mergeable, so the
-    rollup costs one real shuffle plus len(keys) shuffles over `num_groups`
-    rows. Means are intentionally unsupported (not re-aggregatable without
-    carrying sum+count; compute them from sums/counts downstream).
-    """
-    sums = dict(sums or {})
-    mins = dict(mins or {})
-    maxs = dict(maxs or {})
-    cnt = "__rollup_cnt" if count_name is None else count_name
-    # one canonical column order shared by every level (union needs
-    # identical schemas; the per-level aggregates emit columns in
-    # different orders)
-    canonical = list(keys) + list(sums) + list(mins) + list(maxs) + [cnt]
 
-    levels: list[ray.data.Dataset] = []
-    # materialize each level before deriving the next: levels are tiny
-    # (num_groups rows), and without this the lazy `prev` Dataset would
-    # re-execute the full raw-data aggregation once per coarser level
-    finest = grouped_aggregate(ds, keys, sums=sums, mins=mins, maxs=maxs,
-                               count_name=cnt).materialize()
-    levels.append(finest)
-    prev = finest
-    for depth in range(len(keys) - 1, -1, -1):
-        kept = keys[:depth]
-        dropped = keys[depth:]
-        resums = {out: out for out in sums}
-        resums[cnt] = cnt
-        if kept:
-            lvl = grouped_aggregate(
-                prev, kept, sums=resums,
-                mins={out: out for out in mins},
-                maxs={out: out for out in maxs},
-                count_name=None).materialize()
-        else:
-            # grand total: no key — a single global combine over the tiny
-            # previous level (driver-side concat of partial rows is fine:
-            # the input here is at most `num_groups(level 1)` rows)
-            tabs = list(prev.iter_batches(batch_format="pyarrow",
-                                          batch_size=None))
-            if tabs:
-                t = pa.concat_tables(tabs, promote_options="default")
-            else:
-                t = None
-            import pyarrow.compute as pc
+def cube_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    *,
+    sums: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+    count_name: str | None = "n",
+) -> ray.data.Dataset:
+    """``GROUP BY CUBE(keys...)``: one aggregate row per SUBSET of the key
+    list (2^k grouping sets), grouped-out key columns null. Same scale
+    shape as :func:`rollup_aggregate` — one distributed shuffle, all other
+    sets computed locally from the finest level's ``num_groups`` rows."""
+    import itertools
 
-            cols: dict = {}
-            for out in sums:
-                cols[out] = [pc.sum(t[out]).as_py() if t is not None else None]
-            for out in mins:
-                cols[out] = [pc.min(t[out]).as_py() if t is not None else None]
-            for out in maxs:
-                cols[out] = [pc.max(t[out]).as_py() if t is not None else None]
-            cols[cnt] = [pc.sum(t[cnt]).as_py() if t is not None else 0]
-            lvl = ray.data.from_arrow(pa.table(cols))
-        # restore the dropped key columns as typed nulls so every level
-        # shares one schema and unions cleanly
-        schema = None
-        try:
-            s = ds.schema()
-            schema = dict(zip(s.names, s.types))
-        except AttributeError:
-            pass
-
-        def add_nulls(t: pa.Table, dropped=tuple(dropped), schema=schema,
-                      order=tuple(canonical)) -> pa.Table:
-            for k in dropped:
-                typ = (schema or {}).get(k, pa.string())
-                t = t.append_column(k, pa.nulls(t.num_rows, typ))
-            return t.select(list(order))
-
-        levels.append(lvl.map_batches(add_nulls, batch_format="pyarrow"))
-        prev = lvl
-    out = levels[0].map_batches(
-        lambda t, order=tuple(canonical): t.select(list(order)),
-        batch_format="pyarrow")
-    for lvl in levels[1:]:
-        out = out.union(lvl)
-    if count_name is None:
-        out = out.map_batches(lambda t: t.drop_columns([cnt]),
-                              batch_format="pyarrow")
-    return out
+    subsets = [list(c) for r in range(len(keys) - 1, -1, -1)
+               for c in itertools.combinations(keys, r)]
+    return _grouping_sets(ds, keys, subsets, dict(sums or {}),
+                          dict(mins or {}), dict(maxs or {}), count_name)
 
 
 def hash_sample(ds: ray.data.Dataset, id_col: str, frac: float,
@@ -385,3 +422,4 @@ def pivot_aggregate(
             out_sums[f"{count_prefix}_{v}"] = f"{count_prefix}_{v}"
     widened = ds.map_batches(widen, batch_format="pyarrow")
     return grouped_aggregate(widened, keys, sums=out_sums, count_name=None)
+

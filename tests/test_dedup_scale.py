@@ -173,3 +173,58 @@ def test_jaccard_verified_pairs_equals_brute_force(sf_dir):
     got = dict(zip(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()),
                    out["jaccard"].to_pylist()))
     assert got == truth  # exhaustive exact pair set, exact values
+
+
+def test_ordered_window_single_hot_key_500k():
+    """Documented partitioning assumption stress: ALL rows share one key, so
+    one bucket receives the whole input. The per-bucket pass is one lexsort
+    — this must complete fast and stay correct (rn a permutation, running
+    sum exact)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raycdc.ops.ordered import ordered_window
+
+    n = 500_000
+    rng = np.random.default_rng(5)
+    ids = rng.permutation(n).astype("int64")
+    t = pa.table({
+        "id": pa.array(ids),
+        "k": pa.array(np.zeros(n, dtype="int64")),
+        "ts": pa.array(rng.integers(0, 10_000, n), pa.timestamp("us")),
+        "v": pa.array(np.ones(n, dtype="int64")),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    out_tabs = list(ordered_window(
+        ds, key_col="k", ts_col="ts", id_col="id",
+        cum_sums={"cv": "v"}, gap_name=None, num_partitions=4,
+    ).iter_batches(batch_format="pyarrow", batch_size=None))
+    out = pa.concat_tables(out_tabs, promote_options="default")
+    assert out.num_rows == n
+    rn = np.sort(out["rn"].to_numpy(zero_copy_only=False))
+    assert rn[0] == 1 and rn[-1] == n and len(np.unique(rn)) == n
+    cv = out["cv"].to_numpy(zero_copy_only=False)
+    assert cv.max() == n  # running count of 1s reaches n at the last row
+
+
+def test_grouped_quantile_single_group_500k():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raycdc.ops.ordered import grouped_quantile
+
+    n = 500_000
+    rng = np.random.default_rng(6)
+    vals = rng.integers(0, 10**9, n)
+    t = pa.table({"g": pa.array(np.zeros(n, dtype="int64")),
+                  "x": pa.array(vals, pa.int64())})
+    out_tabs = list(grouped_quantile(
+        ray.data.from_arrow(t).repartition(8), ["g"], "x", [0.5],
+        names=["med"], num_partitions=4,
+    ).iter_batches(batch_format="pyarrow", batch_size=None))
+    out = pa.concat_tables(out_tabs, promote_options="default")
+    sv = np.sort(vals)
+    assert out.to_pylist() == [
+        {"g": 0, "med": int(sv[int(np.ceil(0.5 * n)) - 1])}]

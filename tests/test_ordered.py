@@ -408,3 +408,35 @@ def test_pivot_null_pivot_values_contribute_zero():
     assert rows["a"]["v_x"] == 5 and rows["a"]["n_x"] == 1
     assert rows["a"]["v_y"] == 0 and rows["a"]["n_y"] == 0
     assert rows["b"]["v_x"] == 1 and rows["b"]["n_x"] == 1
+
+
+def test_cube_vs_duckdb(sf_dir):
+    from raycdc.agg import cube_aggregate
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_linestatus",
+                                        "l_quantity"])
+
+    def qty_int(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        q = pc.cast(pc.floor(t["l_quantity"]), pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"], "qty": q})
+
+    out = to_table(cube_aggregate(
+        li.map_batches(qty_int, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], sums={"sum_qty": "qty"},
+        maxs={"max_qty": "qty"}, count_name="n"))
+    ref = duckdb.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sum_qty,
+               MAX(CAST(FLOOR(l_quantity) AS BIGINT)) AS max_qty,
+               COUNT(*) AS n
+        FROM '{sf_dir}/lineitem.parquet'
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+    """).arrow()
+    key = ["l_returnflag", "l_linestatus"]
+    a = _sorted_df(out, key)
+    b = _sorted_df(ref, key)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
