@@ -738,6 +738,42 @@ def _q_rollup_lineitem(sf_dir: str):
                             maxs={"max_qty": "qty"}, count_name="n")
 
 
+def _et_hours(sf_dir: str, event_type: str):
+    """(user_id, hour) pairs for one event type — shared by the set-op
+    queries (EXCEPT/INTERSECT need matching projections on both sides)."""
+    import numpy as np  # noqa: F401  (vectorized hour truncation)
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        c = t.filter(pc.equal(t["event_type"], event_type))
+        us = c["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hour = pa.array((us // 3_600_000_000) * 3_600_000_000) \
+            .cast(pa.timestamp("us"))
+        return pa.table({"user_id": c["user_id"], "h": hour})
+
+    return ev.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_except_events(sf_dir: str):
+    """SQL EXCEPT (set semantics, NULL-equal): view-hours with no purchase
+    in the same hour — both sides co-located with one partition-only
+    exchange on the row hash."""
+    from raycdc.agg import except_rows
+
+    return except_rows(_et_hours(sf_dir, "view"),
+                       _et_hours(sf_dir, "purchase"), num_partitions=8)
+
+
+def _q_intersect_events(sf_dir: str):
+    """SQL INTERSECT: (user, hour) pairs with both a view and a purchase."""
+    from raycdc.agg import intersect_rows
+
+    return intersect_rows(_et_hours(sf_dir, "view"),
+                          _et_hours(sf_dir, "purchase"), num_partitions=8)
+
+
 def _q_cube_lineitem(sf_dir: str):
     """GROUP BY CUBE: 2^k grouping sets, raw data aggregated once, every
     other set re-aggregated from the materialized tiny finest level
@@ -901,6 +937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_lineitem": _q_pivot_lineitem,
         "curation_pipeline_v2": _q_curation_v2,
         "cube_lineitem": _q_cube_lineitem,
+        "except_events": _q_except_events,
+        "intersect_events": _q_intersect_events,
     }
 
 
@@ -1303,6 +1341,18 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.99) AS q99
             FROM events""",
         "curation_pipeline_v2": _CURATION_V2_SQL,
+        "except_events": """
+            SELECT user_id, date_trunc('hour', ts) AS h
+            FROM events WHERE event_type = 'view'
+            EXCEPT
+            SELECT user_id, date_trunc('hour', ts)
+            FROM events WHERE event_type = 'purchase'""",
+        "intersect_events": """
+            SELECT user_id, date_trunc('hour', ts) AS h
+            FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT user_id, date_trunc('hour', ts)
+            FROM events WHERE event_type = 'purchase'""",
         "cube_lineitem": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)

@@ -423,3 +423,64 @@ def pivot_aggregate(
     widened = ds.map_batches(widen, batch_format="pyarrow")
     return grouped_aggregate(widened, keys, sums=out_sums, count_name=None)
 
+
+
+def _set_op(left: ray.data.Dataset, right: ray.data.Dataset, keep_present:
+            bool, num_partitions: int) -> ray.data.Dataset:
+    """Shared EXCEPT/INTERSECT machinery (SQL set semantics: DISTINCT
+    output). Both sides are tagged, unioned, and co-located with ONE
+    partition-only exchange on the row hash; each bucket then runs one
+    vectorized pass (dedup left, membership test against right). Only
+    distinct-per-batch rows transit the shuffle (local combiner)."""
+    from raycdc.shuffle import lazy_schema, partition_map
+
+    b, src = "__rcdc_so", "__rcdc_src"
+
+    def tag(flag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().drop_duplicates()
+            h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+            df[src] = np.int64(flag)
+            df[b] = (h % num_partitions).astype("int64")
+            return pa.Table.from_pandas(df, preserve_index=False)
+        return fn
+
+    import numpy as np
+
+    tagged = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def bucket_setop(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cols = [c for c in df.columns if c != src]
+        l = df[df[src] == 0][cols].drop_duplicates()
+        r = df[df[src] == 1][cols].drop_duplicates()
+        key_l = pd.util.hash_pandas_object(l, index=False)
+        key_r = set(pd.util.hash_pandas_object(r, index=False))
+        mask = key_l.isin(key_r).to_numpy()
+        out = l[mask] if keep_present else l[~mask]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return partition_map(tagged, b, num_partitions, bucket_setop,
+                         empty_schema=lazy_schema(left))
+
+
+def except_rows(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                num_partitions: int = 32) -> ray.data.Dataset:
+    """SQL ``EXCEPT``: distinct rows of ``left`` not present in ``right``
+    (schemas must match; project both sides first). Membership is tested
+    on the 64-bit row hash within each co-located bucket — identical rows
+    always share a bucket, so the result is exact up to hash collisions
+    within one bucket's rows (same guard level as exact_dedup's keyed
+    shuffle; the full row is available in-bucket if a collision-proof
+    variant is ever needed)."""
+    return _set_op(left, right, keep_present=False,
+                   num_partitions=num_partitions)
+
+
+def intersect_rows(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                   num_partitions: int = 32) -> ray.data.Dataset:
+    """SQL ``INTERSECT``: distinct rows of ``left`` also present in
+    ``right``. See :func:`except_rows` for the mechanism."""
+    return _set_op(left, right, keep_present=True,
+                   num_partitions=num_partitions)

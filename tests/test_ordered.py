@@ -440,3 +440,66 @@ def test_cube_vs_duckdb(sf_dir):
     a = _sorted_df(out, key)
     b = _sorted_df(ref, key)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# --------------------------------------------------------------- set ops
+
+def test_except_intersect_vs_duckdb(sf_dir):
+    from raycdc.agg import except_rows, intersect_rows
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+
+    def side(et):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+            import pyarrow.compute as pc
+            c = t.filter(pc.equal(t["event_type"], et))
+            us = c["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            hour = pa.array((us // 3_600_000_000) * 3_600_000_000) \
+                .cast(pa.timestamp("us"))
+            return pa.table({"user_id": c["user_id"], "h": hour})
+        return fn
+
+    viewers = ev.map_batches(side("view"), batch_format="pyarrow")
+    buyers = ev.map_batches(side("purchase"), batch_format="pyarrow")
+    exc = to_table(except_rows(viewers, buyers, num_partitions=4))
+    itc = to_table(intersect_rows(viewers, buyers, num_partitions=4))
+    ref_exc = duckdb.sql(f"""
+        SELECT user_id, date_trunc('hour', ts) AS h
+        FROM '{sf_dir}/events.parquet' WHERE event_type = 'view'
+        EXCEPT
+        SELECT user_id, date_trunc('hour', ts)
+        FROM '{sf_dir}/events.parquet'
+        WHERE event_type = 'purchase'""").arrow()
+    ref_itc = duckdb.sql(f"""
+        SELECT user_id, date_trunc('hour', ts) AS h
+        FROM '{sf_dir}/events.parquet' WHERE event_type = 'view'
+        INTERSECT
+        SELECT user_id, date_trunc('hour', ts)
+        FROM '{sf_dir}/events.parquet'
+        WHERE event_type = 'purchase'""").arrow()
+
+    def key(t):
+        return sorted(zip(t["user_id"].to_pylist(),
+                          [str(v) for v in t["h"].to_pylist()]))
+
+    assert key(exc) == key(ref_exc)
+    assert key(itc) == key(ref_itc)
+    assert exc.num_rows and itc.num_rows  # both sides non-trivial
+
+
+def test_set_ops_null_rows_and_duplicates():
+    from raycdc.agg import except_rows, intersect_rows
+
+    l = ray.data.from_arrow(pa.table(
+        {"x": pa.array([1, 1, None, 3], pa.int64())}))
+    r = ray.data.from_arrow(pa.table(
+        {"x": pa.array([None, 9], pa.int64())}))
+    # SQL set semantics: distinct output; NULL equals NULL in set ops
+    exc = sorted(to_table(except_rows(l, r, num_partitions=2))["x"]
+                 .to_pylist(), key=lambda v: (v is None, v))
+    itc = to_table(intersect_rows(l, r, num_partitions=2))["x"].to_pylist()
+    assert exc == [1, 3]
+    assert itc == [None]
