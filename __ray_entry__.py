@@ -794,6 +794,26 @@ def _q_cube_lineitem(sf_dir: str):
                           count_name="n")
 
 
+def _q_unpivot_lineitem(sf_dir: str):
+    """UNPIVOT/melt — wide value columns to rows, stateless per-batch
+    (k zero-copy column selects), the inverse of pivot_lineitem."""
+    from raycdc.agg import unpivot
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+    return unpivot(li, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_discount"])
+
+
+def _q_tokenize_docs(sf_dir: str):
+    """Tokenize to rows: whitespace tokens exploded with the zero-copy
+    list explode (unnest(regexp_extract_all) equivalent)."""
+    from raycdc.ops.text import tokenize_explode
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return tokenize_explode(docs)
+
+
 def _q_sample_events(sf_dir: str):
     """Deterministic 5% hash sample (Knuth multiplicative hash) — the same
     predicate runs in ANSI SQL, so the sampled set itself is oracle-checked,
@@ -939,6 +959,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_lineitem": _q_cube_lineitem,
         "except_events": _q_except_events,
         "intersect_events": _q_intersect_events,
+        "unpivot_lineitem": _q_unpivot_lineitem,
+        "tokenize_docs": _q_tokenize_docs,
     }
 
 
@@ -1341,6 +1363,15 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.99) AS q99
             FROM events""",
         "curation_pipeline_v2": _CURATION_V2_SQL,
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+                   l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem""",
+        "tokenize_docs": r"""
+            SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+            FROM documents""",
         "except_events": """
             SELECT user_id, date_trunc('hour', ts) AS h
             FROM events WHERE event_type = 'view'

@@ -164,7 +164,8 @@ def run_bench() -> dict:
         "grouped_quantiles", "rollup_lineitem", "sample_events", "redact_pii",
         "stratified_sample_events", "approx_quantile_value",
         "pivot_lineitem", "curation_pipeline_v2", "cube_lineitem",
-        "except_events", "intersect_events",
+        "except_events", "intersect_events", "unpivot_lineitem",
+        "tokenize_docs",
     ]
     q_times: dict[str, float] = {}
     for name in bench_set:

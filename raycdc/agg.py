@@ -484,3 +484,36 @@ def intersect_rows(left: ray.data.Dataset, right: ray.data.Dataset, *,
     ``right``. See :func:`except_rows` for the mechanism."""
     return _set_op(left, right, keep_present=True,
                    num_partitions=num_partitions)
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_cols: list[str],
+    *,
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """UNPIVOT/melt: wide value columns → (keys, variable, value) rows.
+    Stateless per-batch transform (k stacked zero-copy column selects per
+    batch, no row loops, no shuffle); value columns are cast to their
+    common Arrow type."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    def melt(t: pa.Table) -> pa.Table:
+        target = pa.unify_schemas(
+            [pa.schema([(value_name, t.schema.field(c).type)])
+             for c in value_cols],
+            promote_options="permissive").field(value_name).type
+        parts = []
+        for c in value_cols:
+            part = t.select(keys)
+            part = part.append_column(
+                var_name, pa.array([c] * t.num_rows, pa.string()))
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            parts.append(part.append_column(value_name, col.cast(target)))
+        return pa.concat_tables(parts, promote_options="default")
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -285,3 +285,25 @@ def redact_pii(ds: ray.data.Dataset, text_col: str = "text",
         return t.append_column(out_col, s)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tokenize_explode(ds: ray.data.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     token_col: str = "token") -> ray.data.Dataset:
+    """Tokenize to rows: one output row per whitespace token (SQL
+    ``unnest(regexp_extract_all(text, '\\S+'))``). Vectorized: collapse
+    whitespace runs + trim (so a single-space split yields exactly the
+    \\S+ tokens, with no edge empties), drop empty docs, split to a list
+    column, then the engine's zero-copy list explode."""
+    from raycdc.record_flatten import explode_list_table
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.utf8_trim(
+            pc.replace_substring_regex(t[text_col], r"\s+", " "), " ")
+        norm = pa.table({id_col: t[id_col], "__norm": s})
+        norm = norm.filter(pc.fill_null(pc.not_equal(s, ""), False))
+        toks = pc.split_pattern(norm["__norm"], " ")
+        narrow = pa.table({id_col: norm[id_col], token_col: toks})
+        return explode_list_table(narrow, token_col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -503,3 +503,64 @@ def test_set_ops_null_rows_and_duplicates():
     itc = to_table(intersect_rows(l, r, num_partitions=2))["x"].to_pylist()
     assert exc == [1, 3]
     assert itc == [None]
+
+
+# ------------------------------------------------------- unpivot/tokenize
+
+def test_unpivot_vs_duckdb(sf_dir):
+    from raycdc.agg import unpivot
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+    out = to_table(unpivot(li, ["l_orderkey", "l_linenumber"],
+                           ["l_quantity", "l_discount"]))
+    ref = duckdb.sql(f"""
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+               l_quantity AS value FROM '{sf_dir}/lineitem.parquet'
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM '{sf_dir}/lineitem.parquet'""").arrow()
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    # sort on every column for a deterministic comparison
+    key = ["l_orderkey", "l_linenumber", "variable", "value"]
+    a = _sorted_df(out, key)
+    b = _sorted_df(ref, key)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_unpivot_mixed_types_promote():
+    from raycdc.agg import unpivot
+
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "a": pa.array([1, 2], pa.int64()),
+                  "b": pa.array([0.5, None], pa.float64())})
+    out = to_table(unpivot(ray.data.from_arrow(t), ["id"], ["a", "b"]))
+    assert out["value"].type == pa.float64()
+    got = {(r["id"], r["variable"]): r["value"] for r in out.to_pylist()}
+    assert got == {(1, "a"): 1.0, (2, "a"): 2.0, (1, "b"): 0.5,
+                   (2, "b"): None}
+
+
+def test_tokenize_explode_vs_duckdb(sf_dir):
+    from raycdc.ops.text import tokenize_explode
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = to_table(tokenize_explode(docs))
+    ref = duckdb.sql(rf"""
+        SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+        FROM '{sf_dir}/documents.parquet'""").arrow()
+    a = _sorted_df(out, ["doc_id", "token"])
+    b = _sorted_df(ref, ["doc_id", "token"])
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_tokenize_explode_empty_and_whitespace_docs():
+    from raycdc.ops.text import tokenize_explode
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(["  a  b ", "", "   ", None])})
+    out = to_table(tokenize_explode(ray.data.from_arrow(t)))
+    assert out.to_pylist() == [{"doc_id": 1, "token": "a"},
+                               {"doc_id": 1, "token": "b"}]
