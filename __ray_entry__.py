@@ -704,6 +704,19 @@ def _q_window_funcs(sf_dir: str):
                           num_partitions=16)
 
 
+def _q_window_rank(sf_dir: str):
+    """ntile + percent_rank per user ordered by (ts, event_id). SQL ntile
+    semantics (first n%N buckets take the extra row); percent_rank is an
+    exact double of two small ints, so it hash-matches across engines."""
+    from raycdc.ops.ordered import ordered_window
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return ordered_window(ev, key_col="user_id", ts_col="ts",
+                          id_col="event_id", gap_name=None, ntile=4,
+                          ntile_name="nt", percent_rank_name="pr",
+                          num_partitions=16)
+
+
 def _q_grouped_quantiles(sf_dir: str):
     """Exact per-group discrete quantiles (percentile_disc convention).
     Element selection, not interpolation — float outputs are actual input
@@ -961,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_events": _q_intersect_events,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "tokenize_docs": _q_tokenize_docs,
+        "window_rank": _q_window_rank,
     }
 
 
@@ -1363,6 +1377,13 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.99) AS q99
             FROM events""",
         "curation_pipeline_v2": _CURATION_V2_SQL,
+        "window_rank": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(ntile(4) OVER w AS BIGINT) AS nt,
+                   percent_rank() OVER w AS pr
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         "unpivot_lineitem": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
                    l_quantity AS value FROM lineitem

@@ -68,6 +68,9 @@ def ordered_window(
     cum_sums: dict[str, str] | None = None,
     rn_name: str = "rn",
     gap_name: str | None = "gap_us",
+    ntile: int | None = None,
+    ntile_name: str = "ntile",
+    percent_rank_name: str | None = None,
     num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """SQL-window-function equivalent of::
@@ -76,8 +79,14 @@ def ordered_window(
         lag(c)  OVER w AS prev_c,   -- for c in lag_cols
         lead(c) OVER w AS next_c,   -- for c in lead_cols
         sum(c)  OVER w AS <out>,    -- for out -> c in cum_sums
+        ntile(N) OVER w,            -- if ntile is set
+        percent_rank() OVER w,      -- if percent_rank_name is set
         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
         WINDOW w AS (PARTITION BY key ORDER BY ts, id)
+
+    ntile follows SQL semantics (the first n % N buckets get one extra
+    row); percent_rank = (rn-1)/(group_size-1), 0 for singleton groups —
+    an exact double of two small ints, identical on any engine.
 
     Output: one row per input row with (id_col, key_col, rn, prev_*/next_*,
     cum-sum columns, gap_us). Ordering is total — ties on ts break by
@@ -154,6 +163,23 @@ def ordered_window(
             cs = np.cumsum(v)
             base = cs[starts] - v[starts]
             cols[out] = pa.array(cs - np.repeat(base, counts))
+        if ntile is not None or percent_rank_name is not None:
+            gsize = np.repeat(counts, counts)
+        if ntile is not None:
+            # SQL NTILE: sizes q+1 for the first r buckets, q after
+            # (q = size // N, r = size % N)
+            q, rem = gsize // ntile, gsize % ntile
+            big = rem * (q + 1)
+            pos = rn - 1
+            in_big = pos < big
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tile = np.where(
+                    in_big, pos // np.maximum(q + 1, 1),
+                    rem + (pos - big) // np.maximum(q, 1)) + 1
+            cols[ntile_name] = pa.array(tile.astype(np.int64))
+        if percent_rank_name is not None:
+            denom = np.maximum(gsize - 1, 1).astype(np.float64)
+            cols[percent_rank_name] = pa.array((rn - 1) / denom)
         if gap_name is not None:
             gap = u - np.concatenate([u[:1], u[:-1]])
             cols[gap_name] = pc.if_else(
@@ -178,6 +204,10 @@ def ordered_window(
             fields.append((f"next_{col}", types.get(col, pa.int64())))
         for out in cum_sums:
             fields.append((out, pa.int64()))
+        if ntile is not None:
+            fields.append((ntile_name, pa.int64()))
+        if percent_rank_name is not None:
+            fields.append((percent_rank_name, pa.float64()))
         if gap_name is not None:
             fields.append((gap_name, pa.int64()))
         return pa.schema(fields)

@@ -564,3 +564,35 @@ def test_tokenize_explode_empty_and_whitespace_docs():
     out = to_table(tokenize_explode(ray.data.from_arrow(t)))
     assert out.to_pylist() == [{"doc_id": 1, "token": "a"},
                                {"doc_id": 1, "token": "b"}]
+
+
+def test_ordered_window_ntile_percent_rank_vs_duckdb(sf_dir):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+    out = to_table(ordered_window(
+        ev, key_col="user_id", ts_col="ts", id_col="event_id",
+        gap_name=None, ntile=4, ntile_name="nt",
+        percent_rank_name="pr", num_partitions=8))
+    ref = duckdb.sql(f"""
+        SELECT event_id, user_id,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(ntile(4) OVER w AS BIGINT) AS nt,
+               percent_rank() OVER w AS pr
+        FROM '{sf_dir}/events.parquet'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """).arrow()
+    a = _sorted_df(out, ["event_id"])
+    b = _sorted_df(ref, ["event_id"])
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_ntile_small_groups():
+    # 5 rows, ntile(3) -> sizes 2,2,1 (first n%k buckets get the extra row)
+    t = pa.table({"id": pa.array(range(5), pa.int64()),
+                  "k": ["a"] * 5,
+                  "ts": pa.array(range(5), pa.timestamp("us"))})
+    out = to_table(ordered_window(
+        ray.data.from_arrow(t), key_col="k", ts_col="ts", id_col="id",
+        gap_name=None, ntile=3, num_partitions=2))
+    got = {r["id"]: r["ntile"] for r in out.to_pylist()}
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3}
