@@ -419,9 +419,13 @@ def _q_join_asof(sf_dir: str):
 
     left = ev.map_batches(views, batch_format="pyarrow")
     right = ev.map_batches(purchases, batch_format="pyarrow")
+    # (user_id, ts) is nearly unique per purchase row: the partial pre-agg
+    # shrinks nothing, so route the combine over the partition-only
+    # exchange instead of Ray's sort-based groupby (exchange="partition")
     right = grouped_aggregate(right, ["user_id", "ts"],
                               maxs={"r_event_id": "r_event_id"},
-                              count_name=None)
+                              count_name=None, exchange="partition",
+                              num_partitions=16)
     return asof_join(left, right, on="ts", by=["user_id"], num_partitions=16)
 
 

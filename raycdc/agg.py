@@ -52,6 +52,8 @@ def grouped_aggregate(
     maxs: dict[str, str] | None = None,
     count_name: str | None = None,
     salt: int = 0,
+    exchange: str = "sort",
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """Grouped sum/mean/min/max/count with partial pre-aggregation.
 
@@ -60,6 +62,14 @@ def grouped_aggregate(
     over ``salt`` reducers before the final (now tiny) per-key combine — the
     classic hot-key salting pattern (SURVEY.md §4 skew row). All supported
     aggregates are mergeable, so salting never changes results.
+
+    ``exchange`` picks the final combine's shuffle: ``"sort"`` (Ray's
+    sort-based groupby — fine when the partial pre-agg shrank the data) or
+    ``"partition"`` (the engine's partition-only exchange + one vectorized
+    pandas combine per bucket). Choose ``"partition"`` when keys are
+    NEARLY UNIQUE per row — the pre-agg then shrinks nothing and the sort
+    shuffle pays sample+sort+barrier over essentially the whole input for
+    an ordering nobody needs.
     """
     sums = dict(sums or {})
     means = dict(means or {})
@@ -117,7 +127,43 @@ def grouped_aggregate(
                   .groupby(keys + [salt_col]).aggregate(*make_aggs()))
         partials = salted.map_batches(
             lambda t: t.drop_columns([salt_col]), batch_format="pyarrow")
-    merged = partials.groupby(keys).aggregate(*make_aggs())
+    if exchange == "partition":
+        from raycdc.shuffle import partition_map
+
+        bcol = "__rcdc_gab"
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                t.select(keys).to_pandas(), index=False).to_numpy()
+            return t.append_column(
+                bcol, pa.array((h % num_partitions).astype("int64")))
+
+        def bucket_combine(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            g = df.groupby(keys, sort=False, dropna=False)
+            parts = {}
+            for out in sums:
+                parts[out] = g[out].sum()
+            for tmp in mean_sum_cols:
+                parts[tmp] = g[tmp].sum()
+            for out in mins:
+                parts[out] = g[out].min()
+            for out in maxs:
+                parts[out] = g[out].max()
+            if need_count:
+                parts[cnt_col] = g[cnt_col].sum()
+            return pa.Table.from_pandas(pd.DataFrame(parts).reset_index(),
+                                        preserve_index=False)
+
+        bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
+                                        batch_size=None)
+        from raycdc.shuffle import lazy_schema
+
+        merged = partition_map(bucketed, bcol, num_partitions,
+                               bucket_combine,
+                               empty_schema=lazy_schema(partials))
+    else:
+        merged = partials.groupby(keys).aggregate(*make_aggs())
 
     def finalize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

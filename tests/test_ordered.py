@@ -596,3 +596,21 @@ def test_ntile_small_groups():
         gap_name=None, ntile=3, num_partitions=2))
     got = {r["id"]: r["ntile"] for r in out.to_pylist()}
     assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3}
+
+
+def test_grouped_aggregate_partition_exchange_equals_sort(sf_dir):
+    from raycdc.agg import grouped_aggregate
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_linenumber",
+                                        "l_quantity"])
+
+    def run(exchange):
+        return _sorted_df(to_table(grouped_aggregate(
+            li, ["l_orderkey", "l_linenumber"],
+            sums={"s": "l_quantity"}, maxs={"mx": "l_quantity"},
+            count_name="n", exchange=exchange, num_partitions=4)),
+            ["l_orderkey", "l_linenumber"])
+
+    pd.testing.assert_frame_equal(run("sort"), run("partition"),
+                                  check_dtype=False)
