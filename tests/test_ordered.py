@@ -614,3 +614,34 @@ def test_grouped_aggregate_partition_exchange_equals_sort(sf_dir):
 
     pd.testing.assert_frame_equal(run("sort"), run("partition"),
                                   check_dtype=False)
+
+
+def test_ordered_window_and_quantile_null_keys():
+    """SQL PARTITION BY / GROUP BY treat NULL keys as one group."""
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array(["a", None, None, "a"]),
+        "ts": pa.array([10, 20, 30, 40], pa.timestamp("us")),
+        "v": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    out = to_table(ordered_window(
+        ray.data.from_arrow(t), key_col="k", ts_col="ts", id_col="id",
+        cum_sums={"cv": "v"}, gap_name=None, num_partitions=2))
+    rows = {r["id"]: r for r in out.to_pylist()}
+    assert rows[2]["rn"] == 1 and rows[3]["rn"] == 2      # null group
+    assert rows[3]["cv"] == 5                              # 2 + 3
+    assert rows[1]["rn"] == 1 and rows[4]["rn"] == 2
+    ref = duckdb.sql("""
+        SELECT id, CAST(row_number() OVER w AS BIGINT) rn,
+               CAST(SUM(v) OVER w AS BIGINT) cv
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, id)""").arrow()
+    want = {r["id"]: r for r in ref.to_pylist()}
+    for i in (1, 2, 3, 4):
+        assert (rows[i]["rn"], rows[i]["cv"]) == \
+            (want[i]["rn"], want[i]["cv"])
+
+    q = to_table(grouped_quantile(
+        ray.data.from_arrow(t), ["k"], "v", [1.0], names=["mx"],
+        num_partitions=2))
+    got = {r["k"]: r["mx"] for r in q.to_pylist()}
+    assert got == {"a": 4, None: 3}
