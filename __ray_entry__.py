@@ -315,6 +315,30 @@ def _q_approx_distinct_users(sf_dir: str):
     return approx_distinct(ev, "user_id")
 
 
+def _q_count_distinct_users(sf_dir: str):
+    """Exact count(DISTINCT user_id) per event type: global DISTINCT on
+    (type, user) through the partition-only exchange, then a tiny grouped
+    count — the exact companion to the HLL sketches."""
+    from raycdc.agg import grouped_count_distinct
+
+    ev = _rp(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_count_distinct(ev, ["event_type"], "user_id",
+                                  num_partitions=16)
+
+
+def _q_approx_distinct_by_type(sf_dir: str):
+    """Grouped HLL: every batch updates ALL groups' registers in one
+    vectorized pass; one 4 KiB register row per group per batch transits
+    the exchange. Approximate by design — accuracy (<5%) and
+    layout-invariance gated in pytest; the exact companion query is
+    count_distinct_users."""
+    from raycdc.ops.sketch import approx_distinct_by
+
+    ev = _rp(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct_by(ev, "event_type", "user_id",
+                              num_partitions=16)
+
+
 def _q_normalize_text(sf_dir: str):
     from raycdc.ops.text import normalize_text
 
@@ -979,6 +1003,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lineitem": _q_unpivot_lineitem,
         "tokenize_docs": _q_tokenize_docs,
         "window_rank": _q_window_rank,
+        "count_distinct_users": _q_count_distinct_users,
+        "approx_distinct_by_type": _q_approx_distinct_by_type,
     }
 
 
@@ -1381,6 +1407,9 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.99) AS q99
             FROM events""",
         "curation_pipeline_v2": _CURATION_V2_SQL,
+        "count_distinct_users": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd
+            FROM events GROUP BY event_type""",
         "window_rank": """
             SELECT event_id, user_id,
                    CAST(row_number() OVER w AS BIGINT) AS rn,

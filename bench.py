@@ -165,7 +165,8 @@ def run_bench() -> dict:
         "stratified_sample_events", "approx_quantile_value",
         "pivot_lineitem", "curation_pipeline_v2", "cube_lineitem",
         "except_events", "intersect_events", "unpivot_lineitem",
-        "tokenize_docs", "window_rank",
+        "tokenize_docs", "window_rank", "count_distinct_users",
+        "approx_distinct_by_type",
     ]
     q_times: dict[str, float] = {}
     for name in bench_set:

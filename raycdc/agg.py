@@ -563,3 +563,27 @@ def unpivot(
         return pa.concat_tables(parts, promote_options="default")
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def grouped_count_distinct(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    *,
+    name: str = "nd",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Exact ``count(DISTINCT col)`` per group: global DISTINCT on
+    ``keys + [col]`` (per-batch local dedup combiner, then the
+    partition-only exchange) followed by a tiny grouped count. Two
+    exchanges, both over already-deduplicated rows. SQL counts only
+    non-null values — nulls are dropped first."""
+    import pyarrow.compute as pc
+
+    pruned = ds.map_batches(
+        lambda t: t.select(list(dict.fromkeys(keys + [col]))).filter(
+            pc.is_valid(t[col])),
+        batch_format="pyarrow")
+    d = distinct_rows(pruned, list(dict.fromkeys(keys + [col])),
+                      num_partitions=num_partitions)
+    return grouped_aggregate(d, keys, count_name=name)

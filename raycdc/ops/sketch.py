@@ -253,3 +253,86 @@ def approx_quantile(ds: ray.data.Dataset, col: str, qs: list[float],
             i = int(np.searchsorted(cw, target, side="left"))
             cols[name] = pa.array([float(v[i])], pa.float64())
     return ray.data.from_arrow(pa.table(cols))
+
+
+def approx_distinct_by(ds: ray.data.Dataset, key_col: str, col: str, *,
+                       precision: int = 12,
+                       num_partitions: int = 32) -> ray.data.Dataset:
+    """Approximate ``count(DISTINCT col)`` per group — the grouped HLL.
+
+    Per batch, ALL groups' registers update in one vectorized pass
+    (``np.maximum.at`` on a flat ``n_groups × 2^p`` register matrix —
+    no per-group Python loop); each group then ships one 2^p-byte
+    register row through the partition-only exchange, where rows merge
+    with a sorted ``np.maximum.reduceat`` (elementwise max, associative —
+    any batch/partition layout gives the identical sketch). Shuffle
+    volume is ``groups-per-batch × batches × 2^p`` bytes regardless of
+    row count. Accuracy matches :func:`approx_distinct` (~1.6% at p=12);
+    gated in pytest against the exact grouped count."""
+    from raycdc.ops.ordered import _hash_bucket, _key_codes
+    from raycdc.shuffle import partition_map
+
+    m = 1 << precision
+    bcol = "__rcdc_gh"
+
+    def batch_regs(t: pa.Table) -> pa.Table:
+        vals = t[col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        codes, dictionary = _key_codes(t, key_col)
+        h = pd.util.hash_pandas_object(vals.to_pandas(),
+                                       index=False).to_numpy()
+        idx = (h >> np.uint64(64 - precision)).astype(np.int64)
+        rest = (h << np.uint64(precision)) | np.uint64((1 << precision) - 1)
+        lz = (63 - np.floor(np.log2(rest.astype(np.float64)))).astype(
+            np.int64)
+        rank = np.clip(lz + 1, 1, 64).astype(np.uint8)
+        live = np.unique(codes[valid]) if valid.any() else \
+            np.empty(0, np.int64)
+        remap = np.full(len(dictionary), -1, np.int64)
+        remap[live] = np.arange(len(live))
+        flat = np.zeros(len(live) * m, dtype=np.uint8)
+        v = valid
+        np.maximum.at(flat, remap[codes[v]] * m + idx[v], rank[v])
+        keys_out = dictionary.take(pa.array(live))
+        return pa.table({
+            key_col: keys_out,
+            "regs": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, pa.uint8()), m),
+        })
+
+    def bucket_merge(t: pa.Table) -> pa.Table:
+        codes, dictionary = _key_codes(t, key_col)
+        regs = t["regs"]
+        if isinstance(regs, pa.ChunkedArray):
+            regs = regs.combine_chunks()
+        mat = regs.flatten().to_numpy(zero_copy_only=False).reshape(-1, m)
+        order = np.argsort(codes, kind="stable")
+        c = codes[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], c[1:] != c[:-1]])) if len(c) else np.empty(0, np.int64)
+        merged = np.maximum.reduceat(mat[order], starts, axis=0) \
+            if len(c) else np.empty((0, m), np.uint8)
+        ests = [int(round(_estimate(merged[i]))) for i in range(len(starts))]
+        return pa.table({
+            key_col: dictionary.take(pa.array(c[starts])),
+            "approx_nd": pa.array(ests, pa.int64()),
+        })
+
+    def empty_schema():
+        s = ds.schema()
+        try:
+            kt = dict(zip(s.names, s.types))[key_col]
+        except (AttributeError, KeyError):
+            kt = pa.string()
+        return pa.schema([(key_col, kt), ("approx_nd", pa.int64())])
+
+    pruned = ds.select_columns([key_col, col])
+    partials = pruned.map_batches(batch_regs, batch_format="pyarrow",
+                                  batch_size=None)
+    bucketed = partials.map_batches(
+        lambda t: _hash_bucket(t, key_col, bcol, num_partitions),
+        batch_format="pyarrow", batch_size=None)
+    return partition_map(bucketed, bcol, num_partitions, bucket_merge,
+                         empty_schema=empty_schema)

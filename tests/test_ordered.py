@@ -645,3 +645,54 @@ def test_ordered_window_and_quantile_null_keys():
         num_partitions=2))
     got = {r["k"]: r["mx"] for r in q.to_pylist()}
     assert got == {"a": 4, None: 3}
+
+
+# --------------------------------------------------- grouped distinct count
+
+def test_grouped_count_distinct_vs_duckdb(sf_dir):
+    from raycdc.agg import grouped_count_distinct
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    out = to_table(grouped_count_distinct(ev, ["event_type"], "user_id",
+                                          num_partitions=4))
+    ref = duckdb.sql(f"""
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd
+        FROM '{sf_dir}/events.parquet' GROUP BY 1""").arrow()
+    a = _sorted_df(out, ["event_type"])
+    b = _sorted_df(ref, ["event_type"])
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_approx_distinct_by_accuracy_and_layout_invariance():
+    from raycdc.ops.sketch import approx_distinct_by
+
+    rng = np.random.default_rng(13)
+    n = 120_000
+    groups = rng.integers(0, 6, n)
+    # distinct cardinality varies per group: group g draws from g*3000+5 ids
+    vals = np.array([rng.integers(0, g * 3000 + 5) for g in groups])
+    t = pa.table({"g": pa.array(groups.astype("int64")),
+                  "v": pa.array(vals.astype("int64"))})
+    exact = {g: len(set(vals[groups == g])) for g in range(6)}
+    a = to_table(approx_distinct_by(
+        ray.data.from_arrow(t).repartition(8), "g", "v", num_partitions=4))
+    b = to_table(approx_distinct_by(
+        ray.data.from_arrow(t).repartition(3), "g", "v", num_partitions=2))
+    got_a = {r["g"]: r["approx_nd"] for r in a.to_pylist()}
+    got_b = {r["g"]: r["approx_nd"] for r in b.to_pylist()}
+    assert got_a == got_b  # sketch is layout-invariant (elementwise max)
+    for g, nd in exact.items():
+        assert abs(got_a[g] - nd) / max(nd, 1) < 0.05, (g, nd, got_a[g])
+
+
+def test_approx_distinct_by_null_keys_and_values():
+    from raycdc.ops.sketch import approx_distinct_by
+
+    t = pa.table({"g": pa.array(["a", None, "a", None, "b"]),
+                  "v": pa.array([1, 2, None, 2, 7], pa.int64())})
+    out = to_table(approx_distinct_by(ray.data.from_arrow(t), "g", "v",
+                                      num_partitions=2))
+    got = {r["g"]: r["approx_nd"] for r in out.to_pylist()}
+    # null keys form one group (SQL); null values are not counted
+    assert got == {"a": 1, None: 1, "b": 1}
