@@ -469,6 +469,32 @@ def _q_join_interval(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "session_start", "n"])
 
 
+def _q_join_full_outer(sf_dir: str):
+    """FULL OUTER join: urgent-order counts ⟗ negative-balance customers —
+    unmatched rows survive on BOTH sides (null-filled), keys coalesced.
+    Same bucketed co-partition exchange as the other hash joins; Acero
+    emits the unmatched rows per bucket."""
+    from raycdc.joins import hash_join
+
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def okey(t: pa.Table) -> pa.Table:
+        c = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        return pa.table({"custkey": c["o_custkey"]})
+
+    def ckey(t: pa.Table) -> pa.Table:
+        c = t.filter(pc.less(t["c_acctbal"], 0.0))
+        return pa.table({"custkey": c["c_custkey"],
+                         "c_acctbal": c["c_acctbal"]})
+
+    left = grouped_aggregate(orders.map_batches(okey, batch_format="pyarrow"),
+                             ["custkey"], count_name="n_orders")
+    right = cust.map_batches(ckey, batch_format="pyarrow")
+    return hash_join(left, right, on=["custkey"], join_type="full_outer",
+                     num_partitions=16)
+
+
 def _q_lww_events(sf_dir: str):
     ev = _rp(sf_dir, "events")
     return lww_dataset(ev, key="user_id", ts="ts", seq="event_id",
@@ -1005,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rank": _q_window_rank,
         "count_distinct_users": _q_count_distinct_users,
         "approx_distinct_by_type": _q_approx_distinct_by_type,
+        "join_full_outer": _q_join_full_outer,
     }
 
 
@@ -1410,6 +1437,16 @@ def oracle_sql() -> dict[str, str]:
         "count_distinct_users": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd
             FROM events GROUP BY event_type""",
+        "join_full_outer": """
+            WITH l AS (SELECT o_custkey AS custkey,
+                              count(*) AS n_orders
+                       FROM orders WHERE o_orderpriority = '1-URGENT'
+                       GROUP BY 1),
+                 r AS (SELECT c_custkey AS custkey, c_acctbal
+                       FROM customer WHERE c_acctbal < 0)
+            SELECT COALESCE(l.custkey, r.custkey) AS custkey,
+                   l.n_orders, r.c_acctbal
+            FROM l FULL OUTER JOIN r ON l.custkey = r.custkey""",
         "window_rank": """
             SELECT event_id, user_id,
                    CAST(row_number() OVER w AS BIGINT) AS rn,

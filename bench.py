@@ -166,7 +166,7 @@ def run_bench() -> dict:
         "pivot_lineitem", "curation_pipeline_v2", "cube_lineitem",
         "except_events", "intersect_events", "unpivot_lineitem",
         "tokenize_docs", "window_rank", "count_distinct_users",
-        "approx_distinct_by_type",
+        "approx_distinct_by_type", "join_full_outer",
     ]
     q_times: dict[str, float] = {}
     for name in bench_set:

@@ -696,3 +696,46 @@ def test_approx_distinct_by_null_keys_and_values():
     got = {r["g"]: r["approx_nd"] for r in out.to_pylist()}
     # null keys form one group (SQL); null values are not counted
     assert got == {"a": 1, None: 1, "b": 1}
+
+
+def test_full_outer_join_vs_duckdb(sf_dir):
+    from raycdc.agg import grouped_aggregate
+    from raycdc.joins import hash_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey",
+                                            "o_orderpriority"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_acctbal"])
+
+    def okey(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        c = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        return pa.table({"custkey": c["o_custkey"]})
+
+    def ckey(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        c = t.filter(pc.less(t["c_acctbal"], 0.0))
+        return pa.table({"custkey": c["c_custkey"],
+                         "c_acctbal": c["c_acctbal"]})
+
+    left = grouped_aggregate(orders.map_batches(okey, batch_format="pyarrow"),
+                             ["custkey"], count_name="n_orders")
+    right = cust.map_batches(ckey, batch_format="pyarrow")
+    out = to_table(hash_join(left, right, on=["custkey"],
+                             join_type="full_outer", num_partitions=4))
+    ref = duckdb.sql(f"""
+        WITH l AS (SELECT o_custkey AS custkey, count(*) AS n_orders
+                   FROM '{sf_dir}/orders.parquet'
+                   WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+             r AS (SELECT c_custkey AS custkey, c_acctbal
+                   FROM '{sf_dir}/customer.parquet' WHERE c_acctbal < 0)
+        SELECT COALESCE(l.custkey, r.custkey) AS custkey, l.n_orders,
+               r.c_acctbal
+        FROM l FULL OUTER JOIN r ON l.custkey = r.custkey""").arrow()
+    a = _sorted_df(out, ["custkey"])
+    b = _sorted_df(ref, ["custkey"])
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # non-trivial on both sides: rows unmatched left AND right exist
+    d = out.to_pandas()
+    assert d["n_orders"].isna().any() and d["c_acctbal"].isna().any()
