@@ -186,6 +186,11 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "cdc_events": metrics["events"],
         "cdc_events_per_sec": round(eps, 1),
+        # contention context: this box is shared — a high loadavg relative
+        # to the bench's own footprint means external load was competing
+        # and every number above is uniformly inflated (observed uniform
+        # ~1.7-2x on ALL queries under loadavg ≈ 5+; BASELINE.md notes)
+        "loadavg_1m": round(os.getloadavg()[0], 2),
     }
     if stream_stats:
         out["cdc_stream"] = stream_stats
