@@ -167,6 +167,7 @@ def run_bench() -> dict:
         "except_events", "intersect_events", "unpivot_lineitem",
         "tokenize_docs", "window_rank", "count_distinct_users",
         "approx_distinct_by_type", "join_full_outer",
+        "grouped_quantiles_sketch",
     ]
     q_times: dict[str, float] = {}
     for name in bench_set:

@@ -336,3 +336,143 @@ def approx_distinct_by(ds: ray.data.Dataset, key_col: str, col: str, *,
         batch_format="pyarrow", batch_size=None)
     return partition_map(bucketed, bcol, num_partitions, bucket_merge,
                          empty_schema=empty_schema)
+
+
+def grouped_approx_quantile(
+    ds: ray.data.Dataset, key_col: str, col: str, qs: list[float],
+    names: list[str] | None = None, *, m: int = 512,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-group approximate quantiles with BOUNDED per-group state — the
+    scale path for the giant-group case where
+    :func:`raycdc.ops.ordered.grouped_quantile` (exact, needs the whole
+    group co-located) cannot apply. Every batch compresses each group to
+    ≤ m (value, weight) reps (run max as representative, like
+    :func:`approx_quantile`); reps ship as plain rows through the
+    partition-only exchange (≤ groups × m × batches rows total) and each
+    bucket computes the weighted disc pick per group. Rank error ≤
+    ~2·n_g/m per group.
+
+    EXACT when m ≥ every group's rows-per-batch (all reps weight 1 — the
+    pick is literally percentile_disc), which is what the oracle-checked
+    full-fidelity entry exercises. Nulls excluded per SQL; all-null
+    groups emit null quantiles.
+    """
+    from raycdc.ops.ordered import _hash_bucket, _key_codes
+    from raycdc.shuffle import partition_map
+
+    names = names or [f"q{int(q * 100)}" for q in qs]
+    if len(names) != len(qs):
+        raise ValueError("names must match qs")
+    bcol = "__rcdc_gaq"
+
+    def batch_summaries(t: pa.Table) -> pa.Table:
+        vals = t[col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        codes, dictionary = _key_codes(t, key_col)
+        vn = vals.to_numpy(zero_copy_only=False)
+        null_rank = (~valid).astype(np.int64)
+        with np.errstate(invalid="ignore"):
+            order = np.lexsort((vn, null_rank, codes))
+        c = codes[order]
+        n = len(c)
+        keep_idx: list[np.ndarray] = []
+        weights: list[np.ndarray] = []
+        out_codes: list[np.ndarray] = []
+        if n:
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = c[1:] != c[:-1]
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.append(starts, n))
+            nn = np.add.reduceat(valid[order].astype(np.int64), starts)
+            for s, ng, code in zip(starts, nn, c[starts]):
+                if ng == 0:
+                    # all-null group: one null marker rep, weight 0
+                    keep_idx.append(np.array([s], np.int64))
+                    weights.append(np.array([0], np.int64))
+                    out_codes.append(np.array([code], np.int64))
+                elif ng <= m:
+                    keep_idx.append(np.arange(s, s + ng))
+                    weights.append(np.ones(ng, np.int64))
+                    out_codes.append(np.full(ng, code))
+                else:
+                    bounds = np.floor(
+                        np.arange(1, m + 1) * (ng / m)).astype(np.int64)
+                    bounds[-1] = ng
+                    w = np.diff(np.concatenate([[0], bounds]))
+                    kp = w > 0
+                    keep_idx.append(s + bounds[kp] - 1)
+                    weights.append(w[kp])
+                    out_codes.append(np.full(int(kp.sum()), code))
+        if keep_idx:
+            idx = np.concatenate(keep_idx)
+            w = np.concatenate(weights)
+            cc = np.concatenate(out_codes)
+        else:
+            idx = np.empty(0, np.int64)
+            w = np.empty(0, np.int64)
+            cc = np.empty(0, np.int64)
+        return pa.table({
+            key_col: dictionary.take(pa.array(cc)),
+            "v": pc.cast(vals.take(pa.array(order[idx])), pa.float64()),
+            "w": pa.array(w),
+        })
+
+    def bucket_quantiles(t: pa.Table) -> pa.Table:
+        codes, dictionary = _key_codes(t, key_col)
+        vn = t["v"].to_numpy(zero_copy_only=False)
+        wn = t["w"].to_numpy(zero_copy_only=False)
+        null_rank = np.isnan(vn).astype(np.int64) | \
+            (~pc.is_valid(t["v"].combine_chunks()
+                          if isinstance(t["v"], pa.ChunkedArray)
+                          else t["v"]).to_numpy(zero_copy_only=False)
+             ).astype(np.int64)
+        with np.errstate(invalid="ignore"):
+            order = np.lexsort((vn, null_rank, codes))
+        c = codes[order]
+        v = vn[order]
+        w = wn[order]
+        n = len(c)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        cols = {key_col: dictionary.take(pa.array(c[starts]))}
+        picks: dict[str, list] = {nm: [] for nm in names}
+        for i, s in enumerate(starts):
+            e = starts[i + 1] if i + 1 < len(starts) else n
+            gw = w[s:e]
+            cw = np.cumsum(gw)
+            total = int(cw[-1])
+            for q, nm in zip(qs, names):
+                if total == 0:
+                    picks[nm].append(None)
+                else:
+                    target = max(int(np.ceil(q * total)), 1)
+                    j = int(np.searchsorted(cw, target, side="left"))
+                    picks[nm].append(float(v[s + j]))
+        for nm in names:
+            cols[nm] = pa.array(picks[nm], pa.float64())
+        return pa.table(cols)
+
+    def empty_schema():
+        s = ds.schema()
+        try:
+            kt = dict(zip(s.names, s.types))[key_col]
+        except (AttributeError, KeyError):
+            kt = pa.string()
+        return pa.schema([(key_col, kt)]
+                         + [(nm, pa.float64()) for nm in names])
+
+    pruned = ds.select_columns([key_col, col])
+    partials = pruned.map_batches(batch_summaries, batch_format="pyarrow",
+                                  batch_size=None)
+    bucketed = partials.map_batches(
+        lambda t: _hash_bucket(t, key_col, bcol, num_partitions),
+        batch_format="pyarrow", batch_size=None)
+    return partition_map(bucketed, bcol, num_partitions, bucket_quantiles,
+                         empty_schema=empty_schema)

@@ -739,3 +739,53 @@ def test_full_outer_join_vs_duckdb(sf_dir):
     # non-trivial on both sides: rows unmatched left AND right exist
     d = out.to_pandas()
     assert d["n_orders"].isna().any() and d["c_acctbal"].isna().any()
+
+
+def test_grouped_approx_quantile_full_fidelity_is_exact(sf_dir):
+    from raycdc.ops.sketch import grouped_approx_quantile
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity"])
+    out = to_table(grouped_approx_quantile(
+        li, "l_returnflag", "l_quantity", [0.25, 0.5, 0.9],
+        names=["q25", "q50", "q90"], m=10_000_000, num_partitions=4))
+    ref = duckdb.sql(f"""
+        SELECT l_returnflag, quantile_disc(l_quantity, 0.25) q25,
+               quantile_disc(l_quantity, 0.5) q50,
+               quantile_disc(l_quantity, 0.9) q90
+        FROM '{sf_dir}/lineitem.parquet' GROUP BY 1""").arrow()
+    a = _sorted_df(out, ["l_returnflag"])
+    b = _sorted_df(ref, ["l_returnflag"])
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_grouped_approx_quantile_compressed_rank_error():
+    from raycdc.ops.sketch import grouped_approx_quantile
+
+    rng = np.random.default_rng(17)
+    n = 200_000
+    groups = rng.integers(0, 4, n)
+    vals = rng.lognormal(0.0, 2.0, n) * (groups + 1)
+    t = pa.table({"g": pa.array(groups.astype("int64")),
+                  "x": pa.array(vals)})
+    out = to_table(grouped_approx_quantile(
+        ray.data.from_arrow(t).repartition(16), "g", "x", [0.5, 0.95],
+        names=["q50", "q95"], m=512, num_partitions=4))
+    got = {r["g"]: r for r in out.to_pylist()}
+    for g in range(4):
+        gv = np.sort(vals[groups == g])
+        for q, nm in [(0.5, "q50"), (0.95, "q95")]:
+            rank = np.searchsorted(gv, got[g][nm], side="right")
+            assert abs(rank / len(gv) - q) < 0.02, (g, q, rank / len(gv))
+
+
+def test_grouped_approx_quantile_null_handling():
+    from raycdc.ops.sketch import grouped_approx_quantile
+
+    t = pa.table({"g": pa.array(["a"] * 3 + ["b"] * 2),
+                  "x": pa.array([3.0, None, 1.0, None, None])})
+    out = to_table(grouped_approx_quantile(
+        ray.data.from_arrow(t), "g", "x", [0.5], names=["med"],
+        num_partitions=2))
+    got = {r["g"]: r["med"] for r in out.to_pylist()}
+    assert got == {"a": 1.0, "b": None}
