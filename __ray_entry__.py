@@ -384,14 +384,8 @@ def _q_curation_v2(sf_dir: str):
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
 
-    def plant(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t["doc_id"], pa.string())
-        planted = pc.binary_join_element_wise(
-            t["text"], " contact user", ids, "@example.com or call +1 555-010-",
-            ids, " now", "")
-        return pa.table({"doc_id": t["doc_id"], "text": planted})
-
-    return curate_documents_v2(docs.map_batches(plant, batch_format="pyarrow"),
+    return curate_documents_v2(
+        docs.map_batches(_plant_pii, batch_format="pyarrow"),
                                sample_frac=0.5, min_tokens=5,
                                num_partitions=16)
 
@@ -733,6 +727,32 @@ def _q_window_session(sf_dir: str):
     return session_window(ev, ts_col="ts", key_col="user_id", gap="1h")
 
 
+def _plant_pii(t: pa.Table) -> pa.Table:
+    """Deterministic PII planting shared by redact_pii and curation_v2 —
+    MUST stay byte-identical to _PLANT_SQL_EXPR below or the oracle hash
+    checks break."""
+    ids = pc.cast(t["doc_id"], pa.string())
+    planted = pc.binary_join_element_wise(
+        t["text"], " contact user", ids, "@example.com or call +1 555-010-",
+        ids, " now", "")
+    return pa.table({"doc_id": t["doc_id"], "text": planted})
+
+
+# the SQL twin of _plant_pii — one definition used by every oracle builder
+_PLANT_SQL_EXPR = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+                   " || '@example.com or call +1 555-010-'"
+                   " || CAST(doc_id AS VARCHAR) || ' now'")
+
+
+def _qty_int(t: pa.Table) -> pa.Table:
+    """Shared lineitem projection for rollup/cube/pivot: quantity floored
+    to BIGINT so sums stay accumulation-order-free (CLAUDE.md invariant).
+    SQL twin: CAST(FLOOR(l_quantity) AS BIGINT)."""
+    q = pc.cast(pc.floor(t["l_quantity"]), pa.int64())
+    return pa.table({"l_returnflag": t["l_returnflag"],
+                     "l_linestatus": t["l_linestatus"], "qty": q})
+
+
 def _q_window_funcs(sf_dir: str):
     """SQL window functions (row_number / lag / lead / inter-event gap) per
     user ordered by (ts, event_id) — Ray Data has none; the engine computes
@@ -794,12 +814,7 @@ def _q_rollup_lineitem(sf_dir: str):
     li = _rp(sf_dir, "lineitem",
              ["l_returnflag", "l_linestatus", "l_quantity"])
 
-    def qty_int(t: pa.Table) -> pa.Table:
-        q = pc.cast(pc.floor(t["l_quantity"]), pa.int64())
-        return pa.table({"l_returnflag": t["l_returnflag"],
-                         "l_linestatus": t["l_linestatus"], "qty": q})
-
-    return rollup_aggregate(li.map_batches(qty_int, batch_format="pyarrow"),
+    return rollup_aggregate(li.map_batches(_qty_int, batch_format="pyarrow"),
                             ["l_returnflag", "l_linestatus"],
                             sums={"sum_qty": "qty"}, mins={"min_qty": "qty"},
                             maxs={"max_qty": "qty"}, count_name="n")
@@ -850,12 +865,7 @@ def _q_cube_lineitem(sf_dir: str):
     li = _rp(sf_dir, "lineitem",
              ["l_returnflag", "l_linestatus", "l_quantity"])
 
-    def qty_int(t: pa.Table) -> pa.Table:
-        q = pc.cast(pc.floor(t["l_quantity"]), pa.int64())
-        return pa.table({"l_returnflag": t["l_returnflag"],
-                         "l_linestatus": t["l_linestatus"], "qty": q})
-
-    return cube_aggregate(li.map_batches(qty_int, batch_format="pyarrow"),
+    return cube_aggregate(li.map_batches(_qty_int, batch_format="pyarrow"),
                           ["l_returnflag", "l_linestatus"],
                           sums={"sum_qty": "qty"}, maxs={"max_qty": "qty"},
                           count_name="n")
@@ -968,12 +978,7 @@ def _q_pivot_lineitem(sf_dir: str):
     li = _rp(sf_dir, "lineitem",
              ["l_returnflag", "l_linestatus", "l_quantity"])
 
-    def qty_int(t: pa.Table) -> pa.Table:
-        q = pc.cast(pc.floor(t["l_quantity"]), pa.int64())
-        return pa.table({"l_returnflag": t["l_returnflag"],
-                         "l_linestatus": t["l_linestatus"], "qty": q})
-
-    return pivot_aggregate(li.map_batches(qty_int, batch_format="pyarrow"),
+    return pivot_aggregate(li.map_batches(_qty_int, batch_format="pyarrow"),
                            ["l_returnflag"], "l_linestatus", ["O", "F"],
                            sums={"qty": "qty"}, count_prefix="n")
 
@@ -987,14 +992,7 @@ def _q_redact_pii(sf_dir: str):
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
 
-    def plant(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t["doc_id"], pa.string())
-        planted = pc.binary_join_element_wise(
-            t["text"], " contact user", ids, "@example.com or call +1 555-010-",
-            ids, " now", "")
-        return pa.table({"doc_id": t["doc_id"], "text": planted})
-
-    out = redact_pii(docs.map_batches(plant, batch_format="pyarrow"))
+    out = redact_pii(docs.map_batches(_plant_pii, batch_format="pyarrow"))
     return out.select_columns(["doc_id", "text_redacted"])
 
 
@@ -1093,10 +1091,7 @@ def _redact_pii_sql() -> str:
 
     return f"""
         WITH p AS (
-            SELECT doc_id,
-                   text || ' contact user' || CAST(doc_id AS VARCHAR)
-                        || '@example.com or call +1 555-010-'
-                        || CAST(doc_id AS VARCHAR) || ' now' AS t
+            SELECT doc_id, {_PLANT_SQL_EXPR} AS t
             FROM documents
         )
         SELECT doc_id,
@@ -1115,10 +1110,7 @@ def _curation_v2_sql() -> str:
     cut = int(0.5 * 4294967296)
     return rf"""
         WITH s AS (
-            SELECT doc_id,
-                   text || ' contact user' || CAST(doc_id AS VARCHAR)
-                        || '@example.com or call +1 555-010-'
-                        || CAST(doc_id AS VARCHAR) || ' now' AS t
+            SELECT doc_id, {_PLANT_SQL_EXPR} AS t
             FROM documents
             WHERE (doc_id * 2654435761) % 4294967296 < {cut}
         ),

@@ -128,15 +128,13 @@ def grouped_aggregate(
         partials = salted.map_batches(
             lambda t: t.drop_columns([salt_col]), batch_format="pyarrow")
     if exchange == "partition":
+        from raycdc.ops.ordered import _hash_bucket
         from raycdc.shuffle import partition_map
 
         bcol = "__rcdc_gab"
 
         def add_bucket(t: pa.Table) -> pa.Table:
-            h = pd.util.hash_pandas_object(
-                t.select(keys).to_pandas(), index=False).to_numpy()
-            return t.append_column(
-                bcol, pa.array((h % num_partitions).astype("int64")))
+            return _hash_bucket(t, keys, bcol, num_partitions)
 
         def bucket_combine(t: pa.Table) -> pa.Table:
             df = t.to_pandas()
@@ -366,7 +364,14 @@ def hash_sample(ds: ray.data.Dataset, id_col: str, frac: float,
     def keep(t: pa.Table) -> pa.Table:
         import numpy as np
 
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        raw = t[id_col].to_numpy(zero_copy_only=False)
+        if len(raw) and raw.min() < 0:
+            # SQL % keeps the dividend's sign while numpy wraps through
+            # uint64 — the documented SQL-equivalence only holds for
+            # non-negative ids, so reject rather than silently diverge
+            raise ValueError(
+                f"hash_sample requires non-negative ids in {id_col!r}")
+        ids = raw.astype(np.uint64)
         h = (ids * np.uint64(mult)) & np.uint64(0xFFFFFFFF)
         return t.filter(pa.array(h < np.uint64(cut)))
 
@@ -400,6 +405,10 @@ def stratified_sample(ds: ray.data.Dataset, key_col: str, id_col: str,
     def bucket_sample(t: pa.Table) -> pa.Table:
         codes, _ = _key_codes(t, key_col)
         ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) and ids.min() < 0:
+            raise ValueError(
+                f"stratified_sample requires non-negative ids in {id_col!r}"
+                " (SQL % sign semantics diverge for negatives)")
         h = (ids.astype(np.uint64) * np.uint64(mult)) & np.uint64(0xFFFFFFFF)
         order = np.lexsort((ids, h, codes))
         c = codes[order]
@@ -453,9 +462,8 @@ def pivot_aggregate(
             mask = pc.fill_null(pc.equal(t[pivot_col], v), False)
             for out, col in sums.items():
                 src = pc.fill_null(t[col], 0)
-                zero = pa.scalar(0, src.type if not isinstance(
-                    src, pa.ChunkedArray) else src.type)
-                cols[f"{out}_{v}"] = pc.if_else(mask, src, zero)
+                cols[f"{out}_{v}"] = pc.if_else(
+                    mask, src, pa.scalar(0, src.type))
             if count_prefix is not None:
                 cols[f"{count_prefix}_{v}"] = pc.cast(mask, pa.int64())
         return pa.table(cols)
@@ -575,15 +583,24 @@ def grouped_count_distinct(
 ) -> ray.data.Dataset:
     """Exact ``count(DISTINCT col)`` per group: global DISTINCT on
     ``keys + [col]`` (per-batch local dedup combiner, then the
-    partition-only exchange) followed by a tiny grouped count. Two
-    exchanges, both over already-deduplicated rows. SQL counts only
-    non-null values — nulls are dropped first."""
+    partition-only exchange) followed by a tiny grouped sum of a
+    non-null indicator. Two exchanges, both over already-deduplicated
+    rows. SQL semantics: null values are not counted, but a group whose
+    values are ALL null still appears with count 0 (the null row
+    survives the distinct and contributes a zero)."""
     import pyarrow.compute as pc
 
-    pruned = ds.map_batches(
-        lambda t: t.select(list(dict.fromkeys(keys + [col]))).filter(
-            pc.is_valid(t[col])),
-        batch_format="pyarrow")
-    d = distinct_rows(pruned, list(dict.fromkeys(keys + [col])),
-                      num_partitions=num_partitions)
-    return grouped_aggregate(d, keys, count_name=name)
+    cols = list(dict.fromkeys(keys + [col]))
+    pruned = ds.map_batches(lambda t: t.select(cols),
+                            batch_format="pyarrow")
+    d = distinct_rows(pruned, cols, num_partitions=num_partitions)
+    ind = "__rcdc_cdv"
+
+    def add_indicator(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            ind, pc.cast(pc.is_valid(t[col]), pa.int64()))
+
+    counted = grouped_aggregate(
+        d.map_batches(add_indicator, batch_format="pyarrow"),
+        keys, sums={name: ind})
+    return counted

@@ -47,12 +47,18 @@ def _key_codes(t: pa.Table, key_col: str) -> tuple[np.ndarray, pa.Array]:
     return codes, dictionary
 
 
-def _hash_bucket(t: pa.Table, key_col: str, bcol: str,
+def _hash_bucket(t: pa.Table, key_cols: "str | list[str]", bcol: str,
                  num_partitions: int) -> pa.Table:
+    """Append an int64 bucket-id column from the hash of one key column
+    (or a list of them) — the one shared implementation of the
+    hash → % P → append dance used before every partition_map."""
     import pandas as pd
 
-    h = pd.util.hash_pandas_object(
-        t[key_col].to_pandas(), index=False).to_numpy()
+    if isinstance(key_cols, str):
+        hashed = t[key_cols].to_pandas()
+    else:
+        hashed = t.select(list(key_cols)).to_pandas()
+    h = pd.util.hash_pandas_object(hashed, index=False).to_numpy()
     return t.append_column(
         bcol, pa.array((h % num_partitions).astype("int64")))
 
@@ -111,12 +117,19 @@ def ordered_window(
 
     def bucket_windows(t: pa.Table) -> pa.Table:
         codes, _ = _key_codes(t, key_col)
-        us = _ts_us(t[ts_col])
+        tarr = t[ts_col]
+        if isinstance(tarr, pa.ChunkedArray):
+            tarr = tarr.combine_chunks()
+        ts_valid = pc.is_valid(tarr).to_numpy(zero_copy_only=False)
+        # null ts sorts LAST within its key (SQL ORDER BY ... ASC NULLS
+        # LAST); _ts_us on a null would be an undefined NaN->int cast
+        us = _ts_us(pc.fill_null(tarr, 0))
+        ts_null_rank = (~ts_valid).astype(np.int64)
         ids = t[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         idn = ids.to_numpy(zero_copy_only=False)
-        order = np.lexsort((idn, us, codes))
+        order = np.lexsort((idn, us, ts_null_rank, codes))
         s = t.take(pa.array(order))
         c = codes[order]
         u = us[order]
@@ -182,8 +195,13 @@ def ordered_window(
             cols[percent_rank_name] = pa.array((rn - 1) / denom)
         if gap_name is not None:
             gap = u - np.concatenate([u[:1], u[:-1]])
+            tv = ts_valid[order]
+            prev_tv = np.concatenate([tv[:1], tv[:-1]])
+            # gap is null at group starts and wherever this or the previous
+            # ts is null (SQL: ts - lag(ts) is NULL if either side is)
+            invalid = new | ~tv | ~prev_tv
             cols[gap_name] = pc.if_else(
-                pa.array(new), pa.nulls(n, pa.int64()),
+                pa.array(invalid), pa.nulls(n, pa.int64()),
                 pa.array(gap.astype(np.int64)))
         return pa.table(cols)
 
@@ -247,13 +265,8 @@ def grouped_quantile(
     bcol = "__rcdc_gq"
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        t = t.select(keys + [col])
-        h = pd.util.hash_pandas_object(
-            t.select(keys).to_pandas(), index=False).to_numpy()
-        return t.append_column(
-            bcol, pa.array((h % num_partitions).astype("int64")))
+        return _hash_bucket(t.select(keys + [col]), keys, bcol,
+                            num_partitions)
 
     def bucket_quantiles(t: pa.Table) -> pa.Table:
         if len(keys) == 1:

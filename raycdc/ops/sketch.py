@@ -229,16 +229,24 @@ def approx_quantile(ds: ray.data.Dataset, col: str, qs: list[float],
 
     partials = ds.map_batches(block_summary, batch_format="pyarrow",
                               batch_size=None)
-    buf_v = np.empty(0, dtype=np.float64)
-    buf_w = np.empty(0, dtype=np.int64)
+    # accumulate blocks in lists and concatenate only at compression time
+    # (or once at the end) — concatenating per block re-copies the whole
+    # buffer each time, quadratic when compression never triggers
+    chunks_v: list[np.ndarray] = []
+    chunks_w: list[np.ndarray] = []
+    pending = 0
     for t in partials.iter_batches(batch_format="pyarrow", batch_size=None):
-        bv = t["v"].to_numpy(zero_copy_only=False)
-        bw = t["w"].to_numpy(zero_copy_only=False)
-        buf_v = np.concatenate([buf_v, bv])
-        buf_w = np.concatenate([buf_w, bw])
-        if len(buf_v) > 64 * m:
-            order = np.argsort(buf_v, kind="stable")
-            buf_v, buf_w = _compress(buf_v[order], buf_w[order], m)
+        chunks_v.append(t["v"].to_numpy(zero_copy_only=False))
+        chunks_w.append(t["w"].to_numpy(zero_copy_only=False))
+        pending += len(chunks_v[-1])
+        if pending > 64 * m:
+            bv = np.concatenate(chunks_v)
+            bw = np.concatenate(chunks_w)
+            order = np.argsort(bv, kind="stable")
+            cv, cw_ = _compress(bv[order], bw[order], m)
+            chunks_v, chunks_w, pending = [cv], [cw_], len(cv)
+    buf_v = np.concatenate(chunks_v) if chunks_v else np.empty(0, np.float64)
+    buf_w = np.concatenate(chunks_w) if chunks_w else np.empty(0, np.int64)
     cols: dict[str, pa.Array] = {}
     if len(buf_v) == 0:
         for name in names:
@@ -388,25 +396,32 @@ def grouped_approx_quantile(
             starts = np.flatnonzero(new)
             counts = np.diff(np.append(starts, n))
             nn = np.add.reduceat(valid[order].astype(np.int64), starts)
-            for s, ng, code in zip(starts, nn, c[starts]):
-                if ng == 0:
-                    # all-null group: one null marker rep, weight 0
-                    keep_idx.append(np.array([s], np.int64))
-                    weights.append(np.array([0], np.int64))
-                    out_codes.append(np.array([code], np.int64))
-                elif ng <= m:
-                    keep_idx.append(np.arange(s, s + ng))
-                    weights.append(np.ones(ng, np.int64))
-                    out_codes.append(np.full(ng, code))
-                else:
-                    bounds = np.floor(
-                        np.arange(1, m + 1) * (ng / m)).astype(np.int64)
-                    bounds[-1] = ng
-                    w = np.diff(np.concatenate([[0], bounds]))
-                    kp = w > 0
-                    keep_idx.append(s + bounds[kp] - 1)
-                    weights.append(w[kp])
-                    out_codes.append(np.full(int(kp.sum()), code))
+            # vectorized paths: groups at/below m keep every non-null row
+            # at weight 1; all-null groups emit one weight-0 marker; ONLY
+            # oversized groups (> m rows — rare by construction) loop
+            sizes = np.repeat(nn, counts)
+            pos = np.arange(n) - np.repeat(starts, counts)
+            small = (sizes <= m) & (sizes > 0) & (pos < sizes)
+            idx_small = np.flatnonzero(small)
+            if len(idx_small):
+                keep_idx.append(idx_small)
+                weights.append(np.ones(len(idx_small), np.int64))
+                out_codes.append(c[idx_small])
+            null_g = np.flatnonzero(nn == 0)
+            if len(null_g):
+                keep_idx.append(starts[null_g])
+                weights.append(np.zeros(len(null_g), np.int64))
+                out_codes.append(c[starts[null_g]])
+            for gi in np.flatnonzero(nn > m):
+                s, ng = int(starts[gi]), int(nn[gi])
+                bounds = np.floor(
+                    np.arange(1, m + 1) * (ng / m)).astype(np.int64)
+                bounds[-1] = ng
+                w = np.diff(np.concatenate([[0], bounds]))
+                kp = w > 0
+                keep_idx.append(s + bounds[kp] - 1)
+                weights.append(w[kp])
+                out_codes.append(np.full(int(kp.sum()), c[s]))
         if keep_idx:
             idx = np.concatenate(keep_idx)
             w = np.concatenate(weights)
@@ -441,22 +456,22 @@ def grouped_approx_quantile(
             new[0] = True
             new[1:] = c[1:] != c[:-1]
         starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
         cols = {key_col: dictionary.take(pa.array(c[starts]))}
-        picks: dict[str, list] = {nm: [] for nm in names}
-        for i, s in enumerate(starts):
-            e = starts[i + 1] if i + 1 < len(starts) else n
-            gw = w[s:e]
-            cw = np.cumsum(gw)
-            total = int(cw[-1])
-            for q, nm in zip(qs, names):
-                if total == 0:
-                    picks[nm].append(None)
-                else:
-                    target = max(int(np.ceil(q * total)), 1)
-                    j = int(np.searchsorted(cw, target, side="left"))
-                    picks[nm].append(float(v[s + j]))
-        for nm in names:
-            cols[nm] = pa.array(picks[nm], pa.float64())
+        # global cumsum is nondecreasing (weights >= 0), so the per-group
+        # disc pick is ONE vectorized searchsorted over group-offset
+        # targets — no per-group Python loop
+        cw = np.cumsum(w)
+        base = cw[starts] - w[starts]
+        totals = (cw[ends - 1] - base) if n else np.empty(0, np.int64)
+        for q, nm in zip(qs, names):
+            target = np.maximum(np.ceil(q * totals).astype(np.int64), 1)
+            j = np.searchsorted(cw, base + target, side="left")
+            j = np.minimum(j, max(n - 1, 0))
+            picked = v[j] if n else np.empty(0, np.float64)
+            cols[nm] = pc.if_else(
+                pa.array(totals > 0), pa.array(picked, pa.float64()),
+                pa.nulls(len(starts), pa.float64()))
         return pa.table(cols)
 
     def empty_schema():

@@ -789,3 +789,57 @@ def test_grouped_approx_quantile_null_handling():
         num_partitions=2))
     got = {r["g"]: r["med"] for r in out.to_pylist()}
     assert got == {"a": 1.0, "b": None}
+
+
+# ------------------------------------------------- review-fix regressions
+
+def test_ordered_window_null_ts_matches_oracle():
+    """Null timestamps sort LAST (SQL NULLS LAST) and gaps touching a null
+    ts are null — regression for the NaN->int64 undefined cast."""
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": ["a", "a", "a", "b"],
+        "ts": pa.array([100, None, 50, None], pa.timestamp("us")),
+    })
+    out = to_table(ordered_window(
+        ray.data.from_arrow(t), key_col="k", ts_col="ts", id_col="id",
+        lag_cols=["id"], num_partitions=2))
+    ref = duckdb.sql("""
+        SELECT id, CAST(row_number() OVER w AS BIGINT) rn,
+               lag(id) OVER w AS prev_id,
+               CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT)
+                   AS gap_us
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, id)""").arrow()
+    got = {r["id"]: (r["rn"], r["prev_id"], r["gap_us"])
+           for r in out.to_pylist()}
+    want = {r["id"]: (r["rn"], r["prev_id"], r["gap_us"])
+            for r in ref.to_pylist()}
+    assert got == want
+    assert got[2] == (3, 1, None)  # null ts last; gap through null is null
+
+
+def test_grouped_count_distinct_all_null_group():
+    from raycdc.agg import grouped_count_distinct
+
+    t = pa.table({"g": ["a", "a", "b", "b"],
+                  "v": pa.array([1, 1, None, None], pa.int64())})
+    out = to_table(grouped_count_distinct(
+        ray.data.from_arrow(t), ["g"], "v", num_partitions=2))
+    got = {r["g"]: r["nd"] for r in out.to_pylist()}
+    ref = duckdb.sql("SELECT g, CAST(count(DISTINCT v) AS BIGINT) nd "
+                     "FROM t GROUP BY 1").arrow()
+    assert got == {r["g"]: r["nd"] for r in ref.to_pylist()} == \
+        {"a": 1, "b": 0}
+
+
+def test_hash_samplers_reject_negative_ids():
+    import pytest
+
+    from raycdc.agg import hash_sample, stratified_sample
+
+    t = pa.table({"id": pa.array([-1, 2], pa.int64()), "g": ["a", "a"]})
+    with pytest.raises(Exception, match="non-negative"):
+        to_table(hash_sample(ray.data.from_arrow(t), "id", 0.5))
+    with pytest.raises(Exception, match="non-negative"):
+        to_table(stratified_sample(ray.data.from_arrow(t), "g", "id", 1,
+                                   num_partitions=2))
