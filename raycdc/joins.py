@@ -187,19 +187,6 @@ def _pa_schema(ds: ray.data.Dataset) -> pa.Schema:
     return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
 
 
-def _df_to_schema(df: "pd.DataFrame", out_schema: pa.Schema) -> pa.Table:
-    """pandas → Arrow under a declared schema. Unmatched-row NaNs (pandas
-    upcasts int columns to float on outer-style merges) become nulls before
-    the cast back to the declared type."""
-    cols = []
-    for f in out_schema:
-        arr = pa.Array.from_pandas(df[f.name])
-        if arr.type != f.type:
-            arr = arr.cast(f.type)
-        cols.append(arr)
-    return pa.table(cols, schema=out_schema)
-
-
 def _copartition_apply(left, right, by, num_partitions, key_cols, out_schema,
                        fn):
     """Co-locate two Datasets by ``hash(by)`` with the partition-only
@@ -275,22 +262,57 @@ def asof_join(
         list(lschema) + [f for f in rschema if f.name not in (on, *by)])
 
     def join_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
-        ldf = lt.to_pandas()
-        rdf = rt.to_pandas()
-        # SQL null-key semantics (pd.merge_asof would RAISE on null keys):
-        # a null right `on` can never win; a null left `on` matches nothing
-        # but survives as an unmatched left-outer row.
-        rdf = rdf[rdf[on].notna()]
-        lnull = ldf[ldf[on].isna()]
-        ldf = ldf[ldf[on].notna()].sort_values(on, kind="stable")
-        rdf = rdf.sort_values(on, kind="stable")
-        merged = pd.merge_asof(ldf, rdf, on=on, by=by, direction="backward")
-        if len(lnull):
-            merged = pd.concat([merged, lnull], ignore_index=True)
-        return _df_to_schema(merged, out_schema)
+        # match on SKELETON frames (keys + positional index) and gather the
+        # payload from Arrow by matched index: pandas never touches payload
+        # columns, so unmatched rows can't upcast int64->float64 (silent
+        # precision loss past 2^53) and NaN payloads stay distinct from
+        # null. SQL null-key semantics: a null `on` OR null `by` key on
+        # either side never matches (merge_asof would RAISE on null `on`
+        # and would happily match None==None on `by`).
+        ri = _asof_match(lt, rt, on=on, right_on=on, by=by)
+        mask = ri < 0
+        take_idx = pa.array(ri, pa.int64(), mask=mask)
+        cols = {f.name: lt[f.name] for f in lschema}
+        for f in rschema:
+            if f.name == on or f.name in by:
+                continue
+            arr = rt[f.name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            cols[f.name] = arr.take(take_idx)
+        return pa.table(cols, schema=out_schema)
 
     return _copartition_apply(left, right, by, num_partitions,
                               {on, *by}, out_schema, join_fn)
+
+
+def _asof_match(lt: pa.Table, rt: pa.Table, *, on: str, right_on: str,
+                by: list[str]) -> "np.ndarray":
+    """Backward as-of matching on key skeletons: returns, per left row (in
+    lt order), the matched right row index or -1. Rows with a null `on` /
+    `right_on` or any null `by` key never match."""
+    nl, nr = lt.num_rows, rt.num_rows
+    ldf = lt.select([on] + list(by)).to_pandas()
+    ldf["__li"] = np.arange(nl, dtype=np.int64)
+    rdf = rt.select([right_on] + list(by)).to_pandas()
+    rdf["__ri"] = np.arange(nr, dtype=np.int64)
+    if right_on != on:
+        rdf = rdf.rename(columns={right_on: on})
+    lmask = ldf[on].notna()
+    rmask = rdf[on].notna()
+    for b in by:
+        lmask &= ldf[b].notna()
+        rmask &= rdf[b].notna()
+    ri = np.full(nl, -1, dtype=np.int64)
+    lv = ldf[lmask].sort_values(on, kind="stable")
+    rv = rdf[rmask].sort_values(on, kind="stable")
+    if len(lv) and len(rv):
+        merged = pd.merge_asof(lv, rv, on=on, by=by, direction="backward")
+        mri = merged["__ri"].to_numpy()
+        li = merged["__li"].to_numpy().astype(np.int64)
+        has = ~pd.isna(mri)
+        ri[li[has]] = mri[has].astype(np.int64)
+    return ri
 
 
 def interval_join(
@@ -319,23 +341,38 @@ def interval_join(
         list(lschema) + [f for f in rschema if f.name not in by])
 
     def join_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
-        ldf = lt.to_pandas()
-        rdf = rt.to_pandas()
-        # null keys never match (merge_asof raises on them instead)
-        rdf = rdf[rdf[lo].notna()].sort_values(lo, kind="stable")
-        lnull = ldf[ldf[on].isna()]
-        ldf = ldf[ldf[on].notna()].sort_values(on, kind="stable")
-        merged = pd.merge_asof(ldf, rdf, left_on=on, right_on=lo, by=by,
-                               direction="backward")
-        inside = merged[hi].notna() & (merged[hi] >= merged[on])
+        # skeleton match + Arrow payload gather (see asof_join.join_fn for
+        # why: null-key SQL semantics incl. null `by`, no pandas payload
+        # upcasting). The asof step finds the interval with the largest
+        # lo <= on; the hi >= on filter then decides containment.
+        ri = _asof_match(lt, rt, on=on, right_on=lo, by=by)
+        matched = ri >= 0
+        hi_take = pa.array(ri, pa.int64(), mask=~matched)
+        hi_arr = rt[hi]
+        if isinstance(hi_arr, pa.ChunkedArray):
+            hi_arr = hi_arr.combine_chunks()
+        inside_arr = pc.fill_null(
+            pc.greater_equal(hi_arr.take(hi_take),
+                             lt[on].combine_chunks()
+                             if isinstance(lt[on], pa.ChunkedArray)
+                             else lt[on]), False)
+        inside = inside_arr.to_numpy(zero_copy_only=False)
+        ri = np.where(inside, ri, -1)
+        rcols = [f.name for f in rschema if f.name not in by]
         if join_type == "inner":
-            merged = merged[inside]
+            keep = pa.array(inside)
+            base = lt.filter(keep)
+            take_idx = pa.array(ri[inside], pa.int64())
         else:
-            rcols = [f.name for f in rschema if f.name not in by]
-            merged.loc[~inside, rcols] = None
-            if len(lnull):
-                merged = pd.concat([merged, lnull], ignore_index=True)
-        return _df_to_schema(merged, out_schema)
+            base = lt
+            take_idx = pa.array(ri, pa.int64(), mask=ri < 0)
+        cols = {f.name: base[f.name] for f in lschema}
+        for name in rcols:
+            arr = rt[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            cols[name] = arr.take(take_idx)
+        return pa.table(cols, schema=out_schema)
 
     return _copartition_apply(left, right, by, num_partitions,
                               set(by), out_schema, join_fn)

@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from raycdc.shuffle import partition_map
@@ -353,7 +354,9 @@ def minhash_lsh_pairs(
     # Verification: signatures rejoin the (deduped, small) pair set by id.
     def rename(side: str):
         def fn(t: pa.Table) -> pa.Table:
-            return pa.table({f"id_{side}": t[id_col],
+            # candidates carry int64 ids; cast here or Acero rejects the
+            # join for non-int64 id columns (int32 doc ids, etc.)
+            return pa.table({f"id_{side}": pc.cast(t[id_col], pa.int64()),
                              f"sig_{side}": _sig_as_binary(t["sig"], num_perm)})
         return fn
 
@@ -508,6 +511,11 @@ def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
     corpus stays O(n·window). Output: (id_a, id_b, cosine), id_a < id_b.
     """
 
+    # plane matrices depend only on (seed, table, dim): cache them per
+    # task so they're generated once, not once per batch (the same
+    # once-per-actor rule LshScorer follows)
+    plane_cache: dict = {}
+
     def add_buckets(t: pa.Table) -> pa.Table:
         from raycdc.ops.ann import _stack
 
@@ -515,8 +523,12 @@ def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
         parts = []
         n = t.num_rows
         for tb in range(num_tables):
-            rng = np.random.default_rng(seed + tb)
-            planes = rng.standard_normal((vecs.shape[1], num_planes))
+            key = (tb, vecs.shape[1])
+            planes = plane_cache.get(key)
+            if planes is None:
+                planes = np.random.default_rng(
+                    seed + tb).standard_normal((vecs.shape[1], num_planes))
+                plane_cache[key] = planes
             packed = np.packbits((vecs @ planes) > 0, axis=1,
                                  bitorder="little").astype(np.int64)
             mult = 256 ** np.arange(packed.shape[1], dtype=np.int64)
@@ -544,8 +556,12 @@ def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
         unit = vecs / norms
         # fixed projection orders near-identical vectors adjacently so the
         # neighbor-window fallback still chains duplicate clusters
-        proj_dir = np.random.default_rng(seed + 1000).standard_normal(
-            vecs.shape[1])
+        # (cached per task — depends only on seed and dim)
+        proj_dir = plane_cache.get(("proj", vecs.shape[1]))
+        if proj_dir is None:
+            proj_dir = np.random.default_rng(seed + 1000).standard_normal(
+                vecs.shape[1])
+            plane_cache[("proj", vecs.shape[1])] = proj_dir
         proj = unit @ proj_dir
         order = np.lexsort((ids, proj, bucket, tb))
         ids, tb, bucket, unit = ids[order], tb[order], bucket[order], unit[order]

@@ -165,3 +165,101 @@ def test_asof_and_interval_join_null_keys():
         on="ts", by=["k"], lo="lo", hi="hi", num_partitions=2))
     # null interval start never matches (empty result)
     assert inner is None or inner.num_rows == 0
+
+
+def test_asof_join_null_by_keys_never_match():
+    """SQL: NULL = NULL is not true — a null by-key row matches nothing
+    (regression: pd.merge_asof happily groups None==None)."""
+    import pyarrow as pa
+
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([20, 20], pa.int64()),
+        "k": pa.array(["a", None]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", None]),
+        "ts": pa.array([6, 6], pa.int64()),
+        "rv": pa.array([60, 99], pa.int64()),
+    }))
+    from raycdc.joins import asof_join
+
+    out = to_table(asof_join(left, right, on="ts", by=["k"],
+                             num_partitions=2))
+    got = {r["lid"]: r["rv"] for r in out.to_pylist()}
+    assert got == {1: 60, 2: None}
+
+
+def test_interval_join_null_by_keys_never_match():
+    import pyarrow as pa
+
+    from raycdc.joins import interval_join
+
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([5, 5], pa.int64()),
+        "k": pa.array(["a", None]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", None]),
+        "lo": pa.array([0, 0], pa.int64()),
+        "hi": pa.array([10, 10], pa.int64()),
+        "rv": pa.array([7, 8], pa.int64()),
+    }))
+    inner = to_table(interval_join(left, right, on="ts", by=["k"],
+                                   lo="lo", hi="hi", join_type="inner",
+                                   num_partitions=2))
+    assert inner.to_pylist() == [
+        {"lid": 1, "ts": 5, "k": "a", "lo": 0, "hi": 10, "rv": 7}]
+    outer = to_table(interval_join(left, right, on="ts", by=["k"],
+                                   lo="lo", hi="hi", join_type="left_outer",
+                                   num_partitions=2))
+    got = {r["lid"]: r["rv"] for r in outer.to_pylist()}
+    assert got == {1: 7, 2: None}
+
+
+def test_asof_join_preserves_large_int64_and_nan_payloads():
+    """Payloads are gathered from Arrow by matched index, never through
+    pandas — so int64 > 2^53 stays exact even with unmatched rows in the
+    same partition, and NaN float payloads stay NaN (not null)."""
+    import math
+
+    import pyarrow as pa
+
+    from raycdc.joins import asof_join
+
+    big = 9007199254740993  # 2^53 + 1: float64 roundtrip corrupts it
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([10, 1], pa.int64()),   # lid=2 unmatched
+        "k": pa.array(["a", "a"]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"]),
+        "ts": pa.array([5], pa.int64()),
+        "rv": pa.array([big], pa.int64()),
+        "rf": pa.array([float("nan")], pa.float64()),
+    }))
+    out = to_table(asof_join(left, right, on="ts", by=["k"],
+                             num_partitions=1))
+    got = {r["lid"]: r for r in out.to_pylist()}
+    assert got[1]["rv"] == big
+    assert got[2]["rv"] is None
+    assert got[1]["rf"] is not None and math.isnan(got[1]["rf"])
+
+
+def test_minhash_pairs_int32_ids():
+    import pyarrow as pa
+
+    from raycdc.ops.dedup import minhash_lsh_pairs
+
+    texts = ["the quick brown fox jumps over the lazy dog today ok",
+             "the quick brown fox jumps over the lazy dog today ok!",
+             "completely different text with no overlap whatsoever here"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int32()),
+        "text": pa.array(texts),
+    }))
+    out = to_table(minhash_lsh_pairs(ds, threshold=0.5, num_partitions=2))
+    pairs = {(r["id_a"], r["id_b"]) for r in out.to_pylist()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
