@@ -102,7 +102,12 @@ def run_bench() -> dict:
         return dt
 
     one_apply("warmup")
-    headline = min(one_apply("t1"), one_apply("t2"))
+    t1, t2 = one_apply("t1"), one_apply("t2")
+    headline = min(t1, t2)
+    if max(t1, t2) > 1.3 * headline:
+        # the two runs disagree wildly — bursty external load on this
+        # shared box; one more sample protects the headline from a spike
+        headline = min(headline, one_apply("t3"))
     if os.environ.get("RAYCDC_BENCH_HEADLINE_ONLY"):
         # scaling mode: runs have ±10-15% noise on this box and the
         # efficiency RATIO compounds noise from both legs — four timed
