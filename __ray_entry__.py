@@ -339,6 +339,43 @@ def _q_approx_distinct_by_type(sf_dir: str):
                               num_partitions=16)
 
 
+def _q_mode_event_type(sf_dir: str):
+    """Most frequent event type per user (deterministic min-value
+    tiebreak). Exact counts ride grouped_aggregate's partial pre-agg, so
+    the exchange moves distinct (user, type) pairs per batch — never
+    events."""
+    from raycdc.agg import grouped_mode
+
+    ev = _rp(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_mode(ev, ["user_id"], "event_type",
+                        num_partitions=16)
+
+
+def _q_argmax_event(sf_dir: str):
+    """Per user, the full row of the highest-value event (ties -> lowest
+    event_id): SQL arg_max made deterministic. One-winner-per-key batch
+    partials bound the exchange to num_users x num_batches rows."""
+    from raycdc.agg import grouped_arg_extreme
+
+    ev = _rp(sf_dir, "events",
+             ["user_id", "event_id", "event_type", "value"])
+    return grouped_arg_extreme(ev, ["user_id"], "value",
+                               tie_col="event_id", carry=["event_type"],
+                               num_partitions=16)
+
+
+def _q_string_agg_docs(sf_dir: str):
+    """Ordered string_agg of doc ids per (lang, source) — the canonical
+    'collect the group's members into one row' op. Single partition-only
+    exchange of the pruned 3 columns; per-bucket vectorized sort+join."""
+    from raycdc.agg import grouped_string_agg
+
+    docs = _rp(sf_dir, "documents", ["lang", "source", "doc_id"])
+    return grouped_string_agg(docs, ["lang", "source"], "doc_id",
+                              order_by=["doc_id"], name="doc_ids",
+                              num_partitions=16)
+
+
 def _q_normalize_text(sf_dir: str):
     from raycdc.ops.text import normalize_text
 
@@ -1056,6 +1093,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_docs": _q_tokenize_docs,
         "window_rank": _q_window_rank,
         "count_distinct_users": _q_count_distinct_users,
+        "mode_event_type": _q_mode_event_type,
+        "argmax_event": _q_argmax_event,
+        "string_agg_docs": _q_string_agg_docs,
         "approx_distinct_by_type": _q_approx_distinct_by_type,
         "join_full_outer": _q_join_full_outer,
         "grouped_quantiles_sketch_full": _q_grouped_quantiles_sketch_full,
@@ -1465,6 +1505,28 @@ def oracle_sql() -> dict[str, str]:
         "count_distinct_users": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd
             FROM events GROUP BY event_type""",
+        "mode_event_type": """
+            SELECT user_id, event_type AS mode, c AS mode_n FROM (
+              SELECT user_id, event_type, count(*) AS c,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC,
+                                                 event_type) AS rn
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY user_id, event_type)
+            WHERE rn = 1""",
+        "argmax_event": """
+            SELECT user_id, value, event_id, event_type FROM (
+              SELECT user_id, value, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC,
+                                                 event_id) AS rn
+              FROM events WHERE value IS NOT NULL)
+            WHERE rn = 1""",
+        "string_agg_docs": """
+            SELECT lang, source,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS doc_ids
+            FROM documents GROUP BY lang, source""",
         "join_full_outer": """
             WITH l AS (SELECT o_custkey AS custkey,
                               count(*) AS n_orders

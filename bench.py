@@ -172,7 +172,8 @@ def run_bench() -> dict:
         "except_events", "intersect_events", "unpivot_lineitem",
         "tokenize_docs", "window_rank", "count_distinct_users",
         "approx_distinct_by_type", "join_full_outer",
-        "grouped_quantiles_sketch",
+        "grouped_quantiles_sketch", "mode_event_type", "argmax_event",
+        "string_agg_docs",
     ]
     q_times: dict[str, float] = {}
     for name in bench_set:

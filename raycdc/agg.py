@@ -604,3 +604,166 @@ def grouped_count_distinct(
         d.map_batches(add_indicator, batch_format="pyarrow"),
         keys, sums={name: ind})
     return counted
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    *,
+    name: str = "mode",
+    count_name: str = "mode_n",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Most frequent non-null value of ``col`` per group; ties break to the
+    SMALLEST value so the winner is deterministic (SQL ``mode()`` leaves
+    ties unspecified — the oracle must use the same ``row_number() OVER
+    (ORDER BY c DESC, val ASC)`` tiebreak).
+
+    Two stages, both bounded: exact counts per ``(keys, col)`` via
+    :func:`grouped_aggregate` (the partial pre-agg means the exchange moves
+    at most ``distinct(keys, col) x num_batches`` rows, never the input),
+    then a tiny keyed exchange over the count table picking the
+    max-count/min-value winner per group. Groups whose values are all null
+    are absent from the output (SQL: ``WHERE col IS NOT NULL`` pre-filter).
+    """
+    import pyarrow.compute as pc
+
+    from raycdc.ops.ordered import _hash_bucket
+    from raycdc.shuffle import lazy_schema, partition_map
+
+    cols = list(dict.fromkeys(keys + [col]))
+    cnt = "__rcdc_gmc"
+
+    def prune(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        return t.filter(pc.is_valid(t[col]))
+
+    counted = grouped_aggregate(
+        ds.map_batches(prune, batch_format="pyarrow"), cols, count_name=cnt)
+
+    b = "__rcdc_gmb"
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return _hash_bucket(t, keys, b, num_partitions)
+
+    def pick(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values([cnt, col], ascending=[False, True],
+                            kind="mergesort")
+        win = df.groupby(keys, sort=False, dropna=False).head(1)
+        win = win.rename(columns={col: name, cnt: count_name})
+        win[count_name] = win[count_name].astype("int64")
+        return pa.Table.from_pandas(win, preserve_index=False)
+
+    bucketed = counted.map_batches(add_bucket, batch_format="pyarrow")
+    return partition_map(bucketed, b, num_partitions, pick,
+                         empty_schema=lazy_schema(counted))
+
+
+def grouped_arg_extreme(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    by: str,
+    *,
+    tie_col: str,
+    carry: list[str] | None = None,
+    mode: str = "max",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per group, the row with the extreme (max/min) ``by`` value — SQL
+    ``arg_max``/``arg_min``, made deterministic: ties on ``by`` break to
+    the smallest ``tie_col`` (pass a unique id). Rows with null ``by`` are
+    ignored; a group whose ``by`` is all null is absent (oracle filters
+    ``WHERE by IS NOT NULL``).
+
+    Mergeable one-row-per-key partial: each batch keeps only its local
+    winner per key (vectorized sort + head(1)), so the keyed exchange
+    moves at most ``num_keys x num_batches`` rows; the final per-bucket
+    pass applies the identical pick. Carried columns keep their input
+    types — values transit unchanged (no accumulation), so floats stay
+    bit-exact vs any engine."""
+    import pyarrow.compute as pc
+
+    from raycdc.ops.ordered import _hash_bucket
+    from raycdc.shuffle import lazy_schema, partition_map
+
+    if mode not in ("max", "min"):
+        raise ValueError(f"mode must be 'max' or 'min', got {mode!r}")
+    carry = list(carry or [])
+    cols = list(dict.fromkeys(keys + [by, tie_col] + carry))
+    asc_by = mode == "min"
+
+    def local_pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([by, tie_col], ascending=[asc_by, True],
+                            kind="mergesort")
+        return df.groupby(keys, sort=False, dropna=False).head(1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        t = t.filter(pc.is_valid(t[by]))
+        return pa.Table.from_pandas(local_pick(t.to_pandas()),
+                                    preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    b = "__rcdc_gae"
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return _hash_bucket(t, keys, b, num_partitions)
+
+    def final_pick(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(local_pick(t.to_pandas()),
+                                    preserve_index=False)
+
+    bucketed = partials.map_batches(add_bucket, batch_format="pyarrow")
+    return partition_map(bucketed, b, num_partitions, final_pick,
+                         empty_schema=lazy_schema(partials))
+
+
+def grouped_string_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    *,
+    order_by: list[str],
+    sep: str = ",",
+    name: str = "agg",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """SQL ``string_agg(col, sep ORDER BY order_by..., col)`` per group.
+    ``order_by + [col]`` must totally order each group's rows or the
+    concatenation is nondeterministic — include a unique id.
+
+    Ordered concatenation is NOT mergeable without carrying order keys, so
+    this is a single keyed exchange of the pruned ``(keys, order_by, col)``
+    columns (partition-only, no sort barrier) followed by one vectorized
+    sort + join per bucket. Null ``col`` values are skipped (SQL
+    semantics); a group whose values are all null still appears, with a
+    null aggregate."""
+    from raycdc.ops.ordered import _hash_bucket
+    from raycdc.shuffle import lazy_schema, partition_map
+
+    cols = list(dict.fromkeys(keys + list(order_by) + [col]))
+    pruned = ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+    b = "__rcdc_gsa"
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return _hash_bucket(t, keys, b, num_partitions)
+
+    def join_group(s: pd.Series):
+        vals = s.dropna()
+        return sep.join(vals.astype(str)) if len(vals) else None
+
+    def concat(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(list(dict.fromkeys(list(order_by) + [col])),
+                            kind="mergesort")
+        out = (df.groupby(keys, sort=False, dropna=False)[col]
+               .agg(join_group).reset_index().rename(columns={col: name}))
+        schema = pa.schema([*((k, t.schema.field(k).type) for k in keys),
+                            (name, pa.string())])
+        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+    bucketed = pruned.map_batches(add_bucket, batch_format="pyarrow")
+    return partition_map(bucketed, b, num_partitions, concat,
+                         empty_schema=lazy_schema(pruned))
