@@ -815,6 +815,26 @@ def _q_window_funcs(sf_dir: str):
                           num_partitions=16)
 
 
+def _q_window_rolling(sf_dir: str):
+    """Rolling 5-row sum per user (SQL ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW) — rate-limit / burst-detection shape. One cumsum + one
+    shifted subtract per bucket, O(n) for any window width."""
+    from raycdc.ops.ordered import ordered_window
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_int(t: pa.Table) -> pa.Table:
+        v = pc.fill_null(
+            pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()), 0)
+        return t.append_column("value_c", v)
+
+    return ordered_window(ev.map_batches(add_int, batch_format="pyarrow"),
+                          key_col="user_id", ts_col="ts",
+                          id_col="event_id", gap_name=None,
+                          roll_sums={"roll5_value_c": ("value_c", 5)},
+                          num_partitions=16)
+
+
 def _q_window_rank(sf_dir: str):
     """ntile + percent_rank per user ordered by (ts, event_id). SQL ntile
     semantics (first n%N buckets take the extra row); percent_rank is an
@@ -1077,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_session": _q_window_session,
         "explode_embeddings": _q_explode_embeddings,
         "window_funcs": _q_window_funcs,
+        "window_rolling": _q_window_rolling,
         "grouped_quantiles": _q_grouped_quantiles,
         "rollup_lineitem": _q_rollup_lineitem,
         "sample_events": _q_sample_events,
@@ -1462,6 +1483,14 @@ def oracle_sql() -> dict[str, str]:
                         OVER w AS BIGINT) AS cum_value_c,
                    CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT)
                        AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "window_rolling": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(SUM(COALESCE(CAST(FLOOR(value * 100) AS BIGINT), 0))
+                        OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS roll5_value_c
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         "grouped_quantiles": """

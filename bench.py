@@ -173,6 +173,7 @@ def run_bench() -> dict:
         "tokenize_docs", "window_rank", "count_distinct_users",
         "approx_distinct_by_type", "join_full_outer",
         "grouped_quantiles_sketch", "mode_event_type", "argmax_event",
+        "window_rolling",
         "string_agg_docs",
     ]
     q_times: dict[str, float] = {}

@@ -72,6 +72,7 @@ def ordered_window(
     lag_cols: list[str] | None = None,
     lead_cols: list[str] | None = None,
     cum_sums: dict[str, str] | None = None,
+    roll_sums: dict[str, tuple[str, int]] | None = None,
     rn_name: str = "rn",
     gap_name: str | None = "gap_us",
     ntile: int | None = None,
@@ -85,6 +86,8 @@ def ordered_window(
         lag(c)  OVER w AS prev_c,   -- for c in lag_cols
         lead(c) OVER w AS next_c,   -- for c in lead_cols
         sum(c)  OVER w AS <out>,    -- for out -> c in cum_sums
+        sum(c)  OVER (w ROWS BETWEEN N-1 PRECEDING AND CURRENT ROW)
+                                    -- for out -> (c, N) in roll_sums
         ntile(N) OVER w,            -- if ntile is set
         percent_rank() OVER w,      -- if percent_rank_name is set
         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
@@ -105,14 +108,22 @@ def ordered_window(
     reduction — int64 keeps it accumulation-exact; float running sums are
     FP-rounding-order-sensitive vs other engines and are rejected). Null
     inputs count as 0 per running sum (callers wanting SQL's
-    all-null-prefix -> null semantics should pre-filter).
+    all-null-prefix -> null semantics should pre-filter). ``roll_sums``
+    (out -> (col, N), N >= 1 rows including the current one) share the
+    same integer/null rules; each is one cumsum + one shifted subtract —
+    no per-row loop, any N is O(n).
     """
     lag_cols = list(lag_cols or [])
     lead_cols = list(lead_cols or [])
     cum_sums = dict(cum_sums or {})
+    roll_sums = dict(roll_sums or {})
+    for out, (col, nwin) in roll_sums.items():
+        if nwin < 1:
+            raise ValueError(f"roll_sums[{out!r}] window must be >= 1 row")
     bcol = "__rcdc_ow"
     need = [id_col, key_col, ts_col] + [
-        c for c in dict.fromkeys(lag_cols + lead_cols + list(cum_sums.values()))
+        c for c in dict.fromkeys(lag_cols + lead_cols + list(cum_sums.values())
+                                 + [c for c, _ in roll_sums.values()])
         if c not in (id_col, key_col, ts_col)]
 
     def bucket_windows(t: pa.Table) -> pa.Table:
@@ -176,6 +187,25 @@ def ordered_window(
             cs = np.cumsum(v)
             base = cs[starts] - v[starts]
             cols[out] = pa.array(cs - np.repeat(base, counts))
+        for out, (col, nwin) in roll_sums.items():
+            arr = s[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not pa.types.is_integer(arr.type):
+                raise TypeError(
+                    f"roll_sums column {col!r} must be integer, got "
+                    f"{arr.type} (see cum_sums)")
+            v = pc.fill_null(pc.cast(arr, pa.int64()), 0).to_numpy(
+                zero_copy_only=False)
+            cs = np.cumsum(v)
+            base = cs[starts] - v[starts]
+            g = cs - np.repeat(base, counts)  # group-local running sum
+            roll = g.copy()
+            # subtract the running sum N rows back; rn > N guarantees the
+            # referenced row is in the same group, so no cross-group leak
+            mask = rn > nwin
+            roll[mask] -= g[np.flatnonzero(mask) - nwin]
+            cols[out] = pa.array(roll)
         if ntile is not None or percent_rank_name is not None:
             gsize = np.repeat(counts, counts)
         if ntile is not None:
@@ -221,6 +251,8 @@ def ordered_window(
         for col in lead_cols:
             fields.append((f"next_{col}", types.get(col, pa.int64())))
         for out in cum_sums:
+            fields.append((out, pa.int64()))
+        for out in roll_sums:
             fields.append((out, pa.int64()))
         if ntile is not None:
             fields.append((ntile_name, pa.int64()))

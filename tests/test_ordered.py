@@ -843,3 +843,42 @@ def test_hash_samplers_reject_negative_ids():
     with pytest.raises(Exception, match="non-negative"):
         to_table(stratified_sample(ray.data.from_arrow(t), "g", "id", 1,
                                    num_partitions=2))
+
+
+def test_roll_sums_brute_force():
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 37, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "v": rng.integers(-50, 50, n).astype(np.int64),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(8)
+    out = to_table(ordered_window(
+        ds, key_col="k", ts_col="ts", id_col="id", gap_name=None,
+        roll_sums={"r3": ("v", 3), "r1": ("v", 1)},
+        num_partitions=4)).to_pandas().set_index("id")
+    sdf = df.sort_values(["k", "ts", "id"], kind="mergesort")
+    for k, g in sdf.groupby("k"):
+        vals = g["v"].to_numpy()
+        ids = g["id"].to_numpy()
+        for i in range(len(g)):
+            expect = vals[max(0, i - 2):i + 1].sum()
+            assert out.loc[ids[i], "r3"] == expect
+            assert out.loc[ids[i], "r1"] == vals[i]
+
+
+def test_roll_sums_rejects_bad_args():
+    t = pa.table({"id": pa.array([1], pa.int64()),
+                  "k": pa.array(["a"]),
+                  "ts": pa.array([0], pa.timestamp("us")),
+                  "v": pa.array([1.5], pa.float64())})
+    ds = ray.data.from_arrow(t)
+    import pytest
+    with pytest.raises(ValueError):
+        ordered_window(ds, key_col="k", ts_col="ts", id_col="id",
+                       roll_sums={"r": ("v", 0)})
+    with pytest.raises(Exception):  # float column rejected inside the task
+        to_table(ordered_window(ds, key_col="k", ts_col="ts", id_col="id",
+                                roll_sums={"r": ("v", 2)}))
