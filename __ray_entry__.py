@@ -675,6 +675,19 @@ def _q_join_semi(sf_dir: str):
                      join_type="left_semi", num_partitions=16)
 
 
+def _q_join_semi_bloom(sf_dir: str):
+    """Same semi join, bloom-accelerated: a 1 MiB broadcast bitmap of the
+    order keys prefilters customers before the exchange; the exact semi
+    join on survivors removes bloom false positives, so the result —
+    and the oracle — are identical to join_semi."""
+    from raycdc.joins import bloom_semi_join
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _rp(sf_dir, "orders", ["o_custkey"])
+    return bloom_semi_join(cust, orders, on=["c_custkey"],
+                           right_on=["o_custkey"], num_partitions=16)
+
+
 def _q_join_anti(sf_dir: str):
     """Customers with no URGENT-priority order (left-anti join; the right
     side is filtered first so the result is non-empty on this fixture —
@@ -1073,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": _q_bpe_token_count,
         "window_sliding": _q_window_sliding,
         "join_semi": _q_join_semi,
+        "join_semi_bloom": _q_join_semi_bloom,
         "join_anti": _q_join_anti,
         "join_asof": _q_join_asof,
         "join_interval": _q_join_interval,
@@ -1417,6 +1431,9 @@ def oracle_sql() -> dict[str, str]:
             FROM d, unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 16))
                      AS t(f)""",
         "join_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "join_semi_bloom": """
             SELECT c_custkey, c_name FROM customer
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
         "join_anti": """

@@ -171,7 +171,7 @@ def run_bench() -> dict:
         "pivot_lineitem", "curation_pipeline_v2", "cube_lineitem",
         "except_events", "intersect_events", "unpivot_lineitem",
         "tokenize_docs", "window_rank", "count_distinct_users",
-        "approx_distinct_by_type", "join_full_outer",
+        "approx_distinct_by_type", "join_full_outer", "join_semi_bloom",
         "grouped_quantiles_sketch", "mode_event_type", "argmax_event",
         "window_rolling",
         "string_agg_docs",

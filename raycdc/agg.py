@@ -15,6 +15,11 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
+# masked-dtype conversion for every pandas hop whose output schema or row
+# hash must not depend on whether THIS batch happened to contain nulls
+# (plain to_pandas flips nullable int64 -> float64): see shuffle.stable_hash
+from raycdc.shuffle import stable_types_mapper as _stm
+
 
 def distinct_rows(ds: ray.data.Dataset, subset: list[str],
                   num_partitions: int = 32) -> ray.data.Dataset:
@@ -26,13 +31,15 @@ def distinct_rows(ds: ray.data.Dataset, subset: list[str],
     b = "__rcdc_du"
 
     def local(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates(subset=subset)
+        # masked-dtype conversion: the routing hash must be identical for
+        # a key whether or not its batch happens to contain nulls
+        df = t.to_pandas(types_mapper=_stm).drop_duplicates(subset=subset)
         h = pd.util.hash_pandas_object(df[subset], index=False).to_numpy()
         df[b] = (h % num_partitions).astype("int64")
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def bucket_dedup(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates(subset=subset)
+        df = t.to_pandas(types_mapper=_stm).drop_duplicates(subset=subset)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     from raycdc.shuffle import lazy_schema
@@ -81,7 +88,7 @@ def grouped_aggregate(
     cnt_col = "__cnt"
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
+        df = t.to_pandas(types_mapper=_stm)
         g = df.groupby(keys, sort=False, dropna=False)
         parts = {}
         for out, col in sums.items():
@@ -137,7 +144,7 @@ def grouped_aggregate(
             return _hash_bucket(t, keys, bcol, num_partitions)
 
         def bucket_combine(t: pa.Table) -> pa.Table:
-            df = t.to_pandas()
+            df = t.to_pandas(types_mapper=_stm)
             g = df.groupby(keys, sort=False, dropna=False)
             parts = {}
             for out in sums:
@@ -197,7 +204,7 @@ def top_k(
     ascending = [not d for d in descending]
 
     def local_topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(sort_cols, ascending=ascending,
+        df = t.to_pandas(types_mapper=_stm).sort_values(sort_cols, ascending=ascending,
                                        kind="stable").head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -492,7 +499,9 @@ def _set_op(left: ray.data.Dataset, right: ray.data.Dataset, keep_present:
 
     def tag(flag: int):
         def fn(t: pa.Table) -> pa.Table:
-            df = t.to_pandas().drop_duplicates()
+            # masked dtypes: a row must route identically from either side
+            # and any batch, nulls present or not
+            df = t.to_pandas(types_mapper=_stm).drop_duplicates()
             h = pd.util.hash_pandas_object(df, index=False).to_numpy()
             df[src] = np.int64(flag)
             df[b] = (h % num_partitions).astype("int64")
@@ -505,7 +514,7 @@ def _set_op(left: ray.data.Dataset, right: ray.data.Dataset, keep_present:
         right.map_batches(tag(1), batch_format="pyarrow"))
 
     def bucket_setop(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
+        df = t.to_pandas(types_mapper=_stm)
         cols = [c for c in df.columns if c != src]
         l = df[df[src] == 0][cols].drop_duplicates()
         r = df[df[src] == 1][cols].drop_duplicates()
@@ -648,7 +657,7 @@ def grouped_mode(
         return _hash_bucket(t, keys, b, num_partitions)
 
     def pick(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
+        df = t.to_pandas(types_mapper=_stm)
         df = df.sort_values([cnt, col], ascending=[False, True],
                             kind="mergesort")
         win = df.groupby(keys, sort=False, dropna=False).head(1)
@@ -702,7 +711,7 @@ def grouped_arg_extreme(
     def partial(t: pa.Table) -> pa.Table:
         t = t.select(cols)
         t = t.filter(pc.is_valid(t[by]))
-        return pa.Table.from_pandas(local_pick(t.to_pandas()),
+        return pa.Table.from_pandas(local_pick(t.to_pandas(types_mapper=_stm)),
                                     preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -712,7 +721,7 @@ def grouped_arg_extreme(
         return _hash_bucket(t, keys, b, num_partitions)
 
     def final_pick(t: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(local_pick(t.to_pandas()),
+        return pa.Table.from_pandas(local_pick(t.to_pandas(types_mapper=_stm)),
                                     preserve_index=False)
 
     bucketed = partials.map_batches(add_bucket, batch_format="pyarrow")
@@ -755,7 +764,7 @@ def grouped_string_agg(
         return sep.join(vals.astype(str)) if len(vals) else None
 
     def concat(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
+        df = t.to_pandas(types_mapper=_stm)
         df = df.sort_values(list(dict.fromkeys(list(order_by) + [col])),
                             kind="mergesort")
         out = (df.groupby(keys, sort=False, dropna=False)[col]

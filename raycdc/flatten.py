@@ -547,8 +547,13 @@ def _dedup(ds: ray.data.Dataset, cfg: FlattenConfig, out_schema: pa.Schema,
     from raycdc.shuffle import partition_map
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        keys = t.select([cfg.parent_field, cfg.child_field, cfg.level_field]).to_pandas()
-        h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+        from raycdc.shuffle import stable_hash
+
+        # stable_hash: root rows carry a NULL parent — with a plain
+        # to_pandas an int-keyed hierarchy batch containing one root would
+        # hash (and route) every edge in it differently from rootless ones
+        h = stable_hash(t, [cfg.parent_field, cfg.child_field,
+                            cfg.level_field])
         return t.append_column(_BUCKET_COL, pa.array((h % num_partitions).astype(np.int64)))
 
     return partition_map(
@@ -729,8 +734,9 @@ def flatten_hierarchy(
         sb = "__rcdc_sb"
 
         def add_seed_bucket(t: pa.Table) -> pa.Table:
-            h = pd.util.hash_pandas_object(
-                t[cfg.child_field].to_pandas(), index=False).to_numpy()
+            from raycdc.shuffle import stable_hash
+
+            h = stable_hash(t, [cfg.child_field])
             return t.append_column(
                 sb, pa.array((h % num_partitions).astype(np.int64)))
 

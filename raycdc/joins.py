@@ -49,15 +49,41 @@ def _normalize_key_type(t: pa.DataType) -> pa.DataType:
     return t
 
 
+def _null_fill_scalar(t: pa.DataType):
+    """A typed fill for null KEY values before hashing. Null keys never
+    match (SQL), so their hash only routes them somewhere consistent —
+    but they must not be allowed to reach ``to_pandas()``: a single null
+    in an int64 batch flips the whole batch to float64, and
+    hash(int64 2) != hash(float64 2.0), silently mis-bucketing every key
+    in that batch relative to null-free batches (lost join matches)."""
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return 0
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)):
+        return ""
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return b""
+    if pa.types.is_boolean(t):
+        return False
+    return None  # caller falls back to pandas conversion as-is
+
+
 def key_hash(table: pa.Table, cols: list[str]) -> np.ndarray:
     """Deterministic vectorized hash of key columns, dtype-normalized so the
-    same logical value hashes identically on both sides of a join."""
+    same logical value hashes identically on both sides of a join and in
+    every batch (null-containing int batches included)."""
     arrays = {}
     for c in cols:
         arr = table[c]
         norm = _normalize_key_type(arr.type)
-        if norm != arr.type:
+        if pa.types.is_timestamp(norm) or pa.types.is_date(norm) \
+                or pa.types.is_time(norm):
+            arr, norm = pc.cast(arr, pa.int64()), pa.int64()
+        elif norm != arr.type:
             arr = pc.cast(arr, norm)
+        if arr.null_count:
+            fill = _null_fill_scalar(norm)
+            if fill is not None:
+                arr = pc.fill_null(arr, fill)
         arrays[c] = arr.to_pandas()
     return pd.util.hash_pandas_object(pd.DataFrame(arrays), index=False).to_numpy()
 
@@ -376,3 +402,127 @@ def interval_join(
 
     return _copartition_apply(left, right, by, num_partitions,
                               set(by), out_schema, join_fn)
+
+
+# --------------------------------------------------------------- bloom semi
+def _key_hash64(t: pa.Table, cols: list[str]) -> "np.ndarray":
+    """Order-sensitive 64-bit hash of the key tuple, name-independent (both
+    join sides must produce identical hashes even when their key COLUMNS are
+    named differently, so column names never enter the hash)."""
+    h = None
+    for c in cols:
+        arr = t[c]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        hc = pd.util.hash_pandas_object(arr.to_pandas(),
+                                        index=False).to_numpy()
+        h = hc if h is None else (
+            h * np.uint64(0x9E3779B97F4A7C15)) ^ hc
+    return h
+
+
+def _bloom_set(bmp: "np.ndarray", h: "np.ndarray", num_bits: int,
+               num_hashes: int) -> None:
+    h1, h2 = h, (h >> np.uint64(32)) | np.uint64(1)
+    for i in range(num_hashes):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(num_bits)
+        np.bitwise_or.at(bmp, (pos >> np.uint64(6)).astype(np.int64),
+                         np.left_shift(np.uint64(1),
+                                       pos & np.uint64(63)))
+
+
+def _bloom_test(bmp: "np.ndarray", h: "np.ndarray", num_bits: int,
+                num_hashes: int) -> "np.ndarray":
+    h1, h2 = h, (h >> np.uint64(32)) | np.uint64(1)
+    hit = np.ones(len(h), dtype=bool)
+    for i in range(num_hashes):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(num_bits)
+        word = bmp[(pos >> np.uint64(6)).astype(np.int64)]
+        hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+    return hit
+
+
+class _BloomProbe:
+    """Actor-pool prefilter: fetch the broadcast bitmap once per actor,
+    drop rows whose key tuple cannot be on the build side (null keys are
+    dropped outright — SQL semi join never matches them)."""
+
+    def __init__(self, bmp_ref, on, num_bits, num_hashes):
+        self.bmp = (ray.get(bmp_ref)
+                    if isinstance(bmp_ref, ray.ObjectRef) else bmp_ref)
+        self.on, self.num_bits, self.num_hashes = on, num_bits, num_hashes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        valid = np.ones(t.num_rows, dtype=bool)
+        for c in self.on:
+            valid &= pc.is_valid(t[c]).to_numpy(zero_copy_only=False)
+        keep = valid.copy()
+        if valid.any():
+            sub = t.filter(pa.array(valid)) if not valid.all() else t
+            hit = _bloom_test(self.bmp, _key_hash64(sub, self.on),
+                              self.num_bits, self.num_hashes)
+            keep[valid] = hit
+        return t.filter(pa.array(keep))
+
+
+def bloom_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: list[str],
+    right_on: list[str] | None = None,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 4,
+    num_partitions: int = 32,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """EXACT left-semi join, bloom-accelerated: result is identical to
+    ``hash_join(..., "left_semi")`` but only probable matches pay the keyed
+    exchange.
+
+    1. Every right batch folds its keys into a partial bitmap (fixed
+       ``num_bits/8`` bytes — 1 MiB at the default — regardless of row
+       count); partials OR-combine into one bitmap. The fan-in is one
+       small array per right BLOCK; if the build side ever has thousands
+       of blocks, lift the OR into a tree reduce like cdc/apply._FANIN.
+    2. The bitmap is ``ray.put`` once and each probe actor fetches it in
+       ``__init__``; left rows failing the membership test are dropped
+       before the shuffle. No false negatives (every inserted key tests
+       positive), so nothing real is lost.
+    3. The surviving left rows run the ordinary exact semi join, which
+       removes bloom false positives (~0.24%% at 1 M keys / 8 Mbit / k=4).
+
+    At a 100 TB left with a selective build side this turns the all-to-all
+    exchange into one over ~selectivity x |left| rows for the price of a
+    1 MiB broadcast."""
+    right_on = list(right_on or on)
+    on = list(on)
+    words = num_bits >> 6
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        bmp = np.zeros(words, dtype=np.uint64)
+        if t.num_rows:
+            valid = np.ones(t.num_rows, dtype=bool)
+            for c in right_on:
+                valid &= pc.is_valid(t[c]).to_numpy(zero_copy_only=False)
+            sub = t.filter(pa.array(valid)) if not valid.all() else t
+            if sub.num_rows:
+                _bloom_set(bmp, _key_hash64(sub, right_on),
+                           num_bits, num_hashes)
+        return pa.table({"bmp": pa.array([bmp.tobytes()], pa.binary())})
+
+    agg = np.zeros(words, dtype=np.uint64)
+    bloom_ds = right.map_batches(partial_bloom, batch_format="pyarrow")
+    for b in bloom_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for buf in b["bmp"].to_pylist():
+            agg |= np.frombuffer(buf, dtype=np.uint64)
+    bmp_ref = ray.put(agg)
+
+    survivors = left.map_batches(
+        _BloomProbe, batch_format="pyarrow",
+        fn_constructor_args=(bmp_ref, on, num_bits, num_hashes),
+        concurrency=concurrency)
+    return hash_join(survivors, right, on=on, right_on=right_on,
+                     join_type="left_semi", num_partitions=num_partitions)

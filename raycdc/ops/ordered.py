@@ -51,14 +51,14 @@ def _hash_bucket(t: pa.Table, key_cols: "str | list[str]", bcol: str,
                  num_partitions: int) -> pa.Table:
     """Append an int64 bucket-id column from the hash of one key column
     (or a list of them) — the one shared implementation of the
-    hash → % P → append dance used before every partition_map."""
-    import pandas as pd
+    hash → % P → append dance used before every partition_map.
+    Uses the batch-layout-invariant hash (shuffle.stable_hash): nullable
+    int keys must not route differently in null-containing batches."""
+    from raycdc.shuffle import stable_hash
 
     if isinstance(key_cols, str):
-        hashed = t[key_cols].to_pandas()
-    else:
-        hashed = t.select(list(key_cols)).to_pandas()
-    h = pd.util.hash_pandas_object(hashed, index=False).to_numpy()
+        key_cols = [key_cols]
+    h = stable_hash(t, list(key_cols))
     return t.append_column(
         bcol, pa.array((h % num_partitions).astype("int64")))
 

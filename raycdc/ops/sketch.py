@@ -18,10 +18,15 @@ import pyarrow.compute as pc
 import ray.data
 
 
-def _registers(values: pd.Series, p: int) -> np.ndarray:
-    """Fold one batch of values into 2^p HLL registers."""
+def _registers(values: "pa.Array | pa.ChunkedArray", p: int) -> np.ndarray:
+    """Fold one batch of values into 2^p HLL registers. Hashing is
+    batch-layout-invariant (shuffle.stable_hash): a nullable int column
+    must hash a value identically whether its batch has nulls or not, or
+    the register merge double-counts."""
+    from raycdc.shuffle import stable_hash
+
     m = 1 << p
-    h = pd.util.hash_pandas_object(values, index=False).to_numpy()
+    h = stable_hash(values)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     # pad the reclaimed low bits with 1s so rest is never 0 and the rank is
     # capped at 64 - p + 1
@@ -51,7 +56,7 @@ def approx_distinct(ds: ray.data.Dataset, col: str, *,
     (~1.6% at the default p=12; 4 KiB of registers per task)."""
 
     def batch_regs(t: pa.Table) -> pa.Table:
-        regs = _registers(t[col].to_pandas(), precision)
+        regs = _registers(t[col], precision)
         return pa.table({"regs": pa.FixedSizeListArray.from_arrays(
             pa.array(regs, pa.uint8()), len(regs))})
 
@@ -289,8 +294,9 @@ def approx_distinct_by(ds: ray.data.Dataset, key_col: str, col: str, *,
             vals = vals.combine_chunks()
         valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
         codes, dictionary = _key_codes(t, key_col)
-        h = pd.util.hash_pandas_object(vals.to_pandas(),
-                                       index=False).to_numpy()
+        from raycdc.shuffle import stable_hash
+
+        h = stable_hash(vals)
         idx = (h >> np.uint64(64 - precision)).astype(np.int64)
         rest = (h << np.uint64(precision)) | np.uint64((1 << precision) - 1)
         lz = (63 - np.floor(np.log2(rest.astype(np.float64)))).astype(

@@ -138,10 +138,9 @@ def session_window(
     bcol = "__rcdc_sb"
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import pandas as pd
+        from raycdc.shuffle import stable_hash
 
-        h = pd.util.hash_pandas_object(
-            t[key_col].to_pandas(), index=False).to_numpy()
+        h = stable_hash(t, [key_col])
         return t.append_column(
             bcol, pa.array((h % num_partitions).astype("int64")))
 

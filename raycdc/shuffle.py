@@ -18,9 +18,44 @@ from __future__ import annotations
 from typing import Callable
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+
+_PD_NULLABLE = {
+    pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+    pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+    pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+    pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+    pa.bool_(): pd.BooleanDtype(),
+}
+
+
+def stable_types_mapper(t: pa.DataType):
+    """``to_pandas`` types_mapper making int/bool columns null-safe for
+    hashing: a null in a plain conversion flips int64 -> float64 (bool ->
+    object), and ``hash_pandas_object(float64 2.0) != hash(int64 2)`` —
+    so one null row in a batch silently changes EVERY key's hash in that
+    batch relative to null-free batches, splitting equal keys across
+    exchange partitions. Masked dtypes (Int64 etc.) hash non-null values
+    identically to their plain counterparts."""
+    return _PD_NULLABLE.get(t)
+
+
+def stable_hash(data: "pa.Table | pa.Array | pa.ChunkedArray",
+                cols: "list[str] | None" = None) -> np.ndarray:
+    """Batch-layout-invariant row hash (uint64) of a table's columns or a
+    single array: the one hash every cross-batch exchange / membership
+    check must use (see :func:`stable_types_mapper` for why)."""
+    if not isinstance(data, pa.Table):
+        data = pa.table({"__c": data})
+    elif cols is not None:
+        data = data.select(list(cols))
+    obj = data.to_pandas(types_mapper=stable_types_mapper)
+    if data.num_columns == 1:
+        obj = obj.iloc[:, 0]
+    return pd.util.hash_pandas_object(obj, index=False).to_numpy()
 
 
 def lazy_schema(ds: ray.data.Dataset):

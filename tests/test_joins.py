@@ -263,3 +263,75 @@ def test_minhash_pairs_int32_ids():
     out = to_table(minhash_lsh_pairs(ds, threshold=0.5, num_partitions=2))
     pairs = {(r["id_a"], r["id_b"]) for r in out.to_pylist()}
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_bloom_semi_join_equals_exact(sf_dir):
+    from raycdc.joins import bloom_semi_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+    got = (to_table(bloom_semi_join(cust, orders, on=["c_custkey"],
+                                    right_on=["o_custkey"],
+                                    num_partitions=4))
+           .to_pandas().sort_values("c_custkey").reset_index(drop=True))
+    want = (to_table(hash_join(cust, orders, on=["c_custkey"],
+                               right_on=["o_custkey"],
+                               join_type="left_semi", num_partitions=4))
+            .to_pandas().sort_values("c_custkey").reset_index(drop=True))
+    assert got["c_custkey"].tolist() == want["c_custkey"].tolist()
+    assert got["c_name"].tolist() == want["c_name"].tolist()
+
+
+def test_bloom_semi_join_null_keys_and_prefilter():
+    from raycdc.joins import _BloomProbe, _bloom_set, _key_hash64, \
+        bloom_semi_join
+    import numpy as np
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, None, 4, 5], pa.int64()),
+        "v": pa.array(list("abcde")),
+    })).repartition(2)
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2, 4, None], pa.int64()),
+    }))
+    out = (to_table(bloom_semi_join(left, right, on=["k"], right_on=["rk"],
+                                    num_bits=1 << 12, num_partitions=2))
+           .to_pandas().sort_values("k"))
+    # null keys never match on either side
+    assert out["k"].tolist() == [2, 4]
+
+    # no false negatives: every inserted key must pass the probe
+    t = pa.table({"k": pa.array(range(10_000), pa.int64())})
+    bmp = np.zeros((1 << 18) >> 6, dtype=np.uint64)
+    _bloom_set(bmp, _key_hash64(t, ["k"]), 1 << 18, 4)
+    probe = _BloomProbe(bmp, ["k"], 1 << 18, 4)
+    assert probe(t).num_rows == 10_000
+    # and a disjoint key range is mostly filtered out (fpp far below 50%)
+    miss = pa.table({"k": pa.array(range(50_000, 60_000), pa.int64())})
+    assert probe(miss).num_rows < 1_000
+
+
+def test_hash_join_null_key_batch_dtype_stability():
+    """Regression: a null in an int64 key batch used to flip the batch to
+    float64 in key_hash (to_pandas), mis-bucketing every key in it —
+    left [2,4] semi right [2,4,None] silently lost 2."""
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 4], pa.int64()),
+        "v": pa.array(["x", "y"])}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2, 4, None], pa.int64())}))
+    for jt, expect in [("left_semi", [2, 4]), ("left_anti", []),
+                       ("inner", [2, 4])]:
+        out = to_table(hash_join(left, right, on=["k"], right_on=["rk"],
+                                 join_type=jt, num_partitions=2))
+        got = sorted(out["k"].to_pylist()) if out is not None else []
+        assert got == expect, jt
+    # null LEFT keys: kept by anti, dropped by semi/inner
+    nleft = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, None], pa.int64()),
+        "v": pa.array(["x", "y"])}))
+    anti = to_table(hash_join(nleft, right, on=["k"], right_on=["rk"],
+                              join_type="left_anti", num_partitions=2))
+    assert anti["v"].to_pylist() == ["y"]

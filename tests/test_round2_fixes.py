@@ -156,3 +156,63 @@ def test_session_window_matches_pandas_reference():
     pd.testing.assert_frame_equal(
         got[["k", "session_start", "session_end", "n"]], ref, check_dtype=False)
     del base  # (kept for clarity of the fixture's epoch)
+
+
+# --------------------------------------------------------- stable hashing
+def _tt(ds) -> pa.Table:
+    tabs = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None) if b.num_rows]
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+def test_stable_hash_null_batch_invariance():
+    """A key must route identically whether its batch contains nulls or
+    not (plain to_pandas used to flip int64 -> float64 and change every
+    hash in the batch)."""
+    import numpy as np
+
+    from raycdc.shuffle import stable_hash
+
+    clean = pa.table({"k": pa.array([2, 4], pa.int64())})
+    dirty = pa.table({"k": pa.array([2, 4, None], pa.int64())})
+    assert (stable_hash(clean, ["k"]) ==
+            stable_hash(dirty, ["k"])[:2]).all()
+    assert (stable_hash(clean["k"]) == stable_hash(dirty["k"])[:2]).all()
+
+
+def test_distinct_and_setops_nullable_int_across_batches():
+    """distinct/EXCEPT/INTERSECT with an int column that has nulls in one
+    batch but not another: equal rows must still co-locate."""
+    from raycdc.agg import distinct_rows, except_rows, intersect_rows
+
+    # block 0 has a null, block 1 doesn't — the value 7 appears in both
+    blocks_l = [pa.table({"k": pa.array([7, None], pa.int64())}),
+                pa.table({"k": pa.array([7, 8], pa.int64())})]
+    left = ray.data.from_arrow(blocks_l)
+    right = ray.data.from_arrow(
+        [pa.table({"k": pa.array([7], pa.int64())}),
+         pa.table({"k": pa.array([9, None], pa.int64())})])
+    d = sorted(_tt(distinct_rows(left, ["k"], num_partitions=4))
+               ["k"].to_pylist(), key=lambda x: (x is None, x))
+    assert d == [7, 8, None]
+    inter = _tt(intersect_rows(left, right, num_partitions=4))
+    got = sorted(inter["k"].to_pylist(), key=lambda x: (x is None, x))
+    assert got == [7, None]  # SQL INTERSECT treats NULLs as equal
+    exc = _tt(except_rows(left, right, num_partitions=4))
+    assert exc["k"].to_pylist() == [8]
+
+
+def test_grouped_aggregate_partition_nullable_key_across_batches():
+    from raycdc.agg import grouped_aggregate
+
+    blocks = [pa.table({"k": pa.array([1, None], pa.int64()),
+                        "v": pa.array([10, 5], pa.int64())}),
+              pa.table({"k": pa.array([1, 2], pa.int64()),
+                        "v": pa.array([20, 7], pa.int64())})]
+    ds = ray.data.from_arrow(blocks)
+    out = _tt(grouped_aggregate(ds, ["k"], sums={"s": "v"},
+                                exchange="partition",
+                                num_partitions=4)).to_pandas()
+    got = {(None if pd.isna(k) else int(k)): int(s)
+           for k, s in zip(out["k"], out["s"])}
+    assert got == {1: 30, 2: 7, None: 5}
