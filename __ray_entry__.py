@@ -892,17 +892,16 @@ def _q_rollup_lineitem(sf_dir: str):
 
 def _et_hours(sf_dir: str, event_type: str):
     """(user_id, hour) pairs for one event type — shared by the set-op
-    queries (EXCEPT/INTERSECT need matching projections on both sides)."""
-    import numpy as np  # noqa: F401  (vectorized hour truncation)
-
+    queries (EXCEPT/INTERSECT need matching projections on both sides).
+    Hour truncation stays in Arrow compute (floor_temporal) so a null ts
+    yields a null hour row like the oracle's date_trunc — the old
+    int64→numpy hop turned nulls into float64 NaN and crashed on the cast
+    back to timestamp."""
     ev = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
 
     def fn(t: pa.Table) -> pa.Table:
         c = t.filter(pc.equal(t["event_type"], event_type))
-        us = c["ts"].combine_chunks().cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        hour = pa.array((us // 3_600_000_000) * 3_600_000_000) \
-            .cast(pa.timestamp("us"))
+        hour = pc.floor_temporal(c["ts"], unit="hour")
         return pa.table({"user_id": c["user_id"], "h": hour})
 
     return ev.map_batches(fn, batch_format="pyarrow")

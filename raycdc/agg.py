@@ -20,6 +20,11 @@ from ray.data.aggregate import Max, Min, Sum
 # (plain to_pandas flips nullable int64 -> float64): see shuffle.stable_hash
 from raycdc.shuffle import stable_types_mapper as _stm
 
+# ROLLUP/CUBE compute coarser grouping sets on the DRIVER from the finest
+# level; cap that materialization so a pathological high-cardinality key
+# fails loudly instead of OOMing the driver silently.
+_GROUPING_SETS_MAX_ROWS = 2_000_000
+
 
 def distinct_rows(ds: ray.data.Dataset, subset: list[str],
                   num_partitions: int = 32) -> ray.data.Dataset:
@@ -263,8 +268,20 @@ def _grouping_sets(
             [(k, schema_map.get(k, pa.string())) for k in keys]
             + agg_fields + [(cnt, pa.int64())]).empty_table()
 
+    if base.num_rows > _GROUPING_SETS_MAX_ROWS:
+        raise ValueError(
+            f"rollup/cube finest grouping level has {base.num_rows} rows "
+            f"(> {_GROUPING_SETS_MAX_ROWS}): the coarser grouping sets are "
+            "computed on the driver from the finest level, which is only "
+            "sound for smallish key-combination cardinalities. Use "
+            "grouped_aggregate per grouping set (one distributed shuffle "
+            "each) for high-cardinality keys.")
     levels = [base]
-    df = base.to_pandas()
+    # masked-dtype conversion: a null in a nullable-int key or min/max
+    # column would flip a plain to_pandas to float64, silently corrupting
+    # values past 2^53 and making the cast back to int64 raise on
+    # non-integral floats; masked Int64 round-trips exactly.
+    df = base.to_pandas(types_mapper=_stm)
     for kept in subsets:
         dropped = [k for k in keys if k not in kept]
         if kept:
@@ -370,9 +387,19 @@ def hash_sample(ds: ray.data.Dataset, id_col: str, frac: float,
 
     def keep(t: pa.Table) -> pa.Table:
         import numpy as np
+        import pyarrow.compute as pc
 
+        # Null ids are dropped first, matching the SQL oracle (a NULL id
+        # makes the WHERE predicate NULL → row filtered out). Filtering on
+        # Arrow also keeps to_numpy from flipping an int64 column with
+        # nulls to float64+NaN, whose min()<0 guard is silently false and
+        # whose uint64 cast is undefined garbage.
+        valid = pc.is_valid(t[id_col])
+        if t.num_rows and not pc.all(valid).as_py():
+            t = t.filter(valid)
         raw = t[id_col].to_numpy(zero_copy_only=False)
-        if len(raw) and raw.min() < 0:
+        if len(raw) and (raw.min() < 0 or
+                         (raw.dtype.kind == "f" and np.isnan(raw).any())):
             # SQL % keeps the dividend's sign while numpy wraps through
             # uint64 — the documented SQL-equivalence only holds for
             # non-negative ids, so reject rather than silently diverge
@@ -410,9 +437,19 @@ def stratified_sample(ds: ray.data.Dataset, key_col: str, id_col: str,
     bcol = "__rcdc_ss"
 
     def bucket_sample(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         codes, _ = _key_codes(t, key_col)
+        if t.num_rows and t[id_col].null_count:
+            # A null id would reach to_numpy as float64 NaN, whose min()<0
+            # guard is silently false and whose uint64 cast is garbage —
+            # reject loudly (the SQL QUALIFY oracle orders nulls
+            # engine-specifically, so there is no silent-match choice).
+            raise ValueError(
+                f"stratified_sample requires non-null ids in {id_col!r}")
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        if len(ids) and ids.min() < 0:
+        if len(ids) and (ids.min() < 0 or
+                         (ids.dtype.kind == "f" and np.isnan(ids).any())):
             raise ValueError(
                 f"stratified_sample requires non-negative ids in {id_col!r}"
                 " (SQL % sign semantics diverge for negatives)")

@@ -111,6 +111,30 @@ def hash_join(
         set(on) & set(right_on))
     if overlap:
         raise ValueError(f"Overlapping non-key columns in join: {sorted(overlap)}")
+    # Acero rejects mismatched key dtypes (int32 vs int64). When the two
+    # sides' key types differ but normalize to the same family, widen BOTH
+    # to the normalized type (SQL joins int32 against int64 fine); when
+    # they already match, leave them untouched so output schemas are
+    # stable for same-typed joins.
+    lcast: dict[str, pa.DataType] = {}
+    rcast: dict[str, pa.DataType] = {}
+    for lk, rk in zip(on, right_on):
+        lt_, rt_ = lschema.field(lk).type, rschema.field(rk).type
+        if lt_ != rt_:
+            norm_l, norm_r = _normalize_key_type(lt_), _normalize_key_type(rt_)
+            if norm_l != norm_r:
+                raise ValueError(
+                    f"Join key dtypes incompatible: {lk}:{lt_} vs {rk}:{rt_}")
+            if lt_ != norm_l:
+                lcast[lk] = norm_l
+            if rt_ != norm_r:
+                rcast[rk] = norm_r
+    if lcast:
+        lschema = pa.schema([pa.field(f.name, lcast.get(f.name, f.type))
+                             for f in lschema])
+    if rcast:
+        rschema = pa.schema([pa.field(f.name, rcast.get(f.name, f.type))
+                             for f in rschema])
     semi_anti = join_type in ("left_semi", "left_anti")
     unified = pa.schema(
         list(lschema)
@@ -129,7 +153,10 @@ def hash_join(
                     cols[f.name] = pa.array(
                         np.full(t.num_rows, side, dtype=np.int8))
                 elif f.name in t.column_names:
-                    cols[f.name] = t[f.name]
+                    arr = t[f.name]
+                    if arr.type != f.type:  # widened cross-type join key
+                        arr = pc.cast(arr, f.type)
+                    cols[f.name] = arr
                 else:
                     cols[f.name] = pa.nulls(t.num_rows, f.type)
             out = pa.table(cols)
@@ -213,13 +240,46 @@ def _pa_schema(ds: ray.data.Dataset) -> pa.Schema:
     return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
 
 
+def _widen_shared_fields(
+        lschema: pa.Schema, rschema: pa.Schema
+) -> tuple[pa.Schema, pa.Schema]:
+    """Same-named fields whose types differ across the two sides are
+    widened to their normalized common type on BOTH sides (int32 vs int64
+    → int64, like SQL); incompatible families raise. Same-typed fields are
+    untouched so output schemas stay stable for ordinary joins."""
+    lcast: dict[str, pa.DataType] = {}
+    rcast: dict[str, pa.DataType] = {}
+    for f in lschema:
+        if f.name not in rschema.names:
+            continue
+        rt = rschema.field(f.name).type
+        if f.type == rt:
+            continue
+        nl, nr = _normalize_key_type(f.type), _normalize_key_type(rt)
+        if nl != nr:
+            raise ValueError(
+                f"Shared column dtypes incompatible: {f.name}: "
+                f"{f.type} vs {rt}")
+        if f.type != nl:
+            lcast[f.name] = nl
+        if rt != nr:
+            rcast[f.name] = nr
+    if lcast:
+        lschema = pa.schema([pa.field(f.name, lcast.get(f.name, f.type))
+                             for f in lschema])
+    if rcast:
+        rschema = pa.schema([pa.field(f.name, rcast.get(f.name, f.type))
+                             for f in rschema])
+    return lschema, rschema
+
+
 def _copartition_apply(left, right, by, num_partitions, key_cols, out_schema,
-                       fn):
+                       fn, lschema, rschema):
     """Co-locate two Datasets by ``hash(by)`` with the partition-only
     exchange and run ``fn(left_table, right_table) -> table`` once per
-    partition. The shared machinery behind asof_join / interval_join."""
-    lschema = _pa_schema(left)
-    rschema = _pa_schema(right)
+    partition. The shared machinery behind asof_join / interval_join.
+    ``lschema``/``rschema`` are the caller's (possibly width-unified, see
+    :func:`_widen_shared_fields`) side schemas."""
     overlap = (set(lschema.names) & set(rschema.names)) - set(key_cols)
     if overlap:
         raise ValueError(f"Overlapping non-key columns: {sorted(overlap)}")
@@ -239,7 +299,10 @@ def _copartition_apply(left, right, by, num_partitions, key_cols, out_schema,
                     cols[f.name] = pa.array(
                         np.full(t.num_rows, side, dtype=np.int8))
                 elif f.name in t.column_names:
-                    cols[f.name] = t[f.name]
+                    arr = t[f.name]
+                    if arr.type != f.type:  # width-unified shared column
+                        arr = pc.cast(arr, f.type)
+                    cols[f.name] = arr
                 else:
                     cols[f.name] = pa.nulls(t.num_rows, f.type)
             out = pa.table(cols)
@@ -282,8 +345,8 @@ def asof_join(
     winner is unspecified (like DuckDB's ASOF JOIN) — pre-dedup the right
     side for reproducible output. Non-key column names must be disjoint.
     """
-    lschema = _pa_schema(left)
-    rschema = _pa_schema(right)
+    lschema, rschema = _widen_shared_fields(
+        _pa_schema(left), _pa_schema(right))
     out_schema = pa.schema(
         list(lschema) + [f for f in rschema if f.name not in (on, *by)])
 
@@ -309,35 +372,83 @@ def asof_join(
         return pa.table(cols, schema=out_schema)
 
     return _copartition_apply(left, right, by, num_partitions,
-                              {on, *by}, out_schema, join_fn)
+                              {on, *by}, out_schema, join_fn,
+                              lschema, rschema)
+
+
+def _skeleton_valid_mask(t: pa.Table, cols: list[str]) -> "np.ndarray":
+    """Rows whose every key column is non-null and (for floats) non-NaN,
+    computed on the ARROW table — see _asof_match for why this must happen
+    before any pandas conversion."""
+    m = np.ones(t.num_rows, dtype=bool)
+    for c in cols:
+        arr = t[c]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        m &= pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        if pa.types.is_floating(arr.type):
+            m &= ~pc.fill_null(pc.is_nan(arr), True).to_numpy(
+                zero_copy_only=False)
+    return m
+
+
+def _skeleton_frame(t: pa.Table, cols: list[str], mask: "np.ndarray",
+                    idx_name: str) -> "pd.DataFrame":
+    """Null-free key skeleton as pandas with original row positions. Key
+    columns are dtype-normalized (int*→int64, float*→float64,
+    timestamp/date/time→int64) so merge_asof never sees a cross-side dtype
+    mismatch; null rows were dropped on Arrow so the conversion can never
+    flip an int column to float64."""
+    sub = t.select(cols)
+    if not mask.all():
+        sub = sub.filter(pa.array(mask))
+    out = {}
+    for c in cols:
+        arr = sub[c]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        norm = _normalize_key_type(arr.type)
+        if pa.types.is_timestamp(norm) or pa.types.is_date(norm) \
+                or pa.types.is_time(norm):
+            arr = pc.cast(arr, pa.int64())
+        elif norm != arr.type:
+            arr = pc.cast(arr, norm)
+        out[c] = arr.to_pandas()
+    df = pd.DataFrame(out)
+    df[idx_name] = np.arange(t.num_rows, dtype=np.int64)[mask]
+    return df
 
 
 def _asof_match(lt: pa.Table, rt: pa.Table, *, on: str, right_on: str,
                 by: list[str]) -> "np.ndarray":
     """Backward as-of matching on key skeletons: returns, per left row (in
     lt order), the matched right row index or -1. Rows with a null `on` /
-    `right_on` or any null `by` key never match."""
-    nl, nr = lt.num_rows, rt.num_rows
-    ldf = lt.select([on] + list(by)).to_pandas()
-    ldf["__li"] = np.arange(nl, dtype=np.int64)
-    rdf = rt.select([right_on] + list(by)).to_pandas()
-    rdf["__ri"] = np.arange(nr, dtype=np.int64)
+    `right_on` or any null `by` key never match.
+
+    Null-key rows are filtered on the ARROW tables before ``to_pandas``:
+    a null in a plain to_pandas of an int64 key flips that side's column
+    to float64 while the null-free side stays int64, and merge_asof then
+    raises MergeError on the mismatched key dtypes. Filtering first keeps
+    both skeletons' dtypes stable (and NaN float keys are excluded like
+    nulls, matching the previous notna() semantics)."""
+    nl = lt.num_rows
+    lcols, rcols = [on] + list(by), [right_on] + list(by)
+    lmask = _skeleton_valid_mask(lt, lcols)
+    rmask = _skeleton_valid_mask(rt, rcols)
+    ri = np.full(nl, -1, dtype=np.int64)
+    if not lmask.any() or not rmask.any():
+        return ri
+    ldf = _skeleton_frame(lt, lcols, lmask, "__li")
+    rdf = _skeleton_frame(rt, rcols, rmask, "__ri")
     if right_on != on:
         rdf = rdf.rename(columns={right_on: on})
-    lmask = ldf[on].notna()
-    rmask = rdf[on].notna()
-    for b in by:
-        lmask &= ldf[b].notna()
-        rmask &= rdf[b].notna()
-    ri = np.full(nl, -1, dtype=np.int64)
-    lv = ldf[lmask].sort_values(on, kind="stable")
-    rv = rdf[rmask].sort_values(on, kind="stable")
-    if len(lv) and len(rv):
-        merged = pd.merge_asof(lv, rv, on=on, by=by, direction="backward")
-        mri = merged["__ri"].to_numpy()
-        li = merged["__li"].to_numpy().astype(np.int64)
-        has = ~pd.isna(mri)
-        ri[li[has]] = mri[has].astype(np.int64)
+    lv = ldf.sort_values(on, kind="stable")
+    rv = rdf.sort_values(on, kind="stable")
+    merged = pd.merge_asof(lv, rv, on=on, by=list(by), direction="backward")
+    mri = merged["__ri"].to_numpy()
+    li = merged["__li"].to_numpy().astype(np.int64)
+    has = ~pd.isna(mri)
+    ri[li[has]] = mri[has].astype(np.int64)
     return ri
 
 
@@ -361,8 +472,8 @@ def interval_join(
     """
     if join_type not in ("inner", "left_outer"):
         raise ValueError("interval_join supports inner / left_outer")
-    lschema = _pa_schema(left)
-    rschema = _pa_schema(right)
+    lschema, rschema = _widen_shared_fields(
+        _pa_schema(left), _pa_schema(right))
     out_schema = pa.schema(
         list(lschema) + [f for f in rschema if f.name not in by])
 
@@ -401,19 +512,34 @@ def interval_join(
         return pa.table(cols, schema=out_schema)
 
     return _copartition_apply(left, right, by, num_partitions,
-                              set(by), out_schema, join_fn)
+                              set(by), out_schema, join_fn,
+                              lschema, rschema)
 
 
 # --------------------------------------------------------------- bloom semi
+_BLOOM_FANIN = 64  # partial bitmaps OR-combined per tree-reduce task
+
+
 def _key_hash64(t: pa.Table, cols: list[str]) -> "np.ndarray":
     """Order-sensitive 64-bit hash of the key tuple, name-independent (both
     join sides must produce identical hashes even when their key COLUMNS are
-    named differently, so column names never enter the hash)."""
+    named differently, so column names never enter the hash). Key dtypes are
+    normalized exactly like :func:`key_hash` (int*→int64, float*→float64,
+    string→large_string, timestamp/date/time→int64) — without this an int32
+    build side vs an int64 probe side hashes the same logical key to two
+    different values, and a bloom false NEGATIVE silently drops rows the
+    exact semi join would keep."""
     h = None
     for c in cols:
         arr = t[c]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        norm = _normalize_key_type(arr.type)
+        if pa.types.is_timestamp(norm) or pa.types.is_date(norm) \
+                or pa.types.is_time(norm):
+            arr = pc.cast(arr, pa.int64())
+        elif norm != arr.type:
+            arr = pc.cast(arr, norm)
         hc = pd.util.hash_pandas_object(arr.to_pandas(),
                                         index=False).to_numpy()
         h = hc if h is None else (
@@ -477,6 +603,8 @@ def bloom_semi_join(
     num_hashes: int = 4,
     num_partitions: int = 32,
     concurrency=(1, 8),
+    auto_skip: float | None = 0.95,
+    probe_sample: int = 8192,
 ) -> ray.data.Dataset:
     """EXACT left-semi join, bloom-accelerated: result is identical to
     ``hash_join(..., "left_semi")`` but only probable matches pay the keyed
@@ -484,15 +612,24 @@ def bloom_semi_join(
 
     1. Every right batch folds its keys into a partial bitmap (fixed
        ``num_bits/8`` bytes — 1 MiB at the default — regardless of row
-       count); partials OR-combine into one bitmap. The fan-in is one
-       small array per right BLOCK; if the build side ever has thousands
-       of blocks, lift the OR into a tree reduce like cdc/apply._FANIN.
+       count); partials OR-combine through a ``_BLOOM_FANIN``-way combine
+       stage (so the driver sees one row per FANIN blocks, not one per
+       block) and finish on the driver.
     2. The bitmap is ``ray.put`` once and each probe actor fetches it in
        ``__init__``; left rows failing the membership test are dropped
        before the shuffle. No false negatives (every inserted key tests
        positive), so nothing real is lost.
     3. The surviving left rows run the ordinary exact semi join, which
        removes bloom false positives (~0.24%% at 1 M keys / 8 Mbit / k=4).
+
+    ``auto_skip``: an UNSELECTIVE build side (most left keys match) makes
+    the probe stage pure overhead — the bitmap drops nothing and the full
+    exchange still runs. After building the bitmap, a ``probe_sample``-row
+    prefix of the left side is tested on the driver; if its survival rate
+    exceeds ``auto_skip`` the probe stage is skipped and the plain exact
+    semi join runs directly (same rows either way — the bloom filter is
+    only ever an exchange-volume optimization). Pass ``auto_skip=None``
+    to force the probe stage unconditionally.
 
     At a 100 TB left with a selective build side this turns the all-to-all
     exchange into one over ~selectivity x |left| rows for the price of a
@@ -513,12 +650,40 @@ def bloom_semi_join(
                            num_bits, num_hashes)
         return pa.table({"bmp": pa.array([bmp.tobytes()], pa.binary())})
 
+    def or_bloom(t: pa.Table) -> pa.Table:
+        bmp = np.zeros(words, dtype=np.uint64)
+        for buf in t["bmp"].to_pylist():
+            bmp |= np.frombuffer(buf, dtype=np.uint64)
+        return pa.table({"bmp": pa.array([bmp.tobytes()], pa.binary())})
+
+    # Build side is small by assumption — materialize it once so the bitmap
+    # build and the final exact join don't each re-run the right pipeline.
+    right = right.materialize()
     agg = np.zeros(words, dtype=np.uint64)
-    bloom_ds = right.map_batches(partial_bloom, batch_format="pyarrow")
+    bloom_ds = right.map_batches(
+        partial_bloom, batch_format="pyarrow"
+    ).map_batches(
+        # Tree fan-in: each combine task ORs up to _BLOOM_FANIN partial
+        # bitmaps, so the driver loop below reads blocks/FANIN rows even
+        # when the build side has thousands of blocks.
+        or_bloom, batch_format="pyarrow", batch_size=_BLOOM_FANIN)
     for b in bloom_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
         for buf in b["bmp"].to_pylist():
             agg |= np.frombuffer(buf, dtype=np.uint64)
     bmp_ref = ray.put(agg)
+
+    if auto_skip is not None and probe_sample > 0:
+        sample_batches = list(left.limit(probe_sample).iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+        sample = (pa.concat_tables(sample_batches, promote_options="default")
+                  if sample_batches else None)
+        if sample is not None and sample.num_rows:
+            probe = _BloomProbe(agg, on, num_bits, num_hashes)
+            survival = probe(sample).num_rows / sample.num_rows
+            if survival > auto_skip:
+                return hash_join(left, right, on=on, right_on=right_on,
+                                 join_type="left_semi",
+                                 num_partitions=num_partitions)
 
     survivors = left.map_batches(
         _BloomProbe, batch_format="pyarrow",
