@@ -754,6 +754,37 @@ def _q_cdc_replay(sf_dir: str):
     return ds.select_columns(["url", "warc_ts", "seq", "text", "lang"])
 
 
+def _cdc_replay_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """The flagship's final lake state IS SQL-expressible: winner per url
+    by (warc_ts DESC, seq DESC) over the WAL parquet DuckDB reads
+    directly, tombstones dropped — the exact LWW contract of
+    raycdc/cdc/lww.py. The driver's correctness pass runs at sf0.01, so
+    oracle_sql() targets that WAL (tests pass their own sf_dir);
+    generating it here (deterministic, idempotent, numpy-only — no Ray
+    session needed) makes the oracle valid whichever of the Ray query /
+    oracle runs first."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    n = 50_000 if "0.01" in sf_tag else 20_000
+    wal, spec = _cdc_spec(sf_tag, n)
+    try:
+        generate_changelog(wal, spec)
+    except OSError:
+        pass  # read-only FS etc.: the Ray query's own generation covers it
+    return f"""
+        WITH ev AS (
+            SELECT seq, op, page.url AS url,
+                   page.fetch.warc_ts AS warc_ts,
+                   page.content.text AS text, page.content.lang AS lang
+            FROM read_parquet('{wal}/events-*.parquet')
+        ), win AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM ev
+        )
+        SELECT url, warc_ts, seq, text, lang
+        FROM win WHERE rn = 1 AND op <> 'D'"""
+
+
 def _q_window_tumbling(sf_dir: str):
     from raycdc.ops.window import tumbling_window
 
@@ -1252,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
+        "cdc_replay": _cdc_replay_oracle_sql(),
         "dedup_exact": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
             FROM documents GROUP BY text""",

@@ -65,7 +65,11 @@ QUERIES = entrymod.queries()
 def test_query_matches_oracle(name, sf_dir):
     ray_df = to_df(QUERIES[name](sf_dir))
     con = duck_con(sf_dir)
-    sql_df = con.sql(ORACLE[name]).df()
+    # the cdc_replay oracle reads the WAL whose path depends on the scale
+    # factor; oracle_sql() pins the driver's sf0.01, tests re-derive it
+    sql = (entrymod._cdc_replay_oracle_sql(sf_dir)
+           if name == "cdc_replay" else ORACLE[name])
+    sql_df = con.sql(sql).df()
     assert_frames_match(ray_df, sql_df, name)
 
 
