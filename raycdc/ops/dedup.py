@@ -386,25 +386,62 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash over token hashes (numpy-vectorized per batch)."""
+    """64-bit SimHash over token hashes (numpy-vectorized per batch).
+
+    Batched like :class:`MinHasher`: the whole batch is tokenized with ONE
+    regex pass over a NUL-joined buffer (``\\w+|\\x00`` — the separator
+    matches too, marking document boundaries), every token is hashed in one
+    ``hash_pandas_object`` call, bit votes are summed per document with
+    ``np.add.reduceat``, and the sign bits re-pack into the 64-bit hash.
+    Values are identical to the per-document kernel (same token strings,
+    same element-wise hash, same vote arithmetic)."""
+
+    _TOKEN_RE = None  # compiled lazily once per process
 
     def __init__(self, text_col: str, id_col: str, seed: int = 29):
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        import re
+        # lazy class-level compile must happen HERE: __init__ runs on the
+        # driver and the compiled pattern doesn't pickle with the instance
+        if SimHasher._TOKEN_RE is None:
+            import re
+            SimHasher._TOKEN_RE = re.compile(r"\w+|\x00")
         texts = t[self.text_col].to_pylist()
-        out = np.zeros(len(texts), dtype=np.uint64)
-        token_re = re.compile(r"\w+")
-        for i, s in enumerate(texts):
-            toks = token_re.findall((s or "").lower())
-            if not toks:
-                continue
-            h = pd.util.hash_pandas_object(pd.Series(toks), index=False).to_numpy()
-            shifts = np.arange(64, dtype=np.uint64)
-            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
-            v = (2 * bits - 1).sum(axis=0)
-            out[i] = ((v > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+        n = len(texts)
+        out = np.zeros(n, dtype=np.uint64)
+        if n:
+            # \x00 is never a word char, so replacing embedded NULs with a
+            # space changes no token while keeping the joined-buffer
+            # separators unambiguous
+            lowered = [(s or "").lower().replace("\x00", " ") for s in texts]
+            mixed = np.array(self._TOKEN_RE.findall("\x00".join(lowered)),
+                             dtype=object)
+            # the comparand must be an OBJECT scalar: numpy's unicode dtype
+            # strips trailing NULs, so `mixed == "\x00"` compares against ""
+            is_sep = mixed == np.array("\x00", dtype=object)
+            doc_of = np.cumsum(is_sep)  # separator i starts doc i+1
+            toks = mixed[~is_sep]
+            if len(toks):
+                doc_ids = doc_of[~is_sep]
+                counts = np.bincount(doc_ids, minlength=n)
+                h = pd.util.hash_pandas_object(
+                    pd.Series(toks), index=False).to_numpy()
+                # little-endian unpack ⇒ column j is bit j of the uint64
+                bits = np.unpackbits(h[:, None].view(np.uint8), axis=1,
+                                     bitorder="little")
+                nonempty = np.flatnonzero(counts)
+                starts = (np.cumsum(counts) - counts)[nonempty]
+                # chunk the 64 bit-columns so the int64 reduceat temp stays
+                # ~T x 16 x 8 bytes however large the token count gets
+                ones = np.empty((len(nonempty), 64), dtype=np.int64)
+                for j0 in range(0, 64, 16):
+                    ones[:, j0:j0 + 16] = np.add.reduceat(
+                        bits[:, j0:j0 + 16].astype(np.int64), starts, axis=0)
+                v = 2 * ones - counts[nonempty, None]
+                out[nonempty] = np.packbits(
+                    (v > 0).astype(np.uint8), axis=1,
+                    bitorder="little").view(np.uint64)[:, 0]
         return pa.table({self.id_col: t[self.id_col],
                          "simhash": pa.array(out.view(np.int64))})
 
@@ -488,6 +525,66 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     if not a and not b:
         return 1.0
     return len(a & b) / len(a | b)
+
+
+def _char_gram_hashes(texts: list, k: int) -> list:
+    """Sorted-unique 64-bit hashes of each text's char-k-gram set.
+
+    Grams are hashed over UTF-32 code units, so they are CHARACTER grams —
+    exactly the substrings ``ngram_jaccard`` slices — not byte grams (a
+    multi-byte codepoint shifts every downstream byte window). All long
+    docs share one concatenated buffer and one vectorized rolling-hash
+    pass, mirroring ``MinHasher.__call__``. A text shorter than k
+    contributes its single whole-text gram (``ngram_jaccard``'s
+    ``max(1, ...)`` rule), hashed with a length tag so a short gram can
+    never equal a full k-gram structurally; equal strings always hash
+    equal, distinct grams collide only with ~2^-64 probability.
+    """
+    P = np.uint64(1099511628211)
+    n = len(texts)
+    out: list = [None] * n
+    enc = [(s or "").encode("utf-32-le") for s in texts]
+    lens = np.array([len(b) // 4 for b in enc], dtype=np.int64)
+    long_idx = np.flatnonzero(lens >= k)
+    if len(long_idx):
+        data = np.frombuffer(b"".join(enc[i] for i in long_idx),
+                             dtype=np.uint32).astype(np.uint64)
+        doc_lens = lens[long_idx]
+        offs = np.concatenate([[0], np.cumsum(doc_lens)])
+        n_win = doc_lens - k + 1
+        wstarts = np.concatenate([[0], np.cumsum(n_win)])
+        total = int(n_win.sum())
+        glob = (np.arange(total, dtype=np.int64)
+                - np.repeat(wstarts[:-1], n_win)
+                + np.repeat(offs[:-1], n_win))
+        powers = np.multiply.accumulate(np.full(k, P, dtype=np.uint64))
+        h = np.zeros(total, dtype=np.uint64)
+        for j in range(k):
+            h += data[glob + j] * powers[j]
+        for pos, i in enumerate(long_idx):
+            out[i] = np.unique(h[wstarts[pos]:wstarts[pos + 1]])
+    for i in np.flatnonzero(lens < k):
+        data = np.frombuffer(enc[i], dtype=np.uint32).astype(np.uint64)
+        powers = np.multiply.accumulate(np.full(max(len(data), 1), P,
+                                                dtype=np.uint64))
+        content = (data * powers[:len(data)]).sum(dtype=np.uint64) \
+            if len(data) else np.uint64(0)
+        # array (not scalar) arithmetic: scalar uint64 wraparound emits a
+        # RuntimeWarning; modular wrap is intentional here
+        out[i] = (np.array([content], dtype=np.uint64) * P
+                  + np.uint64(len(data)))
+    return out
+
+
+def _sorted_intersect_count(a: np.ndarray, b: np.ndarray) -> int:
+    """|a ∩ b| for two SORTED UNIQUE uint64 arrays via searchsorted."""
+    if len(a) > len(b):
+        a, b = b, a
+    if not len(a) or not len(b):
+        return 0
+    pos = np.searchsorted(b, a)
+    pos[pos == len(b)] = len(b) - 1
+    return int(np.count_nonzero(b[pos] == a))
 
 
 # ---------------------------------------------------------------------------
@@ -641,12 +738,34 @@ def jaccard_verified_pairs(
                             ("jaccard", pa.float64())])
 
     def verify(t: pa.Table) -> pa.Table:
+        # each DISTINCT text in the batch is shingled once (one vectorized
+        # rolling-hash pass over a shared buffer); each pair then costs one
+        # sorted-array searchsorted intersection — no per-pair Python set
+        # construction (round-2 VERDICT item 5)
         if t.num_rows == 0:
             return out_schema.empty_table()
         ta = t["text_a"].to_pylist()
         tb = t["text_b"].to_pylist()
-        jac = np.array([ngram_jaccard(x or "", y or "", shingle_k)
-                        for x, y in zip(ta, tb)])
+        npairs = len(ta)
+        uniq_of: dict = {}
+        uniq_texts: list = []
+        idx = np.empty(2 * npairs, dtype=np.int64)
+        for i, s in enumerate(ta + tb):
+            s = s or ""
+            j = uniq_of.setdefault(s, len(uniq_texts))
+            if j == len(uniq_texts):
+                uniq_texts.append(s)
+            idx[i] = j
+        arrs = _char_gram_hashes(uniq_texts, shingle_k)
+        sizes = np.array([len(a) for a in arrs], dtype=np.int64)
+        jac = np.empty(npairs, dtype=np.float64)
+        for p in range(npairs):
+            ia, ib = idx[p], idx[npairs + p]
+            if ia == ib:
+                jac[p] = 1.0
+                continue
+            inter = _sorted_intersect_count(arrs[ia], arrs[ib])
+            jac[p] = inter / (sizes[ia] + sizes[ib] - inter)
         m = jac >= threshold
         return pa.table({"id_a": t["id_a"].filter(pa.array(m)),
                          "id_b": t["id_b"].filter(pa.array(m)),

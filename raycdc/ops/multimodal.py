@@ -148,23 +148,37 @@ class ImageResizer:
 
         n = t.num_rows
         out = np.zeros((n, self.th * self.tw), dtype=np.uint8)
-        payloads = t[self.payload_col]
-        # null dimension metadata -> 0 -> the invalid-dims guard emits zeros
-        # (int(NaN) from a raw to_numpy would crash the whole batch instead)
-        widths = pc.fill_null(t[self.width_col], 0).to_numpy(
-            zero_copy_only=False)
-        heights = pc.fill_null(t[self.height_col], 0).to_numpy(
-            zero_copy_only=False)
-        ty, tx = np.meshgrid(np.arange(self.th), np.arange(self.tw),
-                             indexing="ij")
-        for i in range(n):  # per-image resample; pixels vectorized
-            data = np.frombuffer(payloads[i].as_py() or b"", dtype=np.uint8)
-            w, h = int(widths[i]), int(heights[i])
-            if w <= 0 or h <= 0 or len(data) < w * h:
-                continue
-            sy = (ty * h) // self.th
-            sx = (tx * w) // self.tw
-            out[i] = data[(sy * w + sx).reshape(-1)]
+        if n:
+            # payload bytes come straight off the Arrow offsets/values
+            # buffers (same approach as frame_sample above) — no per-image
+            # .as_py() round-trip through Python bytes objects
+            arr = t[self.payload_col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arr = arr.cast(pa.large_binary())
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                                 count=len(arr) + 1, offset=arr.offset * 8)
+            values = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+            lens = np.diff(offs)
+            if arr.null_count:
+                lens = np.where(np.asarray(arr.is_null()), 0, lens)
+            # null dimension metadata -> 0 -> the invalid-dims guard emits
+            # zeros (int(NaN) from a raw to_numpy would crash the batch)
+            widths = pc.fill_null(t[self.width_col], 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            heights = pc.fill_null(t[self.height_col], 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            valid = (widths > 0) & (heights > 0) & (lens >= widths * heights)
+            vi = np.flatnonzero(valid)
+            if len(vi):
+                ty, tx = np.meshgrid(np.arange(self.th), np.arange(self.tw),
+                                     indexing="ij")
+                ty, tx = ty.reshape(-1), tx.reshape(-1)
+                # one broadcast index matrix + one gather for the whole batch
+                sy = (ty[None, :] * heights[vi, None]) // self.th
+                sx = (tx[None, :] * widths[vi, None]) // self.tw
+                idx = offs[:-1][vi, None] + sy * widths[vi, None] + sx
+                out[vi] = values[idx]
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(out.reshape(-1), pa.uint8()), self.th * self.tw)
         return t.append_column("resized", col)

@@ -150,6 +150,67 @@ def test_minhasher_batched_equals_per_doc():
         assert (got[i] == mh.signature(s)).all(), f"doc {i} diverged"
 
 
+def test_simhasher_batched_equals_per_doc():
+    # the batched NUL-joined reduceat kernel must produce byte-identical
+    # 64-bit hashes to the per-document reference arithmetic (one regex
+    # findall + one hash_pandas_object + bit-vote sum per doc), including
+    # empty docs, token-free docs, and embedded NUL bytes
+    import re
+
+    import pandas as pd
+
+    texts = ["The quick brown fox jumps over the lazy dog",
+             "",                      # empty -> simhash 0
+             "!!! ...",               # no word tokens -> simhash 0
+             "ab",                    # single short token
+             "dup dup dup dup dup",   # duplicate tokens (vote weights)
+             "emb\x00edded nul and Mixed CASE tokens",
+             "another document with more words in it than the first one"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = SimHasher("text", "doc_id")(t)["simhash"] \
+        .to_numpy(zero_copy_only=False).view(np.uint64)
+
+    token_re = re.compile(r"\w+")
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, s in enumerate(texts):
+        toks = token_re.findall((s or "").lower().replace("\x00", " "))
+        if not toks:
+            want = np.uint64(0)
+        else:
+            h = pd.util.hash_pandas_object(
+                pd.Series(toks), index=False).to_numpy()
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)) \
+                .astype(np.int32)
+            v = (2 * bits - 1).sum(axis=0)
+            want = ((v > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+        assert got[i] == want, f"doc {i} diverged"
+
+
+def test_char_gram_hash_jaccard_equals_string_sets():
+    # the searchsorted verify kernel must reproduce ngram_jaccard EXACTLY:
+    # char grams (not byte grams — non-ASCII shifts byte windows), the
+    # whole-text gram for len<k docs, and duplicate-gram collapsing
+    from raycdc.ops.dedup import _char_gram_hashes, _sorted_intersect_count
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumped over the lazy dog",
+             "",                       # gram set {""}
+             "ab",                     # single short gram
+             "ab",                     # identical short doc
+             "cd",                     # different short doc, same length
+             "aaaaaaaaaaaaaa",         # one unique gram repeated
+             "héllo wörld — café",     # multi-byte codepoints
+             "héllo wörld — cafe"]
+    arrs = _char_gram_hashes(texts, 5)
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = _sorted_intersect_count(arrs[i], arrs[j])
+            got = inter / (len(arrs[i]) + len(arrs[j]) - inter)
+            want = ngram_jaccard(texts[i], texts[j], 5)
+            assert got == want, (i, j, got, want)
+
+
 def test_jaccard_verified_pairs_equals_brute_force(sf_dir):
     import pyarrow.compute as pc
 

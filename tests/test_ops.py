@@ -309,6 +309,28 @@ def test_resize_images_fake_decoder():
                                target_h=2, decoder="strict"))
 
 
+def test_resize_images_mixed_sizes_and_sliced_offsets():
+    # the batched buffer gather must honour per-image (w, h) AND a nonzero
+    # Arrow slice offset (buffers are read with arr.offset arithmetic)
+    from raycdc.ops.multimodal import ImageResizer
+
+    imgs = [bytes(range(16)),          # 4x4
+            bytes([9]),                # junk row, sliced away below
+            bytes(range(0, 36)),       # 6x6
+            bytes(range(4))]           # 2x2
+    t = pa.table({"payload": pa.array(imgs, pa.binary()),
+                  "width": pa.array([4, 1, 6, 2], pa.int32()),
+                  "height": pa.array([4, 1, 6, 2], pa.int32())})
+    r = ImageResizer(target_w=2, target_h=2)
+    sliced = t.slice(2)  # nonzero offset view
+    out = r(sliced)
+    assert out["resized"][0].as_py() == [0, 3, 18, 21]   # 6x6 corners
+    assert out["resized"][1].as_py() == [0, 1, 2, 3]     # identity 2x2
+    full = r(t)
+    assert full["resized"][0].as_py() == [0, 2, 8, 10]
+    assert full["resized"][2].as_py() == [0, 3, 18, 21]
+
+
 def test_review_fix_null_edges():
     # null width/height metadata -> zeros (not a batch crash)
     from raycdc.ops.multimodal import resize_images
