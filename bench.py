@@ -6,10 +6,12 @@ ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON
 line: {"metric": ..., "value": seconds, "unit": "sec", "queries": {...},
 "sf": ..., "num_cpus": N, "cdc_events_per_sec": ...}.
 
---scaling: runs the headline job twice in FRESH processes (num_cpus=8 then
-32) on the same input and prints both throughputs plus the scaling efficiency
-eff = (throughput_32 / throughput_8) / 4 — the sandbox substitute for the
-north rule's N vs 4N cluster criterion (see BASELINE.md).
+--scaling: runs the headline job at 2 and 8 CPUs in FRESH processes on the
+same input, N times (RAYCDC_SCALING_RUNS, default 3), each pair loadavg-gated,
+and prints one JSON artifact with every run's throughputs plus the MEDIAN
+efficiency eff = (throughput_8 / throughput_2) / 4 — the sandbox substitute
+for the north rule's N vs 4N cluster criterion (see BASELINE.md). One 32-CPU
+leg is appended for the 8->32 (bandwidth-ceiling) context.
 """
 
 from __future__ import annotations
@@ -22,6 +24,22 @@ import time
 
 CDC_EVENTS = int(os.environ.get("RAYCDC_BENCH_EVENTS", "10000000"))
 CDC_PARTITIONS = int(os.environ.get("RAYCDC_BENCH_PARTITIONS", "32"))
+
+
+def wait_for_idle(bar: float = 2.5, max_wait: int = 150) -> float:
+    """Bounded wait for the 1-min loadavg to decay below ``bar``.
+
+    This box is shared: external load inflates EVERY timing uniformly
+    (observed ~1.7-2x at loadavg 5+, BASELINE.md methodology). Gating the
+    recorded artifact on an idle start keeps one contended run from
+    becoming the round's official number. Bounded so a persistently busy
+    box still produces output (the loadavg fields flag the contention).
+    """
+    waited = 0.0
+    while os.getloadavg()[0] > bar and waited < max_wait:
+        time.sleep(10)
+        waited += 10
+    return os.getloadavg()[0]
 
 
 def consume(ds) -> int:
@@ -101,6 +119,14 @@ def run_bench() -> dict:
         assert m["events"] == CDC_EVENTS
         return dt
 
+    # loadavg-gate the recorded artifact: wait (bounded) for external load
+    # to drain before the timed runs; the warmup overlaps part of the decay.
+    # Headline-only (scaling) legs skip the gate — run_scaling gates once
+    # per PAIR so back-to-back legs don't each stall on the other's wake.
+    if os.environ.get("RAYCDC_BENCH_HEADLINE_ONLY"):
+        load_at_start = os.getloadavg()[0]
+    else:
+        load_at_start = wait_for_idle()
     one_apply("warmup")
     t1, t2 = one_apply("t1"), one_apply("t2")
     headline = min(t1, t2)
@@ -154,6 +180,7 @@ def run_bench() -> dict:
             "num_cpus": num_cpus,
             "cdc_events": metrics["events"],
             "cdc_events_per_sec": round(eps, 1),
+            "loadavg_1m_start": round(load_at_start, 2),
         }
         ray.shutdown()
         return out
@@ -197,8 +224,10 @@ def run_bench() -> dict:
         # contention context: this box is shared — a high loadavg relative
         # to the bench's own footprint means external load was competing
         # and every number above is uniformly inflated (observed uniform
-        # ~1.7-2x on ALL queries under loadavg ≈ 5+; BASELINE.md notes)
+        # ~1.7-2x on ALL queries under loadavg ≈ 5+; BASELINE.md notes).
+        # start is gated (wait_for_idle), end includes the bench's own load.
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        "loadavg_1m_start": round(load_at_start, 2),
     }
     if stream_stats:
         out["cdc_stream"] = stream_stats
@@ -207,6 +236,21 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Median-of-N scaling artifact (round-2 VERDICT item 8).
+
+    Headline pair = N=2 -> 4N=8 CPUs: on a single box, the pair must sit
+    below the shared-memory-bandwidth ceiling (~16 cores for this
+    shuffle-heavy job) to say anything about multi-node scaling, where each
+    added node brings its own bandwidth and object store. Each pair run is
+    loadavg-gated at the start (bounded wait for external load to drain),
+    every run's raw throughputs are recorded, and the headline value is the
+    MEDIAN efficiency across runs — one machine-readable record replaces
+    the hand-maintained eight-run table in BASELINE.md. A pooled best-of
+    estimator (best 8-CPU leg / best 2-CPU leg / 4) is also reported:
+    contention on this box is strictly one-sided (it only slows runs), so
+    best-of legs are the cleanest per-leg throughput estimates. One 32-CPU
+    leg gives the 8->32 context (bandwidth-ceiling bound, see BASELINE.md).
+    """
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    RAYCDC_BENCH_HEADLINE_ONLY="1")
@@ -214,36 +258,48 @@ def run_scaling() -> dict:
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(res.stdout.strip().splitlines()[-1])
 
-    load_start = os.getloadavg()
-    r2, r8, r32 = one(2), one(8), one(32)
-    load_end = os.getloadavg()
-    eff_2_8 = (r8["cdc_events_per_sec"] / r2["cdc_events_per_sec"]) / 4 \
-        if r2["cdc_events_per_sec"] else 0.0
-    eff_8_32 = (r32["cdc_events_per_sec"] / r8["cdc_events_per_sec"]) / 4 \
-        if r8["cdc_events_per_sec"] else 0.0
-    # Headline pair = N=2 -> 4N=8: on a single box, CPU pairs must sit below
-    # the shared-memory-bandwidth ceiling (~16 cores for this shuffle-heavy
-    # job) to say anything about multi-node scaling, where each added node
-    # brings its own bandwidth/object store. Both pairs are reported;
-    # BASELINE.md carries the full sweep and the analysis.
+    n_runs = int(os.environ.get("RAYCDC_SCALING_RUNS", "3"))
+    runs = []
+    for i in range(n_runs):
+        load0 = wait_for_idle()
+        r2, r8 = one(2), one(8)
+        eff = (r8["cdc_events_per_sec"] / r2["cdc_events_per_sec"]) / 4 \
+            if r2["cdc_events_per_sec"] else 0.0
+        runs.append({
+            "run": i + 1,
+            "eff_2cpu_to_8cpu": round(eff, 3),
+            "events_per_sec": {"2cpu": r2["cdc_events_per_sec"],
+                               "8cpu": r8["cdc_events_per_sec"]},
+            "sec": {"2cpu": r2["value"], "8cpu": r8["value"]},
+            "loadavg_1m_start": round(load0, 2),
+        })
+    effs = sorted(r["eff_2cpu_to_8cpu"] for r in runs)
+    mid = len(effs) // 2
+    median_eff = effs[mid] if len(effs) % 2 else \
+        round((effs[mid - 1] + effs[mid]) / 2, 3)
+    best2 = max(r["events_per_sec"]["2cpu"] for r in runs)
+    best8 = max(r["events_per_sec"]["8cpu"] for r in runs)
+    pooled_eff = round((best8 / best2) / 4, 3) if best2 else 0.0
+
+    wait_for_idle()
+    r32 = one(32)
+    eff_8_32 = round((r32["cdc_events_per_sec"] / best8) / 4, 3) \
+        if best8 else 0.0
+
     return {
         "metric": "cdc_scaling_efficiency",
-        "value": round(eff_2_8, 3),
+        "value": median_eff,
         "unit": "ratio",
         "pair": "2cpu->8cpu",
-        "eff_2cpu_to_8cpu": round(eff_2_8, 3),
-        "eff_8cpu_to_32cpu": round(eff_8_32, 3),
-        "events_per_sec": {"2cpu": r2["cdc_events_per_sec"],
-                           "8cpu": r8["cdc_events_per_sec"],
-                           "32cpu": r32["cdc_events_per_sec"]},
-        "sec": {"2cpu": r2["value"], "8cpu": r8["value"],
-                "32cpu": r32["value"]},
+        "estimator": f"median of {n_runs} loadavg-gated pair runs",
+        "eff_2cpu_to_8cpu_median": median_eff,
+        "eff_2cpu_to_8cpu_pooled_best": pooled_eff,
+        "eff_8cpu_to_32cpu": eff_8_32,
+        "runs": runs,
+        "events_per_sec_32cpu": r32["cdc_events_per_sec"],
+        "sec_32cpu": r32["value"],
         "cdc_events": r32["cdc_events"],
-        # contention context: the ratio is only meaningful on an idle box
-        # (BASELINE.md methodology note); a high 1-min loadavg here means
-        # unrelated sandbox load shared the measurement
-        "loadavg_1m": {"start": round(load_start[0], 2),
-                       "end": round(load_end[0], 2)},
+        "loadavg_1m_end": round(os.getloadavg()[0], 2),
     }
 
 
