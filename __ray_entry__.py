@@ -1096,6 +1096,31 @@ def _q_redact_pii(sf_dir: str):
     return out.select_columns(["doc_id", "text_redacted"])
 
 
+def _q_global_sort_events(sf_dir: str):
+    """Global ORDER BY (sample-sort range exchange, raycdc/ops/sort.py):
+    events totally ordered by (ts, event_id) with the global 1-based rank
+    materialized — the rank column makes the driver's order-blind hash
+    compare order-SENSITIVE, so this checks the actual sort, not a bag."""
+    from raycdc.ops.sort import sort_dataset
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts"])
+    res = sort_dataset(ev, ["ts", "event_id"], num_partitions=16,
+                       rank_col="rank")
+    return res.dataset
+
+
+def _q_global_sort_docs(sf_dir: str):
+    """Global sort with a STRING primary key, descending, plus an integer
+    tiebreak — exercises unicode range boundaries and reversed partition
+    order in the same sample-sort operator."""
+    from raycdc.ops.sort import sort_dataset
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "lang"])
+    res = sort_dataset(docs, [("lang", "descending"), ("doc_id", "ascending")],
+                       num_partitions=8, rank_col="rank")
+    return res.dataset
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "flatten_tree": _q_flatten_tree,
@@ -1165,6 +1190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_full_outer": _q_join_full_outer,
         "grouped_quantiles_sketch_full": _q_grouped_quantiles_sketch_full,
         "grouped_quantiles_sketch": _q_grouped_quantiles_sketch,
+        "global_sort_events": _q_global_sort_events,
+        "global_sort_docs": _q_global_sort_docs,
     }
 
 
@@ -1522,6 +1549,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.9""",
         "ann_topk": _ANN_TOPK_SQL,
+        "global_sort_events": """
+            SELECT event_id, ts,
+                   CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
+                       AS rank
+            FROM events""",
+        "global_sort_docs": """
+            SELECT doc_id, lang,
+                   CAST(row_number() OVER (ORDER BY lang DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM documents""",
         "window_funcs": """
             SELECT event_id, user_id,
                    CAST(row_number() OVER w AS BIGINT) AS rn,

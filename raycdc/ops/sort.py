@@ -1,0 +1,312 @@
+"""Global sort (ORDER BY) and the ordered / resumable Parquet writer.
+
+Ray Data's ``Dataset.sort`` exists, but this engine's exchanges all ride
+the partition-only shuffle (``raycdc.shuffle``), and a global sort is the
+one operator that genuinely needs RANGE partitioning rather than hash
+partitioning. The implementation is the classic sample-sort:
+
+    1. sample the primary sort key from every block (bounded: at most
+       ``sample_per_block`` values per block leave the task, so the driver
+       sees O(blocks x sample) values, never the data),
+    2. derive P-1 range boundaries from the sample quantiles,
+    3. stateless ``map_batches`` appends a partition id via one vectorized
+       ``np.searchsorted`` against the (tiny, closure-captured) boundaries,
+    4. one task per range partition sorts its rows with ONE
+       ``pc.sort_indices`` call (all sort keys, proper null placement),
+    5. the result Dataset's blocks are in partition order, so block order
+       IS global order; an optional ``rank_col`` materializes the global
+       1-based position (offsets come from the per-partition row counts
+       the exchange already returns to the driver — integer metadata,
+       not data).
+
+Scale notes (the partitioning assumptions, per the custom-operator
+contract):
+
+- Rows sharing one primary-key value always land in the same partition
+  (the searchsorted side is fixed), so a single pathologically hot key
+  bounds that partition's size — exactly the skew profile of hash
+  exchanges; boundaries adapt to everything else because they come from
+  data samples.
+- The sample pass reads ONLY the primary key column (column-pruned
+  ``select_columns``) and is the price of range partitioning; everything
+  else is one partition-only exchange, same cost as a hash shuffle.
+- Ties on the primary key are broken WITHIN a partition by the remaining
+  sort keys, so multi-key sorts stay total without multi-key boundaries.
+
+Reference parity note: the reference plugin (CDAP HierarchyToRelational)
+specifies UNORDERED output (SURVEY.md §2) — nothing is owed there. Global
+sort belongs to the training-data operator set (curriculum ordering,
+ordered lake layouts for range-pruned reads).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from raycdc.shuffle import _split_by_column
+
+_PID = "__raycdc_sort_pid"
+
+
+def _block_refs_of(d: ray.data.Dataset):
+    try:
+        for bundle in d.iter_internal_ref_bundles():
+            yield from bundle.block_refs
+    except AttributeError:  # pragma: no cover - older Ray
+        yield from d.to_arrow_refs()
+
+
+def _key_to_numpy(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray]:
+    """(values, null_mask) for the primary sort key, as numpy arrays whose
+    dtype compares vectorized in C: timestamps/dates -> int64 us, numerics
+    stay numeric, strings -> fixed-width unicode (object-dtype numpy would
+    fall back to per-element Python compares in searchsorted)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    if (pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type)
+            or pa.types.is_time(arr.type)):
+        arr = arr.cast(pa.int64())
+    arr = pc.fill_null(arr, _null_filler(arr.type))
+    vals = arr.to_numpy(zero_copy_only=False)
+    if vals.dtype == object:
+        vals = vals.astype("U")
+    return vals, null_mask
+
+
+def _null_filler(t: pa.DataType):
+    """Placeholder for null key slots (masked out of routing anyway)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ""
+    return 0
+
+
+def _sample_boundaries(ds: ray.data.Dataset, key: str, num_partitions: int,
+                       sample_per_block: int) -> np.ndarray:
+    """P-1 range cut points for the primary key, from a bounded per-block
+    sample. Nulls never become boundaries (they route to the last
+    partition explicitly)."""
+
+    def sample(t: pa.Table) -> pa.Table:
+        col = t[key].combine_chunks()
+        col = col.drop_null()
+        n = len(col)
+        if n > sample_per_block:
+            # deterministic evenly-spaced sample (input order): cheap and
+            # unbiased enough for cut points; no RNG -> reproducible plans
+            idx = np.linspace(0, n - 1, sample_per_block).astype(np.int64)
+            col = col.take(pa.array(idx))
+        return pa.table({key: col})
+
+    sampled = ds.select_columns([key]).map_batches(
+        sample, batch_format="pyarrow")
+    batches = [b for b in sampled.iter_batches(
+        batch_size=None, batch_format="pyarrow") if b.num_rows]
+    if not batches:
+        return np.array([])
+    tbl = pa.concat_tables(batches, promote_options="default")
+    vals, _ = _key_to_numpy(tbl[key])
+    if vals.size == 0:
+        return vals
+    vals = np.sort(vals, kind="stable")
+    cuts = np.linspace(0, vals.size - 1, num_partitions + 1)[1:-1]
+    return vals[cuts.astype(np.int64)]
+
+
+@ray.remote(num_returns=2)
+def _sort_partition(sort_keys: list, null_placement: str, pid: int, *slices):
+    tables = [s for s in slices if s is not None and s.num_rows]
+    if not tables:
+        return None, 0
+    t = pa.concat_tables(tables, promote_options="default")
+    idx = pc.sort_indices(
+        t, sort_keys=sort_keys, null_placement=null_placement)
+    out = t.take(idx)
+    return out, out.num_rows
+
+
+@ray.remote
+def _append_rank(t: pa.Table, rank_col: str, offset: int) -> pa.Table:
+    ranks = pa.array(np.arange(offset + 1, offset + 1 + t.num_rows,
+                               dtype=np.int64))
+    return t.append_column(rank_col, ranks)
+
+
+@dataclass
+class SortedDataset:
+    """A globally ordered result: ``dataset``'s blocks are in key order
+    (block i precedes block i+1). ``partition_rows`` is the per-range row
+    count (driver-side integer metadata, used for rank offsets and the
+    ordered writer's file naming)."""
+    dataset: ray.data.Dataset
+    partition_rows: list
+
+    def to_table(self) -> pa.Table:
+        """Concatenate IN ORDER (small results / tests only)."""
+        batches = list(self.dataset.iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+        if not batches:
+            sch = self.dataset.schema()
+            return pa.schema(
+                [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+            ).empty_table() if sch is not None else pa.table({})
+        return pa.concat_tables(batches, promote_options="default")
+
+
+def sort_dataset(
+    ds: ray.data.Dataset,
+    keys: "list[str] | list[tuple[str, str]]",
+    *,
+    num_partitions: int = 64,
+    sample_per_block: int = 256,
+    rank_col: str | None = None,
+    nulls_last: bool = True,
+) -> SortedDataset:
+    """Global ORDER BY over ``keys`` (each a column name or
+    ``(name, "ascending"|"descending")``; bare names sort ascending).
+
+    Range-partitions on the FIRST key, sorts each partition once with all
+    keys, and returns the partitions in order — so iterating the result's
+    blocks yields a total order, matching::
+
+        SELECT * FROM ds ORDER BY k1 [DESC], k2 [DESC], ...
+        -- nulls placed per ``nulls_last`` (DuckDB default: last)
+
+    ``rank_col`` additionally appends the global 1-based position
+    (``row_number() OVER (ORDER BY ...)``) — this makes the otherwise
+    order-blind hash compare of the external driver order-SENSITIVE, and
+    is the lake-layout primitive (ordered ids for range-pruned reads).
+
+    Keys must form a total order for the rank to be deterministic (pass a
+    unique tiebreak column last, as every oracle-checked caller does).
+    """
+    norm: list[tuple[str, str]] = []
+    for k in keys:
+        if isinstance(k, str):
+            norm.append((k, "ascending"))
+        else:
+            name, order = k
+            if order not in ("ascending", "descending"):
+                raise ValueError(f"sort order must be ascending|descending, "
+                                 f"got {order!r}")
+            norm.append((name, order))
+    if not norm:
+        raise ValueError("sort_dataset needs at least one key")
+    primary, primary_order = norm[0]
+    descending = primary_order == "descending"
+    null_placement = "at_end" if nulls_last else "at_start"
+
+    bounds = _sample_boundaries(ds, primary, num_partitions,
+                                sample_per_block)
+    nparts = int(bounds.size) + 1
+
+    def route(t: pa.Table) -> pa.Table:
+        vals, null_mask = _key_to_numpy(t[primary])
+        if bounds.size:
+            # string boundaries vs string batch: align unicode widths so
+            # numpy compares whole values, not truncated prefixes
+            b = bounds
+            if vals.dtype.kind == "U" and b.dtype.kind == "U":
+                width = max(vals.dtype.itemsize, b.dtype.itemsize) // 4
+                vals = vals.astype(f"U{width}")
+                b = b.astype(f"U{width}")
+            pid = np.searchsorted(b, vals, side="right").astype(np.int64)
+            if descending:
+                pid = (nparts - 1) - pid
+        else:
+            pid = np.zeros(t.num_rows, dtype=np.int64)
+        # nulls go wherever null_placement puts them globally
+        null_pid = (nparts - 1) if nulls_last else 0
+        pid[null_mask] = null_pid
+        return t.append_column(_PID, pa.array(pid))
+
+    table_refs, count_refs = [], []
+    if nparts == 1:
+        # degenerate single range: no routing column, no split stage —
+        # every block feeds the one sort task directly
+        blocks = list(_block_refs_of(ds))
+        tref, cref = _sort_partition.remote(norm, null_placement, 0, *blocks)
+        table_refs.append(tref)
+        count_refs.append(cref)
+    else:
+        routed = ds.map_batches(route, batch_format="pyarrow")
+        split = _split_by_column.options(num_returns=nparts)
+        per_block = [split.remote(ref, _PID, nparts, True)
+                     for ref in _block_refs_of(routed)]
+        for pid in range(nparts):
+            slices = [r[pid] for r in per_block]
+            tref, cref = _sort_partition.remote(
+                norm, null_placement, pid, *slices)
+            table_refs.append(tref)
+            count_refs.append(cref)
+    counts = ray.get(count_refs)
+
+    if rank_col is not None:
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        table_refs = [
+            _append_rank.remote(tref, rank_col, int(off)) if n else tref
+            for tref, n, off in zip(table_refs, counts, offsets)]
+
+    live = [r for r, n in zip(table_refs, counts) if n]
+    if not live:
+        sch = ds.schema()
+        if sch is not None:
+            fields = [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+            if rank_col is not None:
+                fields.append(pa.field(rank_col, pa.int64()))
+            return SortedDataset(
+                ray.data.from_arrow(pa.schema(fields).empty_table()), [])
+        return SortedDataset(ray.data.from_items([]), [])
+    return SortedDataset(ray.data.from_arrow_refs(live),
+                         [int(n) for n in counts if n])
+
+
+@ray.remote
+def _write_part(t: pa.Table, path: str, rows_expected: int) -> dict:
+    """Idempotent ordered part write: short-circuit when a finished file
+    with the right row count already exists (resume path), else write to a
+    temp name and atomically rename — a crashed writer never leaves a
+    half-file a resume would trust."""
+    if os.path.exists(path):
+        try:
+            if pq.read_metadata(path).num_rows == rows_expected:
+                return {"file": path, "rows": rows_expected, "skipped": True}
+        except Exception:
+            pass  # corrupt partial from a crash mid-rename window: rewrite
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(t, tmp, row_group_size=64 * 1024)
+    os.replace(tmp, path)
+    return {"file": path, "rows": rows_expected, "skipped": False}
+
+
+def write_sorted_parquet(sorted_ds: SortedDataset, out_dir: str) -> list:
+    """Write a :func:`sort_dataset` result as ``part-00000.parquet``,
+    ``part-00001.parquet``, ... where lexicographic file order IS global
+    row order (the ordered-lake layout: readers range-prune by file).
+
+    One file per non-empty range partition, written in parallel, each
+    atomically (temp + ``os.replace``) and idempotently (a finished part
+    with the expected row count is skipped) — so a failed run resumes by
+    re-invoking and only rewrites missing parts. Returns the manifest
+    (one dict per part, in order).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    refs = []
+    blocks = list(_block_refs_of(sorted_ds.dataset))
+    rows = sorted_ds.partition_rows
+    if len(blocks) != len(rows):  # pragma: no cover - defensive
+        raise RuntimeError(
+            f"ordered writer needs one block per partition "
+            f"({len(blocks)} blocks vs {len(rows)} partitions); was the "
+            f"dataset transformed after sort_dataset?")
+    for i, (ref, n) in enumerate(zip(blocks, rows)):
+        path = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        refs.append(_write_part.remote(ref, path, n))
+    return ray.get(refs)
