@@ -1096,6 +1096,25 @@ def _q_redact_pii(sf_dir: str):
     return out.select_columns(["doc_id", "text_redacted"])
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals (duplicate-line fraction,
+    top-word fraction) — exact counts via Arrow group_by kernels
+    (raycdc/ops/text.py), so the ratios hash-match SQL bit for bit."""
+    from raycdc.ops.text import repetition_stats
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_stats(docs)
+
+
+def _q_chunk_docs(sf_dir: str):
+    """Token-window chunking (size 64, overlap 16) — the context-window
+    packing primitive; one vectorized gather per batch, no shuffle."""
+    from raycdc.ops.text import chunk_documents
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(docs, size=64, overlap=16)
+
+
 def _q_global_sort_events(sf_dir: str):
     """Global ORDER BY (sample-sort range exchange, raycdc/ops/sort.py):
     events totally ordered by (ts, event_id) with the global 1-based rank
@@ -1192,6 +1211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_sketch": _q_grouped_quantiles_sketch,
         "global_sort_events": _q_global_sort_events,
         "global_sort_docs": _q_global_sort_docs,
+        "repetition_stats": _q_repetition_stats,
+        "chunk_docs": _q_chunk_docs,
     }
 
 
@@ -1549,6 +1570,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.9""",
         "ann_topk": _ANN_TOPK_SQL,
+        "repetition_stats": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     len(string_split(text, chr(10))) AS n_lines,
+                     len(list_distinct(string_split(text, chr(10))))
+                         AS n_distinct_lines,
+                     len(regexp_extract_all(text, '\S+')) AS n_words
+              FROM documents),
+            toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+              FROM documents),
+            cnt AS (SELECT doc_id, w, count(*) AS c
+                    FROM toks GROUP BY doc_id, w),
+            top AS (SELECT doc_id, max(c) AS maxc, sum(c) AS total
+                    FROM cnt GROUP BY doc_id)
+            SELECT b.doc_id, CAST(b.n_lines AS BIGINT) AS n_lines,
+                   CAST(b.n_distinct_lines AS BIGINT) AS n_distinct_lines,
+                   (b.n_lines - b.n_distinct_lines)::DOUBLE
+                       / greatest(b.n_lines, 1)::DOUBLE AS dup_line_frac,
+                   CAST(b.n_words AS BIGINT) AS n_words,
+                   maxc::DOUBLE / total::DOUBLE AS top_word_frac
+            FROM base b LEFT JOIN top USING (doc_id)""",
+        "chunk_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
+                     len(regexp_extract_all(text, '\S+')) AS n
+              FROM documents),
+            idx AS (
+              SELECT doc_id, t, n,
+                     unnest(generate_series(0,
+                         CAST(ceil(greatest(n - 64, 0)::DOUBLE / 48)
+                              AS BIGINT))) AS i
+              FROM toks WHERE n > 0)
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk_text,
+                   CAST(least(i*48+64, n) - i*48 AS BIGINT)
+                       AS n_chunk_tokens
+            FROM idx""",
         "global_sort_events": """
             SELECT event_id, ts,
                    CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)

@@ -287,6 +287,180 @@ def redact_pii(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def repetition_stats(ds: ray.data.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id") -> ray.data.Dataset:
+    """Gopher-style repetition signals per document (quality filtering for
+    training corpora): duplicate-line fraction and most-frequent-word
+    fraction. One stateless map_batches; per batch everything runs through
+    Arrow C++ kernels — split to list columns, ``pa.Table.group_by`` with
+    ``count_distinct`` / grouped max — so the counts are EXACT (no hashing
+    shortcut that a collision could corrupt), and a SQL engine reproduces
+    them verbatim.
+
+    Output columns (appended to ``id_col``):
+
+    - ``n_lines``: ``len(string_split(text, '\\n'))`` (empty lines count,
+      empty text is one empty line — the SQL split semantics)
+    - ``n_distinct_lines``; ``dup_line_frac`` = 1 - distinct/total (exact
+      ratio of two small ints, engine-independent)
+    - ``n_words``: \\S+ token count; ``top_word_frac`` = occurrences of the
+      most frequent token / n_words (null when the doc has no tokens, like
+      SQL's join-miss)
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        text = t[text_col].combine_chunks() if isinstance(
+            t[text_col], pa.ChunkedArray) else t[text_col]
+        idx = pa.array(np.arange(n, dtype=np.int64))
+
+        lines = pc.split_pattern(text, "\n")
+        n_lines = pc.cast(pc.list_value_length(lines), pa.int64())
+        flat_lines = pc.list_flatten(lines)
+        line_doc = pc.list_parent_indices(lines)
+        per_doc = (pa.table({"__d": line_doc, "__l": flat_lines})
+                   .group_by("__d")
+                   .aggregate([("__l", "count_distinct")]))
+        distinct = np.zeros(n, dtype=np.int64)
+        distinct[per_doc["__d"].to_numpy(zero_copy_only=False)] = (
+            per_doc["__l_count_distinct"].to_numpy(zero_copy_only=False))
+        n_distinct = pa.array(distinct)
+        # null text -> null lines list -> keep the stats null
+        n_distinct = pc.if_else(pc.is_valid(n_lines), n_distinct, None)
+        dup_frac = pc.divide(
+            pc.cast(pc.subtract(n_lines, n_distinct), pa.float64()),
+            pc.cast(pc.max_element_wise(
+                n_lines, pa.scalar(1, pa.int64())), pa.float64()))
+
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(text, r"\s+", " "), " ")
+        toks = pc.split_pattern(norm, " ")
+        # empty doc: split('') -> [''] — a phantom token; blank it to the
+        # SQL regexp_extract_all('') == [] semantics
+        n_words_raw = pc.cast(pc.list_value_length(toks), pa.int64())
+        empty = pc.equal(pc.fill_null(norm, ""), "")
+        n_words = pc.if_else(
+            empty, pc.if_else(pc.is_valid(n_words_raw),
+                              pa.scalar(0, pa.int64()), None), n_words_raw)
+        # empty docs contribute one phantom '' token to the grouped counts;
+        # mask it out so top_word_frac stays null for them
+        flat_toks = pc.list_flatten(toks)
+        tok_doc = pc.list_parent_indices(toks)
+        real = pc.invert(pa.array(empty.to_numpy(zero_copy_only=False)[
+            tok_doc.to_numpy(zero_copy_only=False)])) \
+            if len(tok_doc) else pa.array([], pa.bool_())
+        counts = (pa.table({"__d": tok_doc, "__w": flat_toks})
+                  .filter(real)
+                  .group_by(["__d", "__w"])
+                  .aggregate([("__w", "count")]))
+        top = (counts.group_by("__d")
+               .aggregate([("__w_count", "max"), ("__w_count", "sum")]))
+        maxc = np.zeros(n, dtype=np.int64)
+        total = np.zeros(n, dtype=np.int64)
+        d_idx = top["__d"].to_numpy(zero_copy_only=False)
+        maxc[d_idx] = top["__w_count_max"].to_numpy(zero_copy_only=False)
+        total[d_idx] = top["__w_count_sum"].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            twf = maxc.astype(np.float64) / total.astype(np.float64)
+        top_word_frac = pa.array(twf, pa.float64(),
+                                 mask=(total == 0))
+        top_word_frac = pc.if_else(pc.is_valid(n_words), top_word_frac, None)
+
+        return pa.table({
+            id_col: t[id_col],
+            "n_lines": n_lines,
+            "n_distinct_lines": n_distinct,
+            "dup_line_frac": dup_frac,
+            "n_words": n_words,
+            "top_word_frac": top_word_frac,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_documents(ds: ray.data.Dataset, *, size: int, overlap: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    chunk_col: str = "chunk_text") -> ray.data.Dataset:
+    """Split each document into overlapping fixed-size TOKEN windows — the
+    training-data chunking primitive (context-window packing, RAG corpus
+    prep). Tokens are \\S+ runs; chunk ``i`` covers tokens
+    ``[i*stride, i*stride + size)`` with ``stride = size - overlap``; the
+    last chunk is the first one reaching the end (short, never empty);
+    token-less docs emit no chunks. Chunk text rejoins tokens with single
+    spaces (the normalized-token contract shared with
+    :func:`tokenize_explode`, and SQL ``array_to_string(t[a:b], ' ')``).
+
+    Fully vectorized per batch: one split, one numpy window-index build,
+    ONE ``take`` gathering every chunk's tokens, one ``binary_join`` —
+    overlap duplicates only token REFERENCES until the join, not document
+    bytes. Stateless map_batches ⇒ streams at any scale.
+    """
+    if size <= 0 or not (0 <= overlap < size):
+        raise ValueError(f"need size > 0 and 0 <= overlap < size, "
+                         f"got size={size} overlap={overlap}")
+    stride = size - overlap
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks() if isinstance(
+            t[text_col], pa.ChunkedArray) else t[text_col]
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(text, r"\s+", " "), " ")
+        toks = pc.split_pattern(norm, " ")
+        # raw lengths index the flattened values buffer (the phantom ''
+        # token of an empty doc IS in there); n_tok is the logical token
+        # count with phantoms zeroed
+        raw_n = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        empty = pc.equal(pc.fill_null(norm, ""), "").to_numpy(
+            zero_copy_only=False)
+        n_tok = raw_n.copy()
+        n_tok[empty] = 0  # split('') == [''] phantom
+
+        # chunks per doc: 1 + ceil(max(n-size, 0) / stride), 0 for n == 0
+        n_chunks = np.where(
+            n_tok > 0, 1 + -(-np.maximum(n_tok - size, 0) // stride), 0)
+        total_chunks = int(n_chunks.sum())
+        out_schema = pa.schema([
+            t.schema.field(id_col),
+            pa.field("chunk_id", pa.int64()),
+            pa.field(chunk_col, pa.string()),
+            pa.field("n_chunk_tokens", pa.int64())])
+        if total_chunks == 0:
+            return out_schema.empty_table()
+
+        doc_of_chunk = np.repeat(np.arange(len(n_tok)), n_chunks)
+        chunk_starts_excl = np.repeat(
+            np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks)
+        chunk_id = np.arange(total_chunks) - chunk_starts_excl
+        tok_start = chunk_id * stride
+        tok_end = np.minimum(tok_start + size, n_tok[doc_of_chunk])
+        chunk_len = tok_end - tok_start
+
+        # global token indices of every chunk element, one gather
+        flat_offsets = np.zeros(len(raw_n) + 1, dtype=np.int64)
+        np.cumsum(raw_n, out=flat_offsets[1:])
+        elem_chunk = np.repeat(np.arange(total_chunks), chunk_len)
+        elem_pos = (np.arange(chunk_len.sum())
+                    - np.repeat(np.concatenate(
+                        [[0], np.cumsum(chunk_len)[:-1]]), chunk_len))
+        gidx = (flat_offsets[doc_of_chunk] + tok_start)[elem_chunk] + elem_pos
+        flat = pc.list_flatten(toks)
+        gathered = flat.take(pa.array(gidx))
+        offs = np.concatenate([[0], np.cumsum(chunk_len)]).astype(np.int32)
+        chunk_lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), gathered)
+        chunk_text = pc.binary_join(chunk_lists, " ")
+
+        return pa.table({
+            id_col: t[id_col].take(pa.array(doc_of_chunk)),
+            "chunk_id": pa.array(chunk_id.astype(np.int64)),
+            chunk_col: chunk_text,
+            "n_chunk_tokens": pa.array(chunk_len.astype(np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def tokenize_explode(ds: ray.data.Dataset, text_col: str = "text",
                      id_col: str = "doc_id",
                      token_col: str = "token") -> ray.data.Dataset:
