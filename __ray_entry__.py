@@ -1096,6 +1096,18 @@ def _q_redact_pii(sf_dir: str):
     return out.select_columns(["doc_id", "text_redacted"])
 
 
+def _q_quality_filter_median(sf_dir: str):
+    """Distribution-relative curation filter: keep documents at or above
+    the global median length. Two streaming passes, no shuffle — phase 1
+    reduces to ONE threshold row via the mergeable quantile summary at
+    full fidelity (== percentile_disc, the oracle-checked config), phase 2
+    broadcast-filters on the scalar."""
+    from raycdc.pipelines.curation import filter_above_global_quantile
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+    return filter_above_global_quantile(docs, "n_chars", 0.5, m=1 << 20)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality signals (duplicate-line fraction,
     top-word fraction) — exact counts via Arrow group_by kernels
@@ -1213,6 +1225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_sort_docs": _q_global_sort_docs,
         "repetition_stats": _q_repetition_stats,
         "chunk_docs": _q_chunk_docs,
+        "quality_filter_median": _q_quality_filter_median,
     }
 
 
@@ -1570,6 +1583,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.9""",
         "ann_topk": _ANN_TOPK_SQL,
+        "quality_filter_median": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.5)
+                              FROM documents)""",
         "repetition_stats": r"""
             WITH base AS (
               SELECT doc_id,

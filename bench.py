@@ -202,6 +202,8 @@ def run_bench() -> dict:
         "grouped_quantiles_sketch", "mode_event_type", "argmax_event",
         "window_rolling",
         "string_agg_docs",
+        "global_sort_events", "global_sort_docs", "repetition_stats",
+        "chunk_docs", "quality_filter_median",
     ]
     q_times: dict[str, float] = {}
     for name in bench_set:

@@ -99,3 +99,45 @@ def curate_documents_v2(
     filtered = counted.map_batches(token_filter, batch_format="pyarrow")
     return exact_dedup(filtered, text_col="text_redacted", id_col=id_col,
                        num_partitions=num_partitions)
+
+
+def filter_above_global_quantile(
+    ds,
+    col: str,
+    q: float,
+    *,
+    m: int = 2048,
+    keep: str = "ge",
+):
+    """Two-phase distribution-relative filter: keep rows whose ``col`` is
+    above (``keep="ge"``) / below (``keep="le"``) the GLOBAL q-quantile —
+    the "drop the bottom half by quality score" curation primitive.
+
+    Phase 1 streams the dataset through the mergeable quantile summary
+    (:func:`raycdc.ops.sketch.approx_quantile`); its output is ONE row, so
+    reading the threshold onto the driver is O(1), not a materialization.
+    Phase 2 broadcasts that scalar in a closure and filters statelessly —
+    no shuffle in either phase, two streaming passes total.
+
+    At full fidelity (``m`` ≥ rows per block, no re-compression) the
+    threshold is EXACTLY ``percentile_disc(q)`` — the oracle-checked
+    configuration; at scale callers drop ``m`` to the compressed sketch
+    and accept the documented ~2·n/m rank error on the cut line.
+    """
+    from raycdc.ops.sketch import approx_quantile
+
+    summary = next(iter(
+        approx_quantile(ds, col, [q], names=["thr"], m=m)
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    thr = summary["thr"][0].as_py()
+
+    import pyarrow.compute as pc
+
+    if keep not in ("ge", "le"):
+        raise ValueError(f"keep must be 'ge' or 'le', got {keep!r}")
+    cmp = pc.greater_equal if keep == "ge" else pc.less_equal
+
+    def flt(t):
+        return t.filter(pc.fill_null(cmp(t[col], thr), False))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
