@@ -1096,6 +1096,19 @@ def _q_redact_pii(sf_dir: str):
     return out.select_columns(["doc_id", "text_redacted"])
 
 
+def _q_mixture_by_source(sf_dir: str):
+    """Dataset-mixing rate sampler: per-source keep rates (the corpus
+    composition knob) via the reproducible Knuth hash predicate — a
+    stateless filter, no shuffle, identical output on any engine that
+    evaluates the same arithmetic (the oracle does, literally)."""
+    from raycdc.agg import mixture_sample
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "source"])
+    return mixture_sample(docs, "source", "doc_id",
+                          {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+                          default_rate=0.1)
+
+
 def _q_quality_filter_median(sf_dir: str):
     """Distribution-relative curation filter: keep documents at or above
     the global median length. Two streaming passes, no shuffle — phase 1
@@ -1226,6 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "chunk_docs": _q_chunk_docs,
         "quality_filter_median": _q_quality_filter_median,
+        "mixture_by_source": _q_mixture_by_source,
     }
 
 
@@ -1587,6 +1601,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.5)
                               FROM documents)""",
+        "mixture_by_source": """
+            SELECT doc_id, source FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 <
+              CASE source
+                WHEN 'src0' THEN 4294967296
+                WHEN 'src1' THEN 2147483648
+                WHEN 'src2' THEN 1073741824
+                ELSE 429496729
+              END""",
         "repetition_stats": r"""
             WITH base AS (
               SELECT doc_id,

@@ -203,7 +203,7 @@ def run_bench() -> dict:
         "window_rolling",
         "string_agg_docs",
         "global_sort_events", "global_sort_docs", "repetition_stats",
-        "chunk_docs", "quality_filter_median",
+        "chunk_docs", "quality_filter_median", "mixture_by_source",
     ]
     q_times: dict[str, float] = {}
     for name in bench_set:

@@ -10,8 +10,10 @@ mean (mean = sum/count finalized after the global combine), all mergeable.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
@@ -408,6 +410,55 @@ def hash_sample(ds: ray.data.Dataset, id_col: str, frac: float,
         ids = raw.astype(np.uint64)
         h = (ids * np.uint64(mult)) & np.uint64(0xFFFFFFFF)
         return t.filter(pa.array(h < np.uint64(cut)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def mixture_sample(ds: ray.data.Dataset, strata_col: str, id_col: str,
+                   rates: "dict[str, float]", *, default_rate: float = 0.0,
+                   mult: int = 2654435761) -> ray.data.Dataset:
+    """Deterministic per-stratum RATE sampling — the dataset-mixing
+    primitive (upsample books, downsample web, drop the rest) for
+    training-corpus composition. Keeps a row when
+    ``knuth_hash(id) < rate(stratum) * 2^32``; strata without an explicit
+    rate use ``default_rate``. Same reproducible-everywhere hash contract
+    as :func:`hash_sample` (the SQL equivalent is the identical predicate
+    with a ``CASE stratum`` cut), same null-id drop, same non-negative-id
+    guard. Stateless per-batch filter: no shuffle, streams at read speed;
+    the rate table is tiny closure state resolved against each batch's
+    dictionary-encoded strata (one Python lookup per DISTINCT stratum per
+    batch, not per row)."""
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    cuts = {k: np.uint64(int(r * 4294967296)) for k, r in rates.items()}
+    default_cut = np.uint64(int(default_rate * 4294967296))
+
+    def keep(t: pa.Table) -> pa.Table:
+        valid = pc.is_valid(t[id_col])
+        if t.num_rows and not pc.all(valid).as_py():
+            t = t.filter(valid)  # NULL id ⇒ NULL predicate ⇒ dropped (SQL)
+        raw = t[id_col].to_numpy(zero_copy_only=False)
+        if len(raw) and (raw.min() < 0 or
+                         (raw.dtype.kind == "f" and np.isnan(raw).any())):
+            raise ValueError(
+                f"mixture_sample requires non-negative ids in {id_col!r}")
+        h = (raw.astype(np.uint64) * np.uint64(mult)) \
+            & np.uint64(0xFFFFFFFF)
+        strata = t[strata_col]
+        if isinstance(strata, pa.ChunkedArray):
+            strata = strata.combine_chunks()
+        enc = pc.dictionary_encode(strata)
+        dict_cuts = np.array(
+            [cuts.get(v.as_py(), default_cut) for v in enc.dictionary],
+            dtype=np.uint64)
+        # null stratum: CASE NULL falls to ELSE in SQL ⇒ default rate
+        idx = pc.fill_null(pc.cast(enc.indices, pa.int64()),
+                           len(dict_cuts)).to_numpy(zero_copy_only=False)
+        per_row_cut = np.append(dict_cuts, default_cut)[idx]
+        return t.filter(pa.array(h < per_row_cut))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
