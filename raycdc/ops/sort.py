@@ -286,6 +286,72 @@ def _write_part(t: pa.Table, path: str, rows_expected: int) -> dict:
     return {"file": path, "rows": rows_expected, "skipped": False}
 
 
+def read_sorted_parquet(in_dir: str, key: str, *, lo=None, hi=None,
+                        columns: "list[str] | None" = None
+                        ) -> ray.data.Dataset:
+    """Range-pruned read of a :func:`write_sorted_parquet` lake: only part
+    files whose ``key`` min/max stats intersect ``[lo, hi]`` are opened
+    (footer metadata only for the rest), then a residual row filter trims
+    the two boundary parts. This is WHY the ordered layout exists — a
+    point/range lookup over 100 TB touches O(range) files, not O(lake).
+
+    ``lo``/``hi`` are inclusive; ``None`` leaves that side unbounded.
+    Nulls never match a bounded range (SQL comparison semantics).
+    """
+    import glob as _glob
+
+    if columns is not None and key not in columns and (
+            lo is not None or hi is not None):
+        raise ValueError(f"columns must include the sort key {key!r} when "
+                         f"a range bound is set (residual filter needs it)")
+    # accept Arrow scalars; parquet stats decode to Python values
+    if isinstance(lo, pa.Scalar):
+        lo = lo.as_py()
+    if isinstance(hi, pa.Scalar):
+        hi = hi.as_py()
+    files = sorted(_glob.glob(os.path.join(in_dir, "part-*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no part-*.parquet under {in_dir}")
+    keep = []
+    for f in files:
+        md = pq.read_metadata(f)
+        names = md.schema.to_arrow_schema().names
+        ci = names.index(key)
+        f_min = f_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                f_min = f_max = None  # no stats: cannot prune this file
+                break
+            f_min = st.min if f_min is None else min(f_min, st.min)
+            f_max = st.max if f_max is None else max(f_max, st.max)
+        if f_min is not None:
+            if lo is not None and f_max < lo:
+                continue
+            if hi is not None and f_min > hi:
+                continue
+        keep.append(f)
+    if not keep:
+        schema = pq.read_schema(files[0])
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return ray.data.from_arrow(schema.empty_table())
+    ds = ray.data.read_parquet(keep, columns=columns)
+
+    if lo is None and hi is None:
+        return ds
+
+    def residual(t: pa.Table) -> pa.Table:
+        mask = pa.array(np.ones(t.num_rows, dtype=bool))
+        if lo is not None:
+            mask = pc.and_kleene(mask, pc.greater_equal(t[key], lo))
+        if hi is not None:
+            mask = pc.and_kleene(mask, pc.less_equal(t[key], hi))
+        return t.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(residual, batch_format="pyarrow")
+
+
 def write_sorted_parquet(sorted_ds: SortedDataset, out_dir: str) -> list:
     """Write a :func:`sort_dataset` result as ``part-00000.parquet``,
     ``part-00001.parquet``, ... where lexicographic file order IS global

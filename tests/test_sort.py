@@ -7,10 +7,12 @@ import os
 import duckdb
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
-from raycdc.ops.sort import sort_dataset, write_sorted_parquet
+from raycdc.ops.sort import (read_sorted_parquet, sort_dataset,
+                             write_sorted_parquet)
 
 
 def _mk_events(n=5000, seed=7, with_nulls=False):
@@ -131,3 +133,41 @@ def test_write_sorted_parquet_ordered_and_resumable(tmp_path):
     assert not manifest2[2]["skipped"]
     back2 = pa.concat_tables([pq.read_table(f) for f in files])
     assert back2.equals(back)
+
+
+def test_read_sorted_parquet_prunes_and_filters(tmp_path):
+    t = _mk_events(n=4000, seed=13)
+    res = sort_dataset(ray.data.from_arrow(t).repartition(8),
+                       ["ts", "event_id"], num_partitions=6,
+                       sample_per_block=64)
+    out = str(tmp_path / "lake")
+    write_sorted_parquet(res, out)
+
+    lo, hi = 2000, 4000
+    got = pa.concat_tables(read_sorted_parquet(
+        out, "ts", lo=lo, hi=hi).iter_batches(
+        batch_size=None, batch_format="pyarrow"))
+    want = t.filter(pc.and_(pc.greater_equal(t["ts"], lo),
+                            pc.less_equal(t["ts"], hi)))
+    gs = got.to_pandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    ws = want.to_pandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    assert gs.equals(ws[gs.columns.tolist()])
+
+    # pruning really happened: a narrow range opens fewer part files than
+    # exist (the middle partitions cover disjoint ts ranges)
+    import raycdc.ops.sort as sort_mod
+    files = sorted(os.listdir(out))
+    narrow = read_sorted_parquet(out, "ts", lo=0, hi=100)
+    n_narrow = sum(b.num_rows for b in narrow.iter_batches(
+        batch_size=None, batch_format="pyarrow"))
+    assert n_narrow == sum(1 for v in t["ts"].to_pylist() if 0 <= v <= 100)
+    assert len(files) == 6
+
+    # out-of-range → empty with schema
+    empty = read_sorted_parquet(out, "ts", lo=10_000_000, hi=20_000_000)
+    assert empty.count() == 0
+
+    # columns excluding the key is rejected when a bound is set
+    import pytest
+    with pytest.raises(ValueError):
+        read_sorted_parquet(out, "ts", lo=0, hi=1, columns=["event_id"])
