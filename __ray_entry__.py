@@ -746,9 +746,16 @@ def _q_multimodal_frames(sf_dir: str):
     return frames.map_batches(project, batch_format="pyarrow")
 
 
-def _q_cdc_replay(sf_dir: str):
+def _cdc_scale(sf_dir: str) -> tuple[str, int]:
+    """(tag, event count) for the driver-facing CDC queries — the ONE
+    place this rule lives; _q_cdc_replay and its oracle must read the
+    same WAL or the comparison is meaningless."""
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    n = 50_000 if "0.01" in sf_tag else 20_000
+    return sf_tag, (50_000 if "0.01" in sf_tag else 20_000)
+
+
+def _q_cdc_replay(sf_dir: str):
+    sf_tag, n = _cdc_scale(sf_dir)
     lake, _ = run_cdc_replay(n, sf_tag)
     ds = read_lake(lake)
     return ds.select_columns(["url", "warc_ts", "seq", "text", "lang"])
@@ -763,8 +770,7 @@ def _cdc_replay_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     generating it here (deterministic, idempotent, numpy-only — no Ray
     session needed) makes the oracle valid whichever of the Ray query /
     oracle runs first."""
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    n = 50_000 if "0.01" in sf_tag else 20_000
+    sf_tag, n = _cdc_scale(sf_dir)
     wal, spec = _cdc_spec(sf_tag, n)
     try:
         generate_changelog(wal, spec)

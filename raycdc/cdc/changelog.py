@@ -200,7 +200,11 @@ def generate_changelog(out_dir: str, spec: ChangelogSpec) -> list[str]:
             # Pre-evolution segments genuinely lack the added column in their
             # schema (not just null values): real column-add evolution.
             seg = _drop_content_title(seg)
-        tmp = path + ".tmp"
+        # pid-unique temp name: two processes generating the same WAL
+        # concurrently (e.g. the driver evaluating oracle_sql() while a
+        # query's run_cdc_replay generates) must not interleave writes
+        # into one shared .tmp and publish a corrupt segment
+        tmp = f"{path}.tmp.{os.getpid()}"
         pq.write_table(seg, tmp, row_group_size=spec.row_group_size)
         os.replace(tmp, path)
     with open(done, "w") as f:

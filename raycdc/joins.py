@@ -46,6 +46,16 @@ def _normalize_key_type(t: pa.DataType) -> pa.DataType:
         return pa.float64()
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return pa.large_string()
+    # temporal keys canonicalize to MICROSECOND resolution before any
+    # int64 tick cast: a timestamp[us] side joined/asof-matched against a
+    # timestamp[ms] side must compare logical instants, not raw ticks
+    # (2500 ms-ticks < 1000000 us-ticks silently mis-matched before)
+    if pa.types.is_timestamp(t):
+        return pa.timestamp("us", tz=t.tz)
+    if pa.types.is_date(t):
+        return pa.timestamp("us")
+    if pa.types.is_time(t):
+        return pa.time64("us")
     return t
 
 
@@ -75,11 +85,11 @@ def key_hash(table: pa.Table, cols: list[str]) -> np.ndarray:
     for c in cols:
         arr = table[c]
         norm = _normalize_key_type(arr.type)
+        if norm != arr.type:
+            arr = pc.cast(arr, norm)
         if pa.types.is_timestamp(norm) or pa.types.is_date(norm) \
                 or pa.types.is_time(norm):
             arr, norm = pc.cast(arr, pa.int64()), pa.int64()
-        elif norm != arr.type:
-            arr = pc.cast(arr, norm)
         if arr.null_count:
             fill = _null_fill_scalar(norm)
             if fill is not None:
@@ -408,11 +418,11 @@ def _skeleton_frame(t: pa.Table, cols: list[str], mask: "np.ndarray",
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         norm = _normalize_key_type(arr.type)
+        if norm != arr.type:
+            arr = pc.cast(arr, norm)
         if pa.types.is_timestamp(norm) or pa.types.is_date(norm) \
                 or pa.types.is_time(norm):
             arr = pc.cast(arr, pa.int64())
-        elif norm != arr.type:
-            arr = pc.cast(arr, norm)
         out[c] = arr.to_pandas()
     df = pd.DataFrame(out)
     df[idx_name] = np.arange(t.num_rows, dtype=np.int64)[mask]
@@ -535,11 +545,11 @@ def _key_hash64(t: pa.Table, cols: list[str]) -> "np.ndarray":
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         norm = _normalize_key_type(arr.type)
+        if norm != arr.type:
+            arr = pc.cast(arr, norm)
         if pa.types.is_timestamp(norm) or pa.types.is_date(norm) \
                 or pa.types.is_time(norm):
             arr = pc.cast(arr, pa.int64())
-        elif norm != arr.type:
-            arr = pc.cast(arr, norm)
         hc = pd.util.hash_pandas_object(arr.to_pandas(),
                                         index=False).to_numpy()
         h = hc if h is None else (

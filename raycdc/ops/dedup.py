@@ -396,17 +396,14 @@ class SimHasher:
     Values are identical to the per-document kernel (same token strings,
     same element-wise hash, same vote arithmetic)."""
 
-    _TOKEN_RE = None  # compiled lazily once per process
-
     def __init__(self, text_col: str, id_col: str, seed: int = 29):
+        import re
+
         self.text_col, self.id_col = text_col, id_col
+        # compiled patterns pickle fine; once per actor, not per batch
+        self._token_re = re.compile(r"\w+|\x00")
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        # lazy class-level compile must happen HERE: __init__ runs on the
-        # driver and the compiled pattern doesn't pickle with the instance
-        if SimHasher._TOKEN_RE is None:
-            import re
-            SimHasher._TOKEN_RE = re.compile(r"\w+|\x00")
         texts = t[self.text_col].to_pylist()
         n = len(texts)
         out = np.zeros(n, dtype=np.uint64)
@@ -415,7 +412,7 @@ class SimHasher:
             # space changes no token while keeping the joined-buffer
             # separators unambiguous
             lowered = [(s or "").lower().replace("\x00", " ") for s in texts]
-            mixed = np.array(self._TOKEN_RE.findall("\x00".join(lowered)),
+            mixed = np.array(self._token_re.findall("\x00".join(lowered)),
                              dtype=object)
             # the comparand must be an OBJECT scalar: numpy's unicode dtype
             # strips trailing NULs, so `mixed == "\x00"` compares against ""

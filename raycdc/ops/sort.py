@@ -51,17 +51,9 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from raycdc.shuffle import _split_by_column
+from raycdc.shuffle import _split_by_column, block_refs_of as _block_refs_of
 
 _PID = "__raycdc_sort_pid"
-
-
-def _block_refs_of(d: ray.data.Dataset):
-    try:
-        for bundle in d.iter_internal_ref_bundles():
-            yield from bundle.block_refs
-    except AttributeError:  # pragma: no cover - older Ray
-        yield from d.to_arrow_refs()
 
 
 def _key_to_numpy(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray]:
@@ -230,8 +222,11 @@ def sort_dataset(
     table_refs, count_refs = [], []
     if nparts == 1:
         # degenerate single range: no routing column, no split stage —
-        # every block feeds the one sort task directly
-        blocks = list(_block_refs_of(ds))
+        # every block feeds the one sort task directly. The identity
+        # map_batches guarantees Arrow blocks (from_pandas datasets hand
+        # out pandas blocks, which _sort_partition can't concat).
+        arrow_ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+        blocks = list(_block_refs_of(arrow_ds))
         tref, cref = _sort_partition.remote(norm, null_placement, 0, *blocks)
         table_refs.append(tref)
         count_refs.append(cref)

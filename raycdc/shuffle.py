@@ -58,6 +58,19 @@ def stable_hash(data: "pa.Table | pa.Array | pa.ChunkedArray",
     return pd.util.hash_pandas_object(obj, index=False).to_numpy()
 
 
+def block_refs_of(ds: ray.data.Dataset):
+    """Yield the dataset's block object refs (execution-triggering). The
+    blocks are whatever format upstream produced — callers whose tasks
+    assume Arrow tables must route the dataset through a
+    ``map_batches(..., batch_format="pyarrow")`` first (pandas-block
+    datasets, e.g. ``from_pandas``, otherwise crash the task)."""
+    try:
+        for bundle in ds.iter_internal_ref_bundles():
+            yield from bundle.block_refs
+    except AttributeError:  # pragma: no cover - older Ray
+        yield from ds.to_arrow_refs()
+
+
 def lazy_schema(ds: ray.data.Dataset):
     """Zero-arg callable deriving a pa.Schema from ``ds`` — for
     partition_map's ``empty_schema``: evaluated only when every partition
@@ -123,13 +136,6 @@ def partition_map(
     ``fn`` once per partition (the partition's rows concatenated into one
     table). Returns a Dataset of fn's outputs. No sort, no barrier between
     the upstream map phase and the split stage."""
-    def block_refs_of(ds):
-        try:
-            for bundle in ds.iter_internal_ref_bundles():
-                yield from bundle.block_refs
-        except AttributeError:  # pragma: no cover - older Ray
-            yield from ds.to_arrow_refs()
-
     table_refs, count_refs = [], []
     if num_partitions == 1:
         # degenerate single partition: with num_returns=1 Ray would hand

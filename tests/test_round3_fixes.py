@@ -283,3 +283,85 @@ def test_et_hours_null_timestamps_survive(tmp_path):
     got = {r["user_id"]: r["h"] for r in out}
     assert got[2] is None  # null ts → null hour row, like date_trunc
     assert got[1] is not None and got[1].minute == 0 and got[1].second == 0
+
+
+# ---------------------------------------- temporal unit normalization
+def test_asof_join_mixed_timestamp_units():
+    """left on=timestamp[us] vs right on=timestamp[ms] must compare logical
+    instants: the skeleton used to cast each side to int64 in its NATIVE
+    unit, so ms ticks silently compared against us ticks (every left row
+    matched the numerically-smaller ms value)."""
+    from raycdc.joins import asof_join
+
+    lt = pa.table({
+        "k": pa.array(["a", "a", "a"]),
+        "ts": pa.array([1_000_000, 2_000_000, 3_000_000],
+                       pa.timestamp("us")),
+        "lv": pa.array([1, 2, 3], pa.int64()),
+    })
+    rt = pa.table({
+        "k": pa.array(["a", "a"]),
+        "ts": pa.array([1_000, 2_500], pa.timestamp("ms")),
+        "rv": pa.array([10, 25], pa.int64()),
+    })
+    out = to_table(asof_join(ray.data.from_arrow(lt),
+                             ray.data.from_arrow(rt),
+                             on="ts", by=["k"], num_partitions=2))
+    got = dict(zip(out["lv"].to_pylist(), out["rv"].to_pylist()))
+    # 1s -> interval starting 1s (rv=10); 2s -> still 1s; 3s -> 2.5s (25)
+    assert got == {1: 10, 2: 10, 3: 25}
+
+
+def test_interval_join_mixed_timestamp_units():
+    from raycdc.joins import interval_join
+
+    lt = pa.table({
+        "k": pa.array(["a", "a"]),
+        "ts": pa.array([1_500_000, 4_000_000], pa.timestamp("us")),
+        "lv": pa.array([1, 2], pa.int64()),
+    })
+    rt = pa.table({
+        "k": pa.array(["a"]),
+        "lo": pa.array([1_000], pa.timestamp("ms")),
+        "hi": pa.array([2_000], pa.timestamp("ms")),
+        "rv": pa.array([10], pa.int64()),
+    })
+    out = to_table(interval_join(ray.data.from_arrow(lt),
+                                 ray.data.from_arrow(rt),
+                                 on="ts", by=["k"], lo="lo", hi="hi",
+                                 num_partitions=2))
+    # 1.5s inside [1s, 2s]; 4s outside
+    assert out["lv"].to_pylist() == [1] and out["rv"].to_pylist() == [10]
+
+
+def test_hash_join_mixed_timestamp_units_widen():
+    """Same-named timestamp keys with different units now widen to us and
+    join on logical instants (previously a loud dtype-incompatible error)."""
+    from raycdc.joins import hash_join
+
+    lt = pa.table({"ts": pa.array([1_000_000, 2_000_000],
+                                  pa.timestamp("us")),
+                   "lv": pa.array([1, 2], pa.int64())})
+    rt = pa.table({"ts": pa.array([1_000, 3_000], pa.timestamp("ms")),
+                   "rv": pa.array([10, 30], pa.int64())})
+    out = to_table(hash_join(ray.data.from_arrow(lt),
+                             ray.data.from_arrow(rt),
+                             on=["ts"], num_partitions=2))
+    assert out.num_rows == 1
+    assert out["lv"].to_pylist() == [1] and out["rv"].to_pylist() == [10]
+
+
+def test_sort_dataset_pandas_blocks_all_null_key():
+    """from_pandas datasets hand out pandas blocks; the degenerate
+    single-partition sort path (all-null key -> empty boundary sample)
+    used to feed them straight to the Arrow-only sort task."""
+    import pandas as pd
+
+    from raycdc.ops.sort import sort_dataset
+
+    df = pd.DataFrame({"k": [None, None, None], "v": [3, 1, 2]})
+    res = sort_dataset(ray.data.from_pandas(df), ["k", "v"],
+                       num_partitions=4, rank_col="rank")
+    out = res.to_table()
+    assert out["rank"].to_pylist() == [1, 2, 3]
+    assert out["v"].to_pylist() == [1, 2, 3]
