@@ -1102,6 +1102,19 @@ def _q_redact_pii(sf_dir: str):
     return out.select_columns(["doc_id", "text_redacted"])
 
 
+_DECON_NEEDLES = ["batch batch batch", "window dup", "slow query"]
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: drop documents containing any canary
+    phrase (broadcast needle set, one vectorized substring pass per
+    batch, no shuffle) — the eval-leakage guard of a training pipeline."""
+    from raycdc.ops.text import decontaminate
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return decontaminate(docs, _DECON_NEEDLES)
+
+
 def _q_mixture_by_source(sf_dir: str):
     """Dataset-mixing rate sampler: per-source keep rates (the corpus
     composition knob) via the reproducible Knuth hash predicate — a
@@ -1246,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "quality_filter_median": _q_quality_filter_median,
         "mixture_by_source": _q_mixture_by_source,
+        "decontaminate_docs": _q_decontaminate,
     }
 
 
@@ -1616,6 +1630,11 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'src2' THEN 1073741824
                 ELSE 429496729
               END""",
+        "decontaminate_docs": """
+            SELECT doc_id, text FROM documents
+            WHERE NOT (contains(text, 'batch batch batch')
+                       OR contains(text, 'window dup')
+                       OR contains(text, 'slow query'))""",
         "repetition_stats": r"""
             WITH base AS (
               SELECT doc_id,

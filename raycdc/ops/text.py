@@ -287,6 +287,47 @@ def redact_pii(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def decontaminate(ds: ray.data.Dataset, needles: "list[str]",
+                  text_col: str = "text",
+                  flag_col: str | None = None) -> ray.data.Dataset:
+    """Benchmark decontamination: drop documents whose text contains ANY of
+    ``needles`` (eval-set strings, canary phrases) as a plain substring.
+    The needle set is tiny closure-broadcast state; the scan is one
+    vectorized pass per batch — per-needle ``pc.match_substring`` for a
+    handful of needles, a single compiled RE2 alternation (linear-time
+    multi-pattern scan) when the set is large. No shuffle; streams at
+    read speed over any corpus size.
+
+    ``flag_col``: instead of filtering, append a bool "contaminated"
+    column (audit mode). Null text is never contaminated (SQL contains
+    semantics: NULL → not kept by a NOT(...) filter — callers wanting
+    SQL-null-drop pre-filter; here null text rows are KEPT when
+    filtering, matching `contains(NULL) IS NULL → NOT NULL → NULL → the
+    engine keeps them like COALESCE(NOT ..., TRUE)`)."""
+    if not needles:
+        raise ValueError("decontaminate needs at least one needle")
+    needles = list(needles)
+
+    def mark(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        if len(needles) <= 8:
+            hit = None
+            for s in needles:
+                m = pc.match_substring(text, s)
+                hit = m if hit is None else pc.or_kleene(hit, m)
+        else:
+            import re as _re
+
+            alt = "|".join(_re.escape(s) for s in needles)
+            hit = pc.match_substring_regex(text, alt)
+        hit = pc.fill_null(hit, False)  # null text: not contaminated
+        if flag_col is not None:
+            return t.append_column(flag_col, hit)
+        return t.filter(pc.invert(hit))
+
+    return ds.map_batches(mark, batch_format="pyarrow")
+
+
 def repetition_stats(ds: ray.data.Dataset, text_col: str = "text",
                      id_col: str = "doc_id") -> ray.data.Dataset:
     """Gopher-style repetition signals per document (quality filtering for

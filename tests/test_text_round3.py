@@ -143,3 +143,39 @@ def test_chunk_documents_rejects_bad_params():
         chunk_documents(ds, size=0)
     with pytest.raises(ValueError):
         chunk_documents(ds, size=4, overlap=4)
+
+
+def test_decontaminate_filter_and_flag_modes():
+    from raycdc.ops.text import decontaminate
+
+    docs = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(["clean doc", "has CANARY phrase", "also clean",
+                          None, "canary lower no match"]),
+    })
+    ds = ray.data.from_arrow(docs).repartition(2)
+    kept = to_table(decontaminate(ds, ["CANARY phrase", "zzz"],
+                                  text_col="text"))
+    # substring match is case-sensitive; null text kept
+    assert sorted(kept["doc_id"].to_pylist()) == [0, 2, 3, 4]
+
+    flagged = to_table(decontaminate(ds, ["CANARY phrase"],
+                                     flag_col="contaminated"))
+    got = dict(zip(flagged["doc_id"].to_pylist(),
+                   flagged["contaminated"].to_pylist()))
+    assert got == {0: False, 1: True, 2: False, 3: False, 4: False}
+
+
+def test_decontaminate_large_needle_set_regex_path():
+    from raycdc.ops.text import decontaminate
+
+    # >8 needles takes the alternation path; include regex metachars to
+    # prove they're escaped (plain-substring semantics)
+    needles = [f"n{i}" for i in range(8)] + ["a.b", "x(y)"]
+    docs = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(["contains a.b literally", "contains aXb not",
+                          "x(y) here", "clean"]),
+    })
+    kept = to_table(decontaminate(ray.data.from_arrow(docs), needles))
+    assert sorted(kept["doc_id"].to_pylist()) == [1, 3]
