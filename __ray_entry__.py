@@ -1115,6 +1115,22 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(docs, _DECON_NEEDLES)
 
 
+def _q_top_bigrams(sf_dir: str):
+    """Exact global top-20 word bigrams over the corpus: n-gram explode
+    (vectorized window gather, grams never cross documents) → grouped
+    count with partial pre-agg (exchange bounded by distinct grams per
+    batch) → distributed top-k (local top-k per block + tiny reduce).
+    Deterministic tiebreak (count DESC, bigram ASC) ⇒ oracle-hashable."""
+    from raycdc.agg import grouped_aggregate, top_k
+    from raycdc.ops.text import ngram_explode
+
+    docs = _rp(sf_dir, "documents", ["text"])
+    grams = ngram_explode(docs, n=2, text_col="text")
+    counts = grouped_aggregate(grams, ["ngram"], count_name="n",
+                               exchange="partition", num_partitions=16)
+    return top_k(counts, ["n", "ngram"], 20, descending=[True, False])
+
+
 def _q_mixture_by_source(sf_dir: str):
     """Dataset-mixing rate sampler: per-source keep rates (the corpus
     composition knob) via the reproducible Knuth hash predicate — a
@@ -1260,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_median": _q_quality_filter_median,
         "mixture_by_source": _q_mixture_by_source,
         "decontaminate_docs": _q_decontaminate,
+        "top_bigrams": _q_top_bigrams,
     }
 
 
@@ -1635,6 +1652,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (contains(text, 'batch batch batch')
                        OR contains(text, 'window dup')
                        OR contains(text, 'slow query'))""",
+        "top_bigrams": r"""
+            WITH toks AS (
+              SELECT regexp_extract_all(text, '\S+') AS t FROM documents),
+            idx AS (
+              SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2),
+            grams AS (SELECT t[i] || ' ' || t[i+1] AS ngram FROM idx)
+            SELECT ngram, CAST(count(*) AS BIGINT) AS n
+            FROM grams GROUP BY ngram
+            ORDER BY n DESC, ngram LIMIT 20""",
         "repetition_stats": r"""
             WITH base AS (
               SELECT doc_id,

@@ -502,6 +502,61 @@ def chunk_documents(ds: ray.data.Dataset, *, size: int, overlap: int = 0,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def ngram_explode(ds: ray.data.Dataset, *, n: int = 2,
+                  text_col: str = "text", id_col: str | None = None,
+                  out_col: str = "ngram") -> ray.data.Dataset:
+    """One row per word n-gram (\\S+ tokens joined by single spaces) — the
+    corpus-statistics primitive behind top-k n-grams, contamination scans
+    and LM count tables. Vectorized per batch: one split, one window-index
+    build over the flattened token buffer (n-grams never cross document
+    boundaries), ONE take, one ``binary_join``. Pair with
+    ``agg.grouped_aggregate`` (partial pre-agg bounds the exchange at
+    distinct-ngrams-per-batch) + ``agg.top_k`` for exact global top-k.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks() if isinstance(
+            t[text_col], pa.ChunkedArray) else t[text_col]
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(text, r"\s+", " "), " ")
+        toks = pc.split_pattern(norm, " ")
+        raw_n = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        empty = pc.equal(pc.fill_null(norm, ""), "").to_numpy(
+            zero_copy_only=False)
+        n_tok = raw_n.copy()
+        n_tok[empty] = 0  # split('') == [''] phantom
+        n_grams = np.maximum(n_tok - (n - 1), 0)
+        total = int(n_grams.sum())
+        fields = ([t.schema.field(id_col)] if id_col else []) + [
+            pa.field(out_col, pa.string())]
+        if total == 0:
+            return pa.schema(fields).empty_table()
+        flat_offsets = np.zeros(len(raw_n) + 1, dtype=np.int64)
+        np.cumsum(raw_n, out=flat_offsets[1:])
+        doc_of = np.repeat(np.arange(len(n_tok)), n_grams)
+        starts_excl = np.repeat(
+            np.concatenate([[0], np.cumsum(n_grams)[:-1]]), n_grams)
+        pos_in_doc = np.arange(total) - starts_excl
+        start = flat_offsets[doc_of] + pos_in_doc
+        # gram g = tokens[start : start+n]: one gather of total*n refs
+        gidx = (start[:, None] + np.arange(n)[None, :]).reshape(-1)
+        flat = pc.list_flatten(toks)
+        gathered = flat.take(pa.array(gidx))
+        offs = pa.array(np.arange(0, (total + 1) * n, n, dtype=np.int32),
+                        pa.int32())
+        grams = pc.binary_join(pa.ListArray.from_arrays(offs, gathered), " ")
+        cols = {}
+        if id_col:
+            cols[id_col] = t[id_col].take(pa.array(doc_of))
+        cols[out_col] = grams
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def tokenize_explode(ds: ray.data.Dataset, text_col: str = "text",
                      id_col: str = "doc_id",
                      token_col: str = "token") -> ray.data.Dataset:

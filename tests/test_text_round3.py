@@ -179,3 +179,45 @@ def test_decontaminate_large_needle_set_regex_path():
     })
     kept = to_table(decontaminate(ray.data.from_arrow(docs), needles))
     assert sorted(kept["doc_id"].to_pylist()) == [1, 3]
+
+
+def test_ngram_explode_matches_sql():
+    from raycdc.ops.text import ngram_explode
+
+    con = duckdb.connect()
+    con.register("documents", TRICKY)
+    got = to_table(ngram_explode(
+        ray.data.from_arrow(TRICKY).repartition(3), n=2,
+        id_col="doc_id"))
+    want = con.execute(r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+          FROM documents),
+        idx AS (
+          SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM toks WHERE len(t) >= 2)
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS ngram FROM idx
+        ORDER BY doc_id, ngram""").arrow()
+    con.close()
+    _cmp(got, want, ["doc_id", "ngram"])
+
+
+def test_ngram_explode_trigram_random():
+    from raycdc.ops.text import ngram_explode
+
+    docs = _rand_docs(seed=31)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    got = to_table(ngram_explode(
+        ray.data.from_arrow(docs).repartition(5), n=3, id_col="doc_id"))
+    want = con.execute(r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+          FROM documents),
+        idx AS (
+          SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+          FROM toks WHERE len(t) >= 3)
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+        FROM idx ORDER BY doc_id, ngram""").arrow()
+    con.close()
+    _cmp(got, want, ["doc_id", "ngram"])
