@@ -1115,6 +1115,20 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(docs, _DECON_NEEDLES)
 
 
+def _q_curation_v3(sf_dir: str):
+    """Round-3 composition capstone: mixture rates → decontamination →
+    repetition filter → token chunking → exact chunk dedup, one streaming
+    chain with a single exchange (the dedup's). The oracle reproduces all
+    five stages as one CTE chain."""
+    from raycdc.pipelines.curation import curate_documents_v3
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "source"])
+    return curate_documents_v3(
+        docs, rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.5, needles=_DECON_NEEDLES,
+        max_top_word_frac=0.12, chunk_size=32, num_partitions=16)
+
+
 def _q_top_bigrams(sf_dir: str):
     """Exact global top-20 word bigrams over the corpus: n-gram explode
     (vectorized window gather, grams never cross documents) → grouped
@@ -1277,6 +1291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_by_source": _q_mixture_by_source,
         "decontaminate_docs": _q_decontaminate,
         "top_bigrams": _q_top_bigrams,
+        "curation_pipeline_v3": _q_curation_v3,
     }
 
 
@@ -1652,6 +1667,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (contains(text, 'batch batch batch')
                        OR contains(text, 'window dup')
                        OR contains(text, 'slow query'))""",
+        "curation_pipeline_v3": r"""
+            WITH mix AS (
+              SELECT doc_id, text FROM documents
+              WHERE (doc_id * 2654435761) % 4294967296 <
+                CASE source
+                  WHEN 'src0' THEN 4294967296
+                  WHEN 'src1' THEN 2147483648
+                  WHEN 'src2' THEN 1073741824
+                  ELSE 2147483648
+                END),
+            clean AS (
+              SELECT doc_id, text FROM mix
+              WHERE NOT (contains(text, 'batch batch batch')
+                         OR contains(text, 'window dup')
+                         OR contains(text, 'slow query'))),
+            toks0 AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+              FROM clean),
+            cnt AS (SELECT doc_id, w, count(*) AS c
+                    FROM toks0 GROUP BY doc_id, w),
+            top AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS f
+                    FROM cnt GROUP BY doc_id),
+            keepdocs AS (
+              SELECT c.doc_id, c.text FROM clean c
+              JOIN top USING (doc_id) WHERE top.f <= 0.12),
+            tk AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
+                     len(regexp_extract_all(text, '\S+')) AS n
+              FROM keepdocs),
+            idx AS (
+              SELECT doc_id, t, n,
+                     unnest(generate_series(0,
+                         CAST(ceil(greatest(n - 32, 0)::DOUBLE / 32)
+                              AS BIGINT))) AS i
+              FROM tk WHERE n > 0),
+            chunks AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                     array_to_string(t[i*32+1 : i*32+32], ' ')
+                         AS chunk_text,
+                     CAST(least(i*32+32, n) - i*32 AS BIGINT)
+                         AS n_chunk_tokens
+              FROM idx),
+            dedup AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY chunk_text
+                  ORDER BY doc_id * 1000000 + chunk_id) AS rn
+              FROM chunks)
+            SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens
+            FROM dedup WHERE rn = 1""",
         "top_bigrams": r"""
             WITH toks AS (
               SELECT regexp_extract_all(text, '\S+') AS t FROM documents),

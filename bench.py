@@ -203,7 +203,7 @@ def run_bench() -> dict:
         "string_agg_docs",
         "global_sort_events", "global_sort_docs", "repetition_stats",
         "chunk_docs", "quality_filter_median", "mixture_by_source",
-        "decontaminate_docs", "top_bigrams",
+        "decontaminate_docs", "top_bigrams", "curation_pipeline_v3",
     ]
     # Two passes, per-query MIN: this box has episodic multi-minute
     # slowdown windows (measured 2026-08-17: the same query set ran

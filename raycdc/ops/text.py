@@ -329,7 +329,9 @@ def decontaminate(ds: ray.data.Dataset, needles: "list[str]",
 
 
 def repetition_stats(ds: ray.data.Dataset, text_col: str = "text",
-                     id_col: str = "doc_id") -> ray.data.Dataset:
+                     id_col: str = "doc_id",
+                     keep_cols: "list[str] | None" = None
+                     ) -> ray.data.Dataset:
     """Gopher-style repetition signals per document (quality filtering for
     training corpora): duplicate-line fraction and most-frequent-word
     fraction. One stateless map_batches; per batch everything runs through
@@ -347,6 +349,9 @@ def repetition_stats(ds: ray.data.Dataset, text_col: str = "text",
     - ``n_words``: \\S+ token count; ``top_word_frac`` = occurrences of the
       most frequent token / n_words (null when the doc has no tokens, like
       SQL's join-miss)
+
+    ``keep_cols``: extra input columns carried through unchanged (e.g. the
+    text itself, so a downstream filter can chain without a re-join).
     """
 
     def fn(t: pa.Table) -> pa.Table:
@@ -407,14 +412,17 @@ def repetition_stats(ds: ray.data.Dataset, text_col: str = "text",
                                  mask=(total == 0))
         top_word_frac = pc.if_else(pc.is_valid(n_words), top_word_frac, None)
 
-        return pa.table({
-            id_col: t[id_col],
+        cols = {id_col: t[id_col]}
+        for c in keep_cols or []:
+            cols[c] = t[c]
+        cols.update({
             "n_lines": n_lines,
             "n_distinct_lines": n_distinct,
             "dup_line_frac": dup_frac,
             "n_words": n_words,
             "top_word_frac": top_word_frac,
         })
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

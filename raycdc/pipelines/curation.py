@@ -141,3 +141,62 @@ def filter_above_global_quantile(
         return t.filter(pc.fill_null(cmp(t[col], thr), False))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def curate_documents_v3(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    rates: dict | None = None,
+    default_rate: float = 0.1,
+    needles: list | None = None,
+    max_top_word_frac: float = 0.12,
+    chunk_size: int = 32,
+    num_partitions: int = 32,
+):
+    """Third composition story — the round-3 operator additions chained
+    end to end, training-corpus order: per-source MIXTURE rates →
+    benchmark DECONTAMINATION → REPETITION quality filter (most-frequent
+    -word cap; token-less docs drop like the SQL join-miss) → fixed-size
+    token CHUNKING → exact chunk-level dedup (first (doc_id, chunk_id)
+    wins). Everything before the dedup is stateless per-batch streaming;
+    the dedup's partition-only exchange is the chain's single shuffle.
+    Returns (doc_id, chunk_id, chunk_text, n_chunk_tokens).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raycdc.agg import mixture_sample
+    from raycdc.ops.dedup import exact_dedup
+    from raycdc.ops.text import (chunk_documents, decontaminate,
+                                 repetition_stats)
+
+    mixed = mixture_sample(ds, source_col, id_col, rates or {},
+                           default_rate=default_rate)
+    clean = decontaminate(mixed, needles or [], text_col=text_col)
+    stats = repetition_stats(clean, text_col=text_col, id_col=id_col,
+                             keep_cols=[text_col])
+
+    def rep_filter(t: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.less_equal(t["top_word_frac"], max_top_word_frac), False)
+        return t.filter(keep).select([id_col, text_col])
+
+    kept = stats.map_batches(rep_filter, batch_format="pyarrow")
+    chunks = chunk_documents(kept, size=chunk_size, overlap=0,
+                             text_col=text_col, id_col=id_col)
+
+    def add_row_id(t: pa.Table) -> pa.Table:
+        rid = pc.add(pc.multiply(t[id_col], 1_000_000), t["chunk_id"])
+        return t.append_column("__rid", pc.cast(rid, pa.int64()))
+
+    deduped = exact_dedup(
+        chunks.map_batches(add_row_id, batch_format="pyarrow"),
+        text_col="chunk_text", id_col="__rid",
+        num_partitions=num_partitions)
+    return deduped.map_batches(
+        lambda t: t.select([id_col, "chunk_id", "chunk_text",
+                            "n_chunk_tokens"]),
+        batch_format="pyarrow")
