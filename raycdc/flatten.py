@@ -741,12 +741,17 @@ def flatten_hierarchy(
                 sb, pa.array((h % num_partitions).astype(np.int64)))
 
         def sort_bucket(t: pa.Table) -> pa.Table:
-            t = t.drop_columns([sb])
             return t.take(pc.sort_indices(
                 t, sort_keys=[(cfg.child_field, "ascending")]))
 
-        ds = (ds.map_batches(add_seed_bucket, batch_format="pyarrow")
-              .groupby(sb).map_groups(sort_bucket, batch_format="pyarrow"))
+        # partition-only exchange (repo invariant: keyed exchanges never
+        # ride Ray's sort-based groupby) — co-location plus a local sort
+        # inside each bucket is all the convergence optimization needs
+        from raycdc.shuffle import partition_map
+
+        bucketed = ds.map_batches(add_seed_bucket, batch_format="pyarrow")
+        ds = partition_map(bucketed, sb, num_partitions, sort_bucket,
+                           empty_schema=pa_schema)
     expanded = ds.map_batches(
         ExpandPaths,
         fn_constructor_args=(index_ref, cfg, out_schema, num_partitions),

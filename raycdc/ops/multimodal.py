@@ -36,23 +36,78 @@ class BinaryFeatureExtractor:
         self.rng_seed = seed
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        """Single-payload decode — the strict stub's call site and the
+        one-row case of the vectorized batch kernel."""
         if self.decoder == "strict":
             # STUB: real image/audio decode requires codec libraries that are
             # not available in this environment.
             raise NotImplementedError(
                 "media decode requires an image/audio codec library")
-        # deterministic fake decode: content-hash-seeded feature vector
         data = np.frombuffer(payload or b"\x00", dtype=np.uint8)
-        h = int(data.astype(np.uint64).sum() * 2654435761 % (2**32))
-        rng = np.random.default_rng((self.rng_seed << 32) | h)
-        feat = rng.standard_normal(self.dim).astype(np.float32)
-        feat[0] = len(data)  # keep one human-checkable component
+        return self._features(
+            np.array([data.astype(np.uint64).sum()], np.uint64),
+            np.array([len(data)], np.int64))[0]
+
+    @staticmethod
+    def _mix64(x: np.ndarray) -> np.ndarray:
+        """splitmix64 finalizer — a vectorized integer mixer giving each
+        (payload-hash, component) pair an independent pseudo-random word."""
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    def _features(self, sums: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Content-hash-seeded fake features for a whole batch in one numpy
+        pass: Box-Muller over two splitmix64 streams keyed by (actor seed,
+        payload content hash, component index). Deterministic for a given
+        (seed, payload) regardless of batch layout."""
+        n = len(sums)
+        h = (sums * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        base = (np.uint64(self.rng_seed) << np.uint64(32)) | h
+        j = np.arange(self.dim, dtype=np.uint64)
+        w1 = self._mix64(base[:, None] + j[None, :] * np.uint64(
+            0x9E3779B97F4A7C15))
+        w2 = self._mix64(w1 + np.uint64(0xD1B54A32D192ED03))
+        # 53-bit mantissa uniforms in (0, 1]; Box-Muller to normals
+        u1 = ((w1 >> np.uint64(11)).astype(np.float64) + 1.0) / (2.0**53)
+        u2 = (w2 >> np.uint64(11)).astype(np.float64) / (2.0**53)
+        feat = (np.sqrt(-2.0 * np.log(u1))
+                * np.cos(2.0 * np.pi * u2)).astype(np.float32)
+        if n:
+            feat[:, 0] = lens  # keep one human-checkable component
         return feat
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        payloads = t[self.payload_col].to_pylist()
-        feats = np.stack([self._decode(p) for p in payloads]) if payloads else \
-            np.zeros((0, self.dim), dtype=np.float32)
+        if self.decoder == "strict":
+            # STUB: preserve the real control flow — a production build
+            # decodes here with the codec loaded in __init__.
+            raise NotImplementedError(
+                "media decode requires an image/audio codec library")
+        n = t.num_rows
+        if n == 0:
+            feats = np.zeros((0, self.dim), dtype=np.float32)
+        else:
+            # byte sums straight off the Arrow offsets/values buffers (same
+            # zero-copy approach as frame_sample) — no per-row .as_py()
+            arr = t[self.payload_col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arr = arr.cast(pa.large_binary())
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                                 count=len(arr) + 1, offset=arr.offset * 8)
+            values = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+            csum = np.concatenate(
+                [[np.uint64(0)],
+                 np.cumsum(values, dtype=np.uint64)]).astype(np.uint64)
+            sums = csum[offs[1:]] - csum[offs[:-1]]
+            lens = np.diff(offs)
+            # null/empty payloads decode as b"\x00": sum 0, length 1
+            empty = lens == 0
+            if arr.null_count:
+                empty |= np.asarray(arr.is_null())
+            sums[empty] = np.uint64(0)
+            lens = np.where(empty, 1, lens)
+            feats = self._features(sums, lens)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.reshape(-1), pa.float32()), self.dim)
         return t.append_column("features", col)

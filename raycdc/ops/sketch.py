@@ -60,13 +60,24 @@ def approx_distinct(ds: ray.data.Dataset, col: str, *,
         return pa.table({"regs": pa.FixedSizeListArray.from_arrays(
             pa.array(regs, pa.uint8()), len(regs))})
 
-    partials = ds.map_batches(batch_regs, batch_format="pyarrow",
-                              batch_size=None)
-    merged = np.zeros(1 << precision, dtype=np.uint8)
-    for t in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+    def combine_regs(t: pa.Table) -> pa.Table:
         flat = t["regs"].combine_chunks().flatten().to_numpy(
             zero_copy_only=False).reshape(-1, 1 << precision)
-        merged = np.maximum(merged, flat.max(axis=0))
+        merged = flat.max(axis=0)
+        return pa.table({"regs": pa.FixedSizeListArray.from_arrays(
+            pa.array(merged, pa.uint8()), len(merged))})
+
+    from raycdc.shuffle import tree_reduce
+
+    partials = ds.map_batches(batch_regs, batch_format="pyarrow",
+                              batch_size=None)
+    # register vectors merge with elementwise max (associative +
+    # idempotent), so the fan-in tree is exact and the driver only ever
+    # sees ONE 2^p-byte register row
+    final = tree_reduce(partials, combine_regs)
+    merged = np.zeros(1 << precision, dtype=np.uint8) if final is None else \
+        final["regs"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(-1, 1 << precision).max(axis=0)
     return ray.data.from_arrow(pa.table({
         "approx_distinct": pa.array([int(round(_estimate(merged)))],
                                     pa.int64())}))
@@ -116,43 +127,78 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, *,
             "nulls": pa.array([0] * len(kept) + [int(n_null)], pa.int64()),
         })
 
+    def mg_combine(t: pa.Table) -> pa.Table:
+        """Merge MG summaries: group-sum counts per item, then reduce back
+        to k counters by subtracting the (k+1)-th largest (the standard
+        mergeable-summary merge — Agarwal et al. 2012; total undercount
+        stays bounded by n/k). Null rows are the per-batch markers: their
+        rows/nulls tallies just sum. Associative and idempotent on
+        already-combined input, so any fan-in tree gives a superset of
+        every >= threshold item."""
+        g = t.group_by(col).aggregate(
+            [("mg", "sum"), ("rows", "sum"), ("nulls", "sum")])
+        item_arr = g[col].combine_chunks() if isinstance(
+            g[col], pa.ChunkedArray) else g[col]
+        is_item = pc.is_valid(item_arr).to_numpy(zero_copy_only=False)
+        mg = g["mg_sum"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(g), dtype=bool)
+        n_items = int(is_item.sum())
+        if n_items > k:
+            vals = np.where(is_item, mg, -1)
+            order = np.argsort(-vals, kind="stable")
+            cut = int(vals[order[k]])
+            if cut > 0:
+                keep = (~is_item) | (vals > cut)
+                mg = np.where(is_item, mg - cut, mg)
+        return pa.table({
+            col: item_arr.filter(pa.array(keep)),
+            "mg": pa.array(mg[keep], pa.int64()),
+            "rows": g["rows_sum"].filter(pa.array(keep)).cast(pa.int64()),
+            "nulls": g["nulls_sum"].filter(pa.array(keep)).cast(pa.int64()),
+        })
+
+    from raycdc.shuffle import tree_reduce
+
     summaries = ds.map_batches(batch_summary, batch_format="pyarrow",
                                batch_size=None)
-    tabs = list(summaries.iter_batches(batch_format="pyarrow",
-                                       batch_size=None))
+    # fan-in tree: driver holds object refs only; the one table it ever
+    # fetches is the final merged summary (<= k items + one marker row)
+    merged = tree_reduce(summaries, mg_combine)
     col_type = dict(zip(ds.schema().names, ds.schema().types))[col]
     out_schema = pa.schema([(col, col_type), ("n", pa.int64())])
-    if not tabs:
+    if merged is None:
         return ray.data.from_arrow(out_schema.empty_table())
-    merged = pa.concat_tables(tabs)
     total = int(pc.sum(merged["rows"]).as_py() or 0)
     total_nulls = int(pc.sum(merged["nulls"]).as_py() or 0)
     items = merged.filter(pc.is_valid(merged[col]))
-    candidates = set(items[col].to_pylist())
+    cand_arr = (items[col].combine_chunks() if isinstance(
+        items[col], pa.ChunkedArray) else items[col]).cast(col_type)
     threshold = threshold_frac * total
-    cand_ref = ray.put(candidates)
 
     def count_candidates(t: pa.Table) -> pa.Table:
-        cand = ray.get(cand_ref) if isinstance(cand_ref, ray.ObjectRef) else cand_ref
-        s = t[col].to_pandas()
-        vc = s[s.isin(list(cand))].value_counts()
-        vals = pa.Array.from_pandas(
-            vc.index.to_series().reset_index(drop=True)).cast(col_type)
-        return pa.table({col: vals,
-                         "n": pa.array(vc.to_numpy(), pa.int64())})
+        mask = pc.fill_null(pc.is_in(t[col], value_set=cand_arr), False)
+        sub = t.filter(mask)
+        g = sub.group_by(col).aggregate([([], "count_all")])
+        return pa.table({col: g[col].cast(col_type),
+                         "n": g["count_all"].cast(pa.int64())})
 
-    if candidates:
+    def sum_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(col).aggregate([("n", "sum")])
+        return pa.table({col: g[col], "n": g["n_sum"].cast(pa.int64())})
+
+    exact_tab = None
+    if len(cand_arr):
         counts = ds.map_batches(count_candidates, batch_format="pyarrow",
                                 batch_size=None)
-        ctabs = list(counts.iter_batches(batch_format="pyarrow",
-                                         batch_size=None))
-    else:
-        ctabs = []
-    if ctabs:
-        exact = pa.concat_tables(ctabs).to_pandas().groupby(col)["n"].sum()
+        # exact recount merges by group-sum through the same fan-in tree —
+        # per-node state is <= |candidates| (<= k) rows, never O(batches)
+        exact_tab = tree_reduce(counts, sum_counts)
+    if exact_tab is not None and exact_tab.num_rows:
+        exact = exact_tab.to_pandas().set_index(col)["n"].sort_index()
     else:
         exact = pd.Series([], dtype="int64", name="n")
-    final = exact[exact >= threshold].sort_values(ascending=False)
+    final = exact[exact >= threshold].sort_values(ascending=False,
+                                                  kind="stable")
     vals = pa.Array.from_pandas(
         final.index.to_series().reset_index(drop=True)).cast(col_type)
     ns = list(final.to_numpy())

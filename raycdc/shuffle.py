@@ -87,15 +87,25 @@ def lazy_schema(ds: ray.data.Dataset):
     return get
 
 
+# Blocks routed per split task: bounds the driver's object-ref count at
+# blocks/CHUNK × P instead of blocks × P (same chunking as
+# cdc/apply._partitioned_merge) while each split stays one vectorized pass.
+_SPLIT_CHUNK = 4
+
+
 @ray.remote
-def _split_by_column(block: pa.Table, col: str, num_partitions: int,
-                     drop_col: bool) -> tuple:
-    """Split one block by an int64 partition-id column (values must already
-    be in [0, P)); one return object per partition."""
-    if block.num_rows == 0 or col not in block.column_names:
-        # Ray Data can emit schema-less empty blocks (e.g. a union branch
-        # whose map produced no rows); nothing to route.
+def _split_by_column(col: str, num_partitions: int,
+                     drop_col: bool, *blocks: pa.Table) -> tuple:
+    """Split a chunk of blocks by an int64 partition-id column (values must
+    already be in [0, P)); one return object per partition."""
+    live = [b for b in blocks
+            if b is not None and b.num_rows and col in b.column_names]
+    # Ray Data can emit schema-less empty blocks (e.g. a union branch
+    # whose map produced no rows); nothing to route for those.
+    if not live:
         return tuple([None] * num_partitions)
+    block = live[0] if len(live) == 1 else \
+        pa.concat_tables(live, promote_options="default")
     pids = block[col].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(pids, kind="stable")
     sorted_block = block.take(pa.array(order))
@@ -110,6 +120,39 @@ def _split_by_column(block: pa.Table, col: str, num_partitions: int,
         if hi > lo:
             out[int(pids[lo])] = sorted_block.slice(lo, hi - lo)
     return tuple(out)
+
+
+@ray.remote
+def _reduce_tables(fn: Callable[[pa.Table], pa.Table], *tables):
+    """Tree-reduce inner node: concat a fan-in of partial tables and
+    re-combine. ``fn`` must be associative over row-concatenation (and
+    tolerate already-combined input — inner nodes feed inner nodes)."""
+    live = [t for t in tables if t is not None and t.num_rows]
+    if not live:
+        return None
+    return fn(pa.concat_tables(live, promote_options="default"))
+
+
+def tree_reduce(ds: ray.data.Dataset,
+                combine: Callable[[pa.Table], pa.Table], *,
+                fanin: int = 64) -> "pa.Table | None":
+    """Reduce a Dataset of mergeable partial tables (sketches, summaries,
+    partial aggregates) to ONE table without driver-side concat: layers of
+    remote tasks each combine ≤ ``fanin`` inputs, so the driver holds only
+    object refs (blocks/fanin per layer) and the single bounded result.
+    ``combine`` must be associative and idempotent on combined output.
+    Returns None when the dataset has no blocks."""
+    refs = list(block_refs_of(ds))
+    if not refs:
+        return None
+    if len(refs) == 1:
+        # still apply the combiner exactly once (a lone leaf block is a
+        # partial, not a final result)
+        refs = [_reduce_tables.remote(combine, refs[0])]
+    while len(refs) > 1:
+        refs = [_reduce_tables.remote(combine, *refs[i:i + fanin])
+                for i in range(0, len(refs), fanin)]
+    return ray.get(refs[0])
 
 
 @ray.remote(num_returns=2)
@@ -152,12 +195,23 @@ def partition_map(
         count_refs.append(cref)
     else:
         split = _split_by_column.options(num_returns=num_partitions)
-        per_block = []
+        per_chunk = []
+        chunk: list = []
+
+        def flush():
+            if chunk:
+                per_chunk.append(split.remote(
+                    partition_col, num_partitions, drop_partition_col,
+                    *chunk))
+                chunk.clear()
+
         for block_ref in block_refs_of(ds):
-            per_block.append(split.remote(
-                block_ref, partition_col, num_partitions, drop_partition_col))
+            chunk.append(block_ref)
+            if len(chunk) >= _SPLIT_CHUNK:
+                flush()
+        flush()
         for pid in range(num_partitions):
-            slices = [r[pid] for r in per_block]
+            slices = [r[pid] for r in per_chunk]
             tref, cref = _partition_task.remote(fn, pid, *slices)
             table_refs.append(tref)
             count_refs.append(cref)

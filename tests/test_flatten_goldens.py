@@ -25,7 +25,11 @@ def run_flatten(table: pa.Table, cfg: FlattenConfig, strategy: str) -> pa.Table:
     if strategy == "local":
         return flatten_hierarchy_table(table, cfg)
     ds = ray.data.from_arrow(table)
-    out = flatten_hierarchy(ds, cfg, strategy=strategy, num_partitions=2)
+    kwargs = {}
+    if strategy == "broadcast_colocate":
+        strategy, kwargs = "broadcast", {"co_locate_seeds": True}
+    out = flatten_hierarchy(ds, cfg, strategy=strategy, num_partitions=2,
+                            **kwargs)
     return pa.concat_tables(
         [b for b in out.iter_batches(batch_format="pyarrow")]
         or [out.schema().empty_table() if hasattr(out.schema(), "empty_table") else pa.table({})]
@@ -37,7 +41,7 @@ DIAMOND = pa.table({
     "child": ["2", "4", "3", "6", "6", "6"],
 })
 
-STRATEGIES = ["local", "broadcast", "shuffle"]
+STRATEGIES = ["local", "broadcast", "shuffle", "broadcast_colocate"]
 
 
 @pytest.mark.parametrize("strategy", STRATEGIES)
