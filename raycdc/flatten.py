@@ -626,7 +626,11 @@ def _flatten_shuffle(ds: ray.data.Dataset, cfg: FlattenConfig,
                 "are no cycles in the hierarchy, or increase the max depth.")
         joined = hash_join(cur, right, on=[cfg.child_field],
                            right_on=[_RPREFIX + "key"], join_type="left_outer",
-                           num_partitions=num_partitions)
+                           num_partitions=num_partitions,
+                           # keep the reference-shaped distributed per-level
+                           # join; broadcast-sized edge tables already take
+                           # the flattener's own broadcast strategy
+                           strategy="shuffle")
 
         def project(batch: pa.Table) -> pa.Table:
             # O9 conditional projection (HierarchyFlattener.java:239-272).

@@ -49,14 +49,49 @@ def _normalize_key_type(t: pa.DataType) -> pa.DataType:
     # temporal keys canonicalize to MICROSECOND resolution before any
     # int64 tick cast: a timestamp[us] side joined/asof-matched against a
     # timestamp[ms] side must compare logical instants, not raw ticks
-    # (2500 ms-ticks < 1000000 us-ticks silently mis-matched before)
+    # (2500 ms-ticks < 1000000 us-ticks silently mis-matched before).
+    # ns inputs KEEP ns — the safe us cast would raise ArrowInvalid on any
+    # sub-microsecond component; cross-unit pairs widen to the finer unit
+    # via _common_key_type.
     if pa.types.is_timestamp(t):
-        return pa.timestamp("us", tz=t.tz)
+        return pa.timestamp("ns" if t.unit == "ns" else "us", tz=t.tz)
     if pa.types.is_date(t):
         return pa.timestamp("us")
     if pa.types.is_time(t):
-        return pa.time64("us")
+        return pa.time64("ns" if getattr(t, "unit", "us") == "ns" else "us")
     return t
+
+
+def _common_key_type(lt: pa.DataType, rt: pa.DataType) -> "pa.DataType | None":
+    """The one type BOTH sides of a key pair cast to, or None when the
+    families are incompatible. Differing temporal units widen to the finer
+    (ns) — exact for every us-representable instant inside ns range; an
+    out-of-range value fails the safe cast loudly rather than comparing
+    wrong ticks."""
+    nl, nr = _normalize_key_type(lt), _normalize_key_type(rt)
+    if nl == nr:
+        return nl
+    if pa.types.is_timestamp(nl) and pa.types.is_timestamp(nr) \
+            and nl.tz == nr.tz:
+        return pa.timestamp("ns", tz=nl.tz)
+    if pa.types.is_time(nl) and pa.types.is_time(nr):
+        return pa.time64("ns")
+    return None
+
+
+# multiplier to a common ns-equivalent tick for HASHING temporal keys:
+# uint64 wrap-around multiply is deterministic and unit-consistent (a us
+# side x1000 equals the ns side's raw ticks for every instant ns can
+# represent), so cross-unit keys hash identically without a lossy or
+# overflow-raising Arrow cast.
+_NS_PER_UNIT = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
+
+
+def _temporal_hash_ticks(arr: "pa.Array", norm: pa.DataType) -> "pd.Series":
+    unit = getattr(norm, "unit", "us")
+    ticks = pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False)
+    return pd.Series(ticks.astype(np.uint64)
+                     * np.uint64(_NS_PER_UNIT.get(unit, 1)))
 
 
 def _null_fill_scalar(t: pa.DataType):
@@ -85,17 +120,27 @@ def key_hash(table: pa.Table, cols: list[str]) -> np.ndarray:
     for c in cols:
         arr = table[c]
         norm = _normalize_key_type(arr.type)
+        if pa.types.is_timestamp(norm) or pa.types.is_time(norm):
+            # hash temporal keys as wrap-around ns-equivalent ticks so a us
+            # side and a ns side hash the same instant identically (null
+            # ticks fill as epoch 0 — null keys never match, routing only)
+            if pa.types.is_date(arr.type):
+                arr = pc.cast(arr, pa.timestamp("us"))
+            if arr.null_count:
+                arr = pc.fill_null(arr, pa.scalar(0, arr.type))
+            arrays[c] = _temporal_hash_ticks(arr, arr.type)
+            continue
         if norm != arr.type:
             arr = pc.cast(arr, norm)
-        if pa.types.is_timestamp(norm) or pa.types.is_date(norm) \
-                or pa.types.is_time(norm):
-            arr, norm = pc.cast(arr, pa.int64()), pa.int64()
         if arr.null_count:
             fill = _null_fill_scalar(norm)
             if fill is not None:
                 arr = pc.fill_null(arr, fill)
         arrays[c] = arr.to_pandas()
     return pd.util.hash_pandas_object(pd.DataFrame(arrays), index=False).to_numpy()
+
+
+_BROADCASTABLE = ("inner", "left_outer", "left_semi", "left_anti")
 
 
 def hash_join(
@@ -106,8 +151,22 @@ def hash_join(
     right_on: list[str] | None = None,
     join_type: str = "inner",
     num_partitions: int = 32,
+    strategy: str = "auto",
+    broadcast_max_bytes: int = 256 << 20,
 ) -> ray.data.Dataset:
-    """Shuffle hash join of two Datasets (both sides large).
+    """Hash join of two Datasets.
+
+    ``strategy="auto"`` (default) mirrors the flattener's auto pick: the
+    right (build) side is materialized and, when its size is under
+    ``broadcast_max_bytes`` and the join type is left-preserving
+    (inner/left_outer/left_semi/left_anti), the keyed exchange is skipped
+    entirely — the build table is ``ray.put`` once and probed per left
+    batch (:func:`broadcast_join`). Larger builds (or right/full outer
+    joins, which need global unmatched-right knowledge) run the shuffle
+    path. Pass ``strategy="shuffle"`` when the right side is a large
+    pipeline that should stream into the exchange concurrently with the
+    left instead of materializing first (e.g. the flattener's
+    reference-shaped per-level join and the dedup signature rejoins).
 
     Non-key column names must be disjoint between the two sides (rename
     upstream; the flattener prefixes its right side). Null keys never match,
@@ -131,14 +190,14 @@ def hash_join(
     for lk, rk in zip(on, right_on):
         lt_, rt_ = lschema.field(lk).type, rschema.field(rk).type
         if lt_ != rt_:
-            norm_l, norm_r = _normalize_key_type(lt_), _normalize_key_type(rt_)
-            if norm_l != norm_r:
+            common = _common_key_type(lt_, rt_)
+            if common is None:
                 raise ValueError(
                     f"Join key dtypes incompatible: {lk}:{lt_} vs {rk}:{rt_}")
-            if lt_ != norm_l:
-                lcast[lk] = norm_l
-            if rt_ != norm_r:
-                rcast[rk] = norm_r
+            if lt_ != common:
+                lcast[lk] = common
+            if rt_ != common:
+                rcast[rk] = common
     if lcast:
         lschema = pa.schema([pa.field(f.name, lcast.get(f.name, f.type))
                              for f in lschema])
@@ -146,6 +205,31 @@ def hash_join(
         rschema = pa.schema([pa.field(f.name, rcast.get(f.name, f.type))
                              for f in rschema])
     semi_anti = join_type in ("left_semi", "left_anti")
+
+    if strategy == "auto" and join_type in _BROADCASTABLE:
+        right = right.materialize()
+        if (right.size_bytes() or 0) < broadcast_max_bytes:
+            batches = list(right.iter_batches(batch_format="pyarrow",
+                                              batch_size=None))
+            live = [b for b in batches
+                    if b.num_rows and right_on[0] in b.column_names]
+            rtab = (pa.concat_tables(live, promote_options="default")
+                    .select(rschema.names).cast(rschema)
+                    if live else rschema.empty_table())
+            probe = left
+            if lcast:
+                def cast_left(t: pa.Table) -> pa.Table:
+                    if t.num_rows == 0 or on[0] not in t.column_names:
+                        return lschema.empty_table()
+                    return pa.table(
+                        {f.name: (pc.cast(t[f.name], f.type)
+                                  if t[f.name].type != f.type else t[f.name])
+                         for f in lschema})
+
+                probe = left.map_batches(cast_left, batch_format="pyarrow")
+            return broadcast_join(probe, rtab, on=on, right_on=right_on,
+                                  join_type=join_type)
+
     unified = pa.schema(
         list(lschema)
         + [f for f in rschema if f.name not in lschema.names]
@@ -265,15 +349,15 @@ def _widen_shared_fields(
         rt = rschema.field(f.name).type
         if f.type == rt:
             continue
-        nl, nr = _normalize_key_type(f.type), _normalize_key_type(rt)
-        if nl != nr:
+        common = _common_key_type(f.type, rt)
+        if common is None:
             raise ValueError(
                 f"Shared column dtypes incompatible: {f.name}: "
                 f"{f.type} vs {rt}")
-        if f.type != nl:
-            lcast[f.name] = nl
-        if rt != nr:
-            rcast[f.name] = nr
+        if f.type != common:
+            lcast[f.name] = common
+        if rt != common:
+            rcast[f.name] = common
     if lcast:
         lschema = pa.schema([pa.field(f.name, lcast.get(f.name, f.type))
                              for f in lschema])
@@ -403,12 +487,17 @@ def _skeleton_valid_mask(t: pa.Table, cols: list[str]) -> "np.ndarray":
 
 
 def _skeleton_frame(t: pa.Table, cols: list[str], mask: "np.ndarray",
-                    idx_name: str) -> "pd.DataFrame":
+                    idx_name: str,
+                    targets: "dict[str, pa.DataType] | None" = None
+                    ) -> "pd.DataFrame":
     """Null-free key skeleton as pandas with original row positions. Key
     columns are dtype-normalized (int*→int64, float*→float64,
-    timestamp/date/time→int64) so merge_asof never sees a cross-side dtype
-    mismatch; null rows were dropped on Arrow so the conversion can never
-    flip an int column to float64."""
+    timestamp/date/time→int64 ticks in the column's — or ``targets``' —
+    canonical unit) so merge_asof never sees a cross-side dtype mismatch;
+    null rows were dropped on Arrow so the conversion can never flip an
+    int column to float64. ``targets`` pins specific columns to a
+    pair-common type (cross-NAMED temporal keys like interval_join's
+    ``on`` vs ``lo`` don't go through _widen_shared_fields)."""
     sub = t.select(cols)
     if not mask.all():
         sub = sub.filter(pa.array(mask))
@@ -417,9 +506,15 @@ def _skeleton_frame(t: pa.Table, cols: list[str], mask: "np.ndarray",
         arr = sub[c]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        norm = _normalize_key_type(arr.type)
+        norm = (targets or {}).get(c) or _normalize_key_type(arr.type)
         if norm != arr.type:
-            arr = pc.cast(arr, norm)
+            try:
+                arr = pc.cast(arr, norm)
+            except pa.lib.ArrowInvalid as e:
+                raise ValueError(
+                    f"temporal key column {c!r} ({arr.type}) cannot be "
+                    f"losslessly cast to the pair-common type {norm}: {e}"
+                ) from e
         if pa.types.is_timestamp(norm) or pa.types.is_date(norm) \
                 or pa.types.is_time(norm):
             arr = pc.cast(arr, pa.int64())
@@ -448,8 +543,19 @@ def _asof_match(lt: pa.Table, rt: pa.Table, *, on: str, right_on: str,
     ri = np.full(nl, -1, dtype=np.int64)
     if not lmask.any() or not rmask.any():
         return ri
-    ldf = _skeleton_frame(lt, lcols, lmask, "__li")
-    rdf = _skeleton_frame(rt, rcols, rmask, "__ri")
+    # `on` vs `right_on` may be differently-NAMED columns with different
+    # temporal units (interval_join's on vs lo) — pin both skeletons to the
+    # pair-common type so the int64 ticks compare the same logical instant
+    lon_t = lt.schema.field(on).type
+    ron_t = rt.schema.field(right_on).type
+    common_on = _common_key_type(lon_t, ron_t)
+    if common_on is None:
+        raise ValueError(
+            f"asof key dtypes incompatible: {on}:{lon_t} vs "
+            f"{right_on}:{ron_t}")
+    ldf = _skeleton_frame(lt, lcols, lmask, "__li", targets={on: common_on})
+    rdf = _skeleton_frame(rt, rcols, rmask, "__ri",
+                          targets={right_on: common_on})
     if right_on != on:
         rdf = rdf.rename(columns={right_on: on})
     lv = ldf.sort_values(on, kind="stable")
@@ -498,11 +604,17 @@ def interval_join(
         hi_arr = rt[hi]
         if isinstance(hi_arr, pa.ChunkedArray):
             hi_arr = hi_arr.combine_chunks()
+        on_arr = lt[on].combine_chunks() \
+            if isinstance(lt[on], pa.ChunkedArray) else lt[on]
+        if hi_arr.type != on_arr.type:
+            # cross-unit temporal bound (us `on` vs ns `hi` or vice versa):
+            # compare in the pair-common type, not raw ticks
+            common = _common_key_type(hi_arr.type, on_arr.type)
+            if common is not None:
+                hi_arr = pc.cast(hi_arr, common)
+                on_arr = pc.cast(on_arr, common)
         inside_arr = pc.fill_null(
-            pc.greater_equal(hi_arr.take(hi_take),
-                             lt[on].combine_chunks()
-                             if isinstance(lt[on], pa.ChunkedArray)
-                             else lt[on]), False)
+            pc.greater_equal(hi_arr.take(hi_take), on_arr), False)
         inside = inside_arr.to_numpy(zero_copy_only=False)
         ri = np.where(inside, ri, -1)
         rcols = [f.name for f in rschema if f.name not in by]
@@ -545,13 +657,17 @@ def _key_hash64(t: pa.Table, cols: list[str]) -> "np.ndarray":
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         norm = _normalize_key_type(arr.type)
-        if norm != arr.type:
-            arr = pc.cast(arr, norm)
-        if pa.types.is_timestamp(norm) or pa.types.is_date(norm) \
-                or pa.types.is_time(norm):
-            arr = pc.cast(arr, pa.int64())
-        hc = pd.util.hash_pandas_object(arr.to_pandas(),
-                                        index=False).to_numpy()
+        if pa.types.is_timestamp(norm) or pa.types.is_time(norm):
+            # same wrap-around ns-equivalent ticks as key_hash: a us build
+            # side and a ns probe side must hash an instant identically
+            if pa.types.is_date(arr.type):
+                arr = pc.cast(arr, pa.timestamp("us"))
+            series = _temporal_hash_ticks(arr, arr.type)
+        else:
+            if norm != arr.type:
+                arr = pc.cast(arr, norm)
+            series = arr.to_pandas()
+        hc = pd.util.hash_pandas_object(series, index=False).to_numpy()
         h = hc if h is None else (
             h * np.uint64(0x9E3779B97F4A7C15)) ^ hc
     return h

@@ -360,10 +360,14 @@ def minhash_lsh_pairs(
                              f"sig_{side}": _sig_as_binary(t["sig"], num_perm)})
         return fn
 
+    # corpus-sized signature sides must stream into the exchange, not
+    # materialize for the auto broadcast-size check
     joined = hash_join(cand, sigs.map_batches(rename("a"), batch_format="pyarrow"),
-                       on=["id_a"], num_partitions=num_partitions)
+                       on=["id_a"], num_partitions=num_partitions,
+                       strategy="shuffle")
     joined = hash_join(joined, sigs.map_batches(rename("b"), batch_format="pyarrow"),
-                       on=["id_b"], num_partitions=num_partitions)
+                       on=["id_b"], num_partitions=num_partitions,
+                       strategy="shuffle")
 
     def verify(t: pa.Table) -> pa.Table:
         out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
@@ -726,10 +730,13 @@ def jaccard_verified_pairs(
 
     import pyarrow.compute as pc  # noqa: F811 (local alias for closures)
 
+    # corpus-sized text sides stream into the exchange (see minhash rejoin)
     j1 = hash_join(cand, ds.map_batches(rename("a"), batch_format="pyarrow"),
-                   on=["id_a"], num_partitions=num_partitions)
+                   on=["id_a"], num_partitions=num_partitions,
+                   strategy="shuffle")
     j2 = hash_join(j1, ds.map_batches(rename("b"), batch_format="pyarrow"),
-                   on=["id_b"], num_partitions=num_partitions)
+                   on=["id_b"], num_partitions=num_partitions,
+                   strategy="shuffle")
 
     out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                             ("jaccard", pa.float64())])

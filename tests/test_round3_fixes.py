@@ -135,10 +135,14 @@ def test_bloom_key_hash_normalizes_int_widths():
     t32 = pa.table({"k": pa.array([1, -2, 3, -2147483648], pa.int32())})
     t64 = pa.table({"k": pa.array([1, -2, 3, -2147483648], pa.int64())})
     assert np.array_equal(_key_hash64(t32, ["k"]), _key_hash64(t64, ["k"]))
-    # timestamps hash like their int64 epoch values (key_hash rule)
-    ts = pa.table({"k": pa.array([0, 10**6], pa.timestamp("us"))})
-    ti = pa.table({"k": pa.array([0, 10**6], pa.int64())})
-    assert np.array_equal(_key_hash64(ts, ["k"]), _key_hash64(ti, ["k"]))
+    # round-4 rule: temporal keys hash as ns-equivalent ticks, so the same
+    # instant hashes identically across units (us vs ns vs ms)
+    ts_us = pa.table({"k": pa.array([0, 10**6], pa.timestamp("us"))})
+    ts_ns = pa.table({"k": pa.array([0, 10**9], pa.timestamp("ns"))})
+    ts_ms = pa.table({"k": pa.array([0, 10**3], pa.timestamp("ms"))})
+    h = _key_hash64(ts_us, ["k"])
+    assert np.array_equal(h, _key_hash64(ts_ns, ["k"]))
+    assert np.array_equal(h, _key_hash64(ts_ms, ["k"]))
 
 
 def test_bloom_semi_join_int32_vs_int64_keys():
