@@ -201,7 +201,8 @@ def run_bench() -> dict:
         "grouped_quantiles_sketch", "mode_event_type", "argmax_event",
         "window_rolling",
         "string_agg_docs",
-        "global_sort_events", "global_sort_docs", "repetition_stats",
+        "global_sort_events", "global_sort_docs", "ordered_lake",
+        "repetition_stats",
         "chunk_docs", "quality_filter_median", "mixture_by_source",
         "decontaminate_docs", "top_bigrams", "curation_pipeline_v3",
     ]

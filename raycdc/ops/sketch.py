@@ -236,12 +236,13 @@ def approx_quantile(ds: ray.data.Dataset, col: str, qs: list[float],
                     m: int = 2048) -> ray.data.Dataset:
     """Approximate global quantiles via a mergeable compressed summary
     (MRL-style): every block reduces to ≤ m (value, weight) representatives
-    — value-sorted, each rep the max of its run — and summaries merge by
-    concatenation + re-compression whenever the buffer exceeds 64·m, so
-    driver memory stays O(m) no matter how many blocks stream in. Rank
-    error is bounded by ~2·n/m (one run per compression level; two levels
-    here). Nulls are excluded per SQL; NaN sorts last (DuckDB's "NaN is
-    largest" convention).
+    — value-sorted, each rep the max of its run — and summaries merge
+    through the shuffle.tree_reduce fan-in, re-compressing only when a
+    node's buffer exceeds 64·m, so per-node state stays O(m) and the
+    driver fetches ONE bounded table no matter how many blocks stream in.
+    Rank error is bounded by ~n/m per compressing level (block pass + one
+    tree level at typical depths ⇒ ~2·n/m). Nulls are excluded per SQL;
+    NaN sorts last (DuckDB's "NaN is largest" convention).
 
     EXACT when m ≥ rows-per-block and no re-compression triggers: each
     block then emits every value at weight 1 and the final pick is
@@ -278,26 +279,36 @@ def approx_quantile(ds: ray.data.Dataset, col: str, qs: list[float],
         return pa.table({"v": pa.array(v, pa.float64()),
                          "w": pa.array(w, pa.int64())})
 
-    partials = ds.map_batches(block_summary, batch_format="pyarrow",
-                              batch_size=None)
-    # accumulate blocks in lists and concatenate only at compression time
-    # (or once at the end) — concatenating per block re-copies the whole
-    # buffer each time, quadratic when compression never triggers
-    chunks_v: list[np.ndarray] = []
-    chunks_w: list[np.ndarray] = []
-    pending = 0
-    for t in partials.iter_batches(batch_format="pyarrow", batch_size=None):
-        chunks_v.append(t["v"].to_numpy(zero_copy_only=False))
-        chunks_w.append(t["w"].to_numpy(zero_copy_only=False))
-        pending += len(chunks_v[-1])
-        if pending > 64 * m:
-            bv = np.concatenate(chunks_v)
-            bw = np.concatenate(chunks_w)
+    def combine_summaries(t: pa.Table) -> pa.Table:
+        """Fan-in node: concat summaries; re-compress only past the 64·m
+        buffer bound (so full-fidelity configs — m ≥ every block's rows,
+        as the oracle-checked *_full entries use — never compress and stay
+        EXACTLY percentile_disc). Rank error grows by ≤ one run (n/m) per
+        compressing level of the tree."""
+        bv = t["v"].to_numpy(zero_copy_only=False)
+        bw = t["w"].to_numpy(zero_copy_only=False)
+        if len(bv) > 64 * m:
             order = np.argsort(bv, kind="stable")
             cv, cw_ = _compress(bv[order], bw[order], m)
-            chunks_v, chunks_w, pending = [cv], [cw_], len(cv)
-    buf_v = np.concatenate(chunks_v) if chunks_v else np.empty(0, np.float64)
-    buf_w = np.concatenate(chunks_w) if chunks_w else np.empty(0, np.int64)
+            return pa.table({"v": pa.array(cv, pa.float64()),
+                             "w": pa.array(cw_, pa.int64())})
+        return t.select(["v", "w"])
+
+    from raycdc.shuffle import tree_reduce
+
+    partials = ds.map_batches(block_summary, batch_format="pyarrow",
+                              batch_size=None)
+    # summaries merge associatively (concat + optional re-compression), so
+    # the fan-in tree keeps the driver out of the merge entirely: it
+    # fetches ONE table bounded by max(m, last fan-in) rows instead of
+    # streaming every block's summary
+    final = tree_reduce(partials, combine_summaries)
+    if final is not None and final.num_rows:
+        buf_v = final["v"].to_numpy(zero_copy_only=False)
+        buf_w = final["w"].to_numpy(zero_copy_only=False)
+    else:
+        buf_v = np.empty(0, np.float64)
+        buf_w = np.empty(0, np.int64)
     cols: dict[str, pa.Array] = {}
     if len(buf_v) == 0:
         for name in names:

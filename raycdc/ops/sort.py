@@ -233,8 +233,10 @@ def sort_dataset(
     else:
         routed = ds.map_batches(route, batch_format="pyarrow")
         split = _split_by_column.options(num_returns=nparts)
-        per_block = [split.remote(ref, _PID, nparts, True)
-                     for ref in _block_refs_of(routed)]
+        refs = list(_block_refs_of(routed))
+        # 4 blocks per split task, like shuffle.partition_map
+        per_block = [split.remote(_PID, nparts, True, *refs[i:i + 4])
+                     for i in range(0, len(refs), 4)]
         for pid in range(nparts):
             slices = [r[pid] for r in per_block]
             tref, cref = _sort_partition.remote(

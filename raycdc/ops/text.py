@@ -495,9 +495,12 @@ def chunk_documents(ds: ray.data.Dataset, *, size: int, overlap: int = 0,
         gidx = (flat_offsets[doc_of_chunk] + tok_start)[elem_chunk] + elem_pos
         flat = pc.list_flatten(toks)
         gathered = flat.take(pa.array(gidx))
-        offs = np.concatenate([[0], np.cumsum(chunk_len)]).astype(np.int32)
-        chunk_lists = pa.ListArray.from_arrays(
-            pa.array(offs, pa.int32()), gathered)
+        # int64 offsets (LargeListArray): int32 offsets wrap silently past
+        # 2^31 flattened chunk tokens in one batch — corrupt windows, not
+        # an error (ADVICE r3)
+        offs = np.concatenate([[0], np.cumsum(chunk_len)]).astype(np.int64)
+        chunk_lists = pa.LargeListArray.from_arrays(
+            pa.array(offs, pa.int64()), gathered)
         chunk_text = pc.binary_join(chunk_lists, " ")
 
         return pa.table({
@@ -553,9 +556,11 @@ def ngram_explode(ds: ray.data.Dataset, *, n: int = 2,
         gidx = (start[:, None] + np.arange(n)[None, :]).reshape(-1)
         flat = pc.list_flatten(toks)
         gathered = flat.take(pa.array(gidx))
-        offs = pa.array(np.arange(0, (total + 1) * n, n, dtype=np.int32),
-                        pa.int32())
-        grams = pc.binary_join(pa.ListArray.from_arrays(offs, gathered), " ")
+        # int64 offsets — same overflow guard as chunk_documents
+        offs = pa.array(np.arange(0, (total + 1) * n, n, dtype=np.int64),
+                        pa.int64())
+        grams = pc.binary_join(
+            pa.LargeListArray.from_arrays(offs, gathered), " ")
         cols = {}
         if id_col:
             cols[id_col] = t[id_col].take(pa.array(doc_of))

@@ -175,7 +175,10 @@ def curate_documents_v3(
 
     mixed = mixture_sample(ds, source_col, id_col, rates or {},
                            default_rate=default_rate)
-    clean = decontaminate(mixed, needles or [], text_col=text_col)
+    # no needles -> nothing to scrub; decontaminate() itself rejects an
+    # empty needle set, so the documented default invocation skips the stage
+    clean = decontaminate(mixed, needles, text_col=text_col) \
+        if needles else mixed
     stats = repetition_stats(clean, text_col=text_col, id_col=id_col,
                              keep_cols=[text_col])
 
