@@ -209,25 +209,27 @@ def hash_join(
     if strategy == "auto" and join_type in _BROADCASTABLE:
         right = right.materialize()
         if (right.size_bytes() or 0) < broadcast_max_bytes:
-            batches = list(right.iter_batches(batch_format="pyarrow",
-                                              batch_size=None))
-            live = [b for b in batches
-                    if b.num_rows and right_on[0] in b.column_names]
-            rtab = (pa.concat_tables(live, promote_options="default")
-                    .select(rschema.names).cast(rschema)
-                    if live else rschema.empty_table())
-            probe = left
-            if lcast:
-                def cast_left(t: pa.Table) -> pa.Table:
-                    if t.num_rows == 0 or on[0] not in t.column_names:
-                        return lschema.empty_table()
+            def cast_side(schema: pa.Schema, key0: str):
+                def fn(t: pa.Table) -> pa.Table:
+                    if t.num_rows == 0 or key0 not in t.column_names:
+                        return schema.empty_table()
                     return pa.table(
                         {f.name: (pc.cast(t[f.name], f.type)
                                   if t[f.name].type != f.type else t[f.name])
-                         for f in lschema})
+                         for f in schema})
+                return fn
 
-                probe = left.map_batches(cast_left, batch_format="pyarrow")
-            return broadcast_join(probe, rtab, on=on, right_on=right_on,
+            probe = left
+            if lcast:
+                probe = left.map_batches(cast_side(lschema, on[0]),
+                                         batch_format="pyarrow")
+            build: "ray.data.Dataset" = right
+            if rcast:
+                build = right.map_batches(cast_side(rschema, right_on[0]),
+                                          batch_format="pyarrow")
+            # build side stays a Dataset: broadcast_join concatenates it in
+            # a remote task, so the table never transits the driver heap
+            return broadcast_join(probe, build, on=on, right_on=right_on,
                                   join_type=join_type)
 
     unified = pa.schema(
@@ -301,6 +303,14 @@ class BroadcastJoiner:
                           join_type=self.verb, coalesce_keys=True)
 
 
+@ray.remote
+def _concat_build_side(schema: "pa.Schema | None", *blocks) -> pa.Table:
+    live = [b for b in blocks if b is not None and b.num_rows]
+    if not live:
+        return schema.empty_table() if schema is not None else pa.table({})
+    return pa.concat_tables(live, promote_options="default")
+
+
 def broadcast_join(
     left: ray.data.Dataset,
     right: pa.Table | ray.data.Dataset,
@@ -311,15 +321,26 @@ def broadcast_join(
     concurrency=(1, 8),
     batch_size: int = 65536,
 ) -> ray.data.Dataset:
-    """Join a large Dataset against a small in-memory table, no shuffle."""
+    """Join a large Dataset against a small in-memory table, no shuffle.
+
+    A Dataset build side is concatenated in a REMOTE task (the table goes
+    straight from the task into the object store; the driver only ever
+    holds the ref), then fetched once per probe actor."""
     right_on = right_on or on
     if isinstance(right, ray.data.Dataset):
-        right = pa.concat_tables(
-            [b for b in right.iter_batches(batch_format="pyarrow")]
-            or [_pa_schema(right).empty_table()],
-            promote_options="default",
-        )
-    right_ref = ray.put(right)
+        from raycdc.shuffle import block_refs_of
+
+        # blocks must be Arrow for the remote concat (repo invariant:
+        # from_pandas datasets hand out pandas blocks)
+        arrow = right.map_batches(lambda t: t, batch_format="pyarrow")
+        try:
+            schema = _pa_schema(right)
+        except Exception:
+            schema = None
+        right_ref = _concat_build_side.remote(schema,
+                                              *block_refs_of(arrow))
+    else:
+        right_ref = ray.put(right)
     return left.map_batches(
         BroadcastJoiner,
         fn_constructor_args=(right_ref, on, right_on, _ARROW_VERBS[join_type]),
@@ -785,17 +806,17 @@ def bloom_semi_join(
     # Build side is small by assumption — materialize it once so the bitmap
     # build and the final exact join don't each re-run the right pipeline.
     right = right.materialize()
+    from raycdc.shuffle import tree_reduce
+
+    # Tree fan-in all the way: partial bitmaps OR-combine in
+    # _BLOOM_FANIN-way reduce tasks and the driver fetches exactly ONE
+    # bitmap row, instead of streaming blocks/FANIN megabyte rows through
+    # iter_batches at large build-side block counts.
+    partials = right.map_batches(partial_bloom, batch_format="pyarrow")
+    final = tree_reduce(partials, or_bloom, fanin=_BLOOM_FANIN)
     agg = np.zeros(words, dtype=np.uint64)
-    bloom_ds = right.map_batches(
-        partial_bloom, batch_format="pyarrow"
-    ).map_batches(
-        # Tree fan-in: each combine task ORs up to _BLOOM_FANIN partial
-        # bitmaps, so the driver loop below reads blocks/FANIN rows even
-        # when the build side has thousands of blocks.
-        or_bloom, batch_format="pyarrow", batch_size=_BLOOM_FANIN)
-    for b in bloom_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for buf in b["bmp"].to_pylist():
-            agg |= np.frombuffer(buf, dtype=np.uint64)
+    if final is not None and final.num_rows:
+        agg |= np.frombuffer(final["bmp"][0].as_py(), dtype=np.uint64)
     bmp_ref = ray.put(agg)
 
     if auto_skip is not None and probe_sample > 0:
