@@ -215,12 +215,16 @@ def top_k(
                                        kind="stable").head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    from raycdc.shuffle import tree_reduce
+
     cand = ds.map_batches(local_topk, batch_format="pyarrow",
                           batch_size=None)
-    tabs = list(cand.iter_batches(batch_format="pyarrow", batch_size=None))
-    if not tabs:
+    # top-k of top-ks is associative under the total order, so the ≤ k-row
+    # survivors merge through the fan-in tree and the driver fetches ONE
+    # ≤ k-row table (was a blocks × k driver concat)
+    final = tree_reduce(cand, local_topk)
+    if final is None:
         return cand
-    final = local_topk(pa.concat_tables(tabs, promote_options="default"))
     return ray.data.from_arrow(final)
 
 

@@ -6,8 +6,10 @@ one operator that genuinely needs RANGE partitioning rather than hash
 partitioning. The implementation is the classic sample-sort:
 
     1. sample the primary sort key from every block (bounded: at most
-       ``sample_per_block`` values per block leave the task, so the driver
-       sees O(blocks x sample) values, never the data),
+       ``sample_per_block`` values per block leave the task, and the
+       per-block samples merge through a fan-in tree that re-samples past
+       ``_SAMPLE_CAP`` values — the driver holds at most that many key
+       values no matter the block count, never the data),
     2. derive P-1 range boundaries from the sample quantiles,
     3. stateless ``map_batches`` appends a partition id via one vectorized
        ``np.searchsorted`` against the (tiny, closure-captured) boundaries,
@@ -54,6 +56,7 @@ import ray.data
 from raycdc.shuffle import _split_by_column, block_refs_of as _block_refs_of
 
 _PID = "__raycdc_sort_pid"
+_SAMPLE_CAP = 1 << 16  # max boundary-sample values the driver ever holds
 
 
 def _key_to_numpy(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray]:
@@ -97,13 +100,27 @@ def _sample_boundaries(ds: ray.data.Dataset, key: str, num_partitions: int,
             col = col.take(pa.array(idx))
         return pa.table({key: col})
 
+    # fan-in tree caps the driver's sample at _SAMPLE_CAP values no matter
+    # the block count: a node holding more re-samples evenly from its
+    # SORTED concat (sample-of-samples keeps the quantile structure; at
+    # fewer than _SAMPLE_CAP total samples no node ever re-samples, so
+    # small jobs see byte-identical boundaries to a flat concat)
+    cap = max(_SAMPLE_CAP, (num_partitions + 1) * 4)
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows <= cap:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending")])
+        pick = np.linspace(0, t.num_rows - 1, cap).astype(np.int64)
+        return t.take(idx.take(pa.array(pick)))
+
+    from raycdc.shuffle import tree_reduce
+
     sampled = ds.select_columns([key]).map_batches(
         sample, batch_format="pyarrow")
-    batches = [b for b in sampled.iter_batches(
-        batch_size=None, batch_format="pyarrow") if b.num_rows]
-    if not batches:
+    tbl = tree_reduce(sampled, combine)
+    if tbl is None or tbl.num_rows == 0:
         return np.array([])
-    tbl = pa.concat_tables(batches, promote_options="default")
     vals, _ = _key_to_numpy(tbl[key])
     if vals.size == 0:
         return vals
