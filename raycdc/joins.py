@@ -294,11 +294,21 @@ class BroadcastJoiner:
     Acero hash join — zero shuffle (SURVEY.md §4 broadcast-variant note).
     """
 
-    def __init__(self, right_ref, on, right_on, verb):
+    def __init__(self, right_ref, on, right_on, verb, left_schema=None):
         self.right = ray.get(right_ref) if isinstance(right_ref, ray.ObjectRef) else right_ref
         self.on, self.right_on, self.verb = on, right_on, verb
+        self.left_schema = left_schema
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.on[0] not in batch.column_names:
+            # Ray Data can hand probe actors schema-less empty blocks
+            # (e.g. an empty union branch); Acero would raise on the
+            # missing key field — substitute the typed empty probe table
+            if self.left_schema is None:
+                raise ValueError(
+                    "broadcast join received a schema-less empty batch and "
+                    "no left schema was derivable")
+            batch = self.left_schema.empty_table()
         return batch.join(self.right, keys=self.on, right_keys=self.right_on,
                           join_type=self.verb, coalesce_keys=True)
 
@@ -341,9 +351,14 @@ def broadcast_join(
                                               *block_refs_of(arrow))
     else:
         right_ref = ray.put(right)
+    try:
+        left_schema = _pa_schema(left)
+    except Exception:
+        left_schema = None
     return left.map_batches(
         BroadcastJoiner,
-        fn_constructor_args=(right_ref, on, right_on, _ARROW_VERBS[join_type]),
+        fn_constructor_args=(right_ref, on, right_on,
+                             _ARROW_VERBS[join_type], left_schema),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -222,6 +222,23 @@ def test_hash_join_auto_broadcast_widens_int_widths():
                     out["rv"].to_pylist())) == {"b": "x"}
 
 
+def test_auto_broadcast_join_tolerates_schemaless_empty_left_blocks():
+    """A union branch whose filter drops every row hands the probe actors
+    schema-less empty blocks; the broadcast path must tolerate them like
+    the shuffle path does."""
+    from raycdc.joins import hash_join
+
+    base = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()), "lv": ["a", "b", "c"]}))
+    empty = ray.data.from_items([{"k": 0, "lv": "z"}]).filter(lambda r: False)
+    left = base.union(empty)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3], pa.int64()), "rv": ["x", "y"]}))
+    out = to_table(hash_join(left, right, on=["k"], num_partitions=2))
+    assert dict(zip(out["lv"].to_pylist(),
+                    out["rv"].to_pylist())) == {"b": "x", "c": "y"}
+
+
 # ------------------------------------------------ vectorized fake decode
 def test_feature_extractor_batch_matches_single_row_kernel():
     from raycdc.ops.multimodal import BinaryFeatureExtractor, \
