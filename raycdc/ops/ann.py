@@ -101,6 +101,37 @@ class BatchTopK:
         })
 
 
+def _final_query_topk(cand: ray.data.Dataset, id_col: str,
+                      k: int, num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-query global top-k over the per-batch candidates via the
+    partition-only exchange (repo invariant: keyed exchanges never ride
+    Ray's sort-based groupby). Candidates are ≤ k rows per (query, batch),
+    so each bucket is tiny; the kernel is ONE vectorized sort + grouped
+    head per bucket, not a per-query loop. Output: (query_id, id, cosine,
+    rank) with rank = row_number ordered by (cosine DESC, id ASC)."""
+    from raycdc.ops.ordered import _hash_bucket
+    from raycdc.shuffle import partition_map
+
+    bcol = "__rcdc_annb"
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["query_id", "cosine", id_col],
+                            ascending=[True, False, True], kind="stable")
+        df = df.groupby("query_id", sort=False).head(k).copy()
+        df["rank"] = (df.groupby("query_id", sort=False).cumcount()
+                      + 1).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    empty = pa.schema([("query_id", pa.int64()), (id_col, pa.int64()),
+                       ("cosine", pa.float64()), ("rank", pa.int64())])
+    bucketed = cand.map_batches(
+        lambda t: _hash_bucket(t, "query_id", bcol, num_partitions),
+        batch_format="pyarrow")
+    return partition_map(bucketed, bcol, num_partitions, bucket_topk,
+                         empty_schema=empty)
+
+
 def brute_force_topk(
     ds: ray.data.Dataset,
     queries: tuple[np.ndarray, np.ndarray],
@@ -122,15 +153,7 @@ def brute_force_topk(
     cand = ds.map_batches(
         BatchTopK, fn_constructor_args=(q_ref, vec_col, id_col, k, round_to),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
-
-    def final_topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df.sort_values(["cosine", id_col], ascending=[False, True],
-                            kind="stable").head(k)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return cand.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+    return _final_query_topk(cand, id_col, k)
 
 
 def _kmeans(sample: np.ndarray, nlist: int, seed: int,
@@ -227,15 +250,7 @@ def ivf_topk(
     cand = ds.map_batches(
         IvfScorer, fn_constructor_args=(state_ref, vec_col, id_col, k, round_to),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
-
-    def final_topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df.sort_values(["cosine", id_col], ascending=[False, True],
-                            kind="stable").head(k)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return cand.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+    return _final_query_topk(cand, id_col, k)
 
 
 def _bucket_ids(bits: np.ndarray) -> np.ndarray:
@@ -312,12 +327,4 @@ def lsh_topk(
         LshScorer,
         fn_constructor_args=(q_ref, vec_col, id_col, k, num_planes, seed),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
-
-    def final_topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df.sort_values(["cosine", id_col], ascending=[False, True],
-                            kind="stable").head(k)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return cand.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+    return _final_query_topk(cand, id_col, k)
