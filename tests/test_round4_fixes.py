@@ -81,6 +81,54 @@ def test_heavy_hitters_tree_many_blocks_matches_exact():
     assert got == want
 
 
+@pytest.mark.parametrize("seed,nblocks", [(3, 5), (11, 41), (29, 97)])
+def test_heavy_hitters_tree_matches_exact_strings_and_nulls(seed, nblocks):
+    import collections
+
+    from raycdc.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(seed)
+    vals = (["hot"] * 500 + ["warm"] * 200 + [None] * 150
+            + [f"v{i}" for i in rng.integers(0, 400, size=400)])
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.string())}))
+    ds = ds.repartition(nblocks).map_batches(lambda t: t,
+                                             batch_format="pyarrow")
+    out = to_table(heavy_hitters(ds, "v", threshold_frac=0.08))
+    got = dict(zip(out["v"].to_pylist(), out["n"].to_pylist()))
+    counts = collections.Counter(vals)
+    want = {k: c for k, c in counts.items() if c >= 0.08 * len(vals)}
+    assert got == want  # includes the null group
+
+
+@pytest.mark.parametrize("nblocks", [7, 53])
+def test_approx_quantile_full_fidelity_tree_is_exact(nblocks):
+    import duckdb
+
+    from raycdc.ops.sketch import approx_quantile
+
+    rng = np.random.default_rng(5)
+    # no NaN: the engine pins "NaN sorts last" (round-3 convention) while
+    # DuckDB's quantile_disc EXCLUDES NaN — cross-engine parity is only
+    # defined NaN-free, which is what the oracle-checked configs see
+    vals = np.concatenate([rng.lognormal(0, 2, 4000),
+                           rng.integers(0, 9, 300).astype(np.float64)])
+    rng.shuffle(vals)
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(nblocks).map_batches(
+        lambda b: b, batch_format="pyarrow")
+    out = to_table(approx_quantile(ds, "x", [0.1, 0.5, 0.99],
+                                   names=["q10", "q50", "q99"], m=1 << 20))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT quantile_disc(x, 0.1), quantile_disc(x, 0.5), "
+        "quantile_disc(x, 0.99) FROM t").fetchone()
+    got = (out["q10"][0].as_py(), out["q50"][0].as_py(),
+           out["q99"][0].as_py())
+    assert got == tuple(want)
+
+
 def test_approx_distinct_tree_many_blocks():
     from raycdc.ops.sketch import approx_distinct
 
