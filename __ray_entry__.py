@@ -46,9 +46,14 @@ from raycdc.record_flatten import flatten_records
 TOKEN_RE = r"\S+"
 
 
-def _rp(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+def _rp(sf_dir: str, table: str, columns=None,
+        filter=None) -> ray.data.Dataset:
+    """Pruned parquet read: ``columns`` limits what leaves storage;
+    ``filter`` (a pyarrow.compute expression) pushes row predicates into
+    the scan so non-matching row groups are skipped on their statistics —
+    at lake scale a selective predicate reads O(matches), not O(table)."""
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns)
+                                 columns=columns, filter=filter)
 
 
 # ---------------------------------------------------------------------------
@@ -392,10 +397,10 @@ def _q_jaccard_pairs(sf_dir: str):
     never does the cross join."""
     from raycdc.ops.dedup import jaccard_verified_pairs
 
-    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
-    docs = docs.map_batches(
-        lambda t: t.filter(pc.less(t["doc_id"], 250)),
-        batch_format="pyarrow")
+    # doc_id is write-ordered in the fixture, so the pushed range predicate
+    # prunes whole row groups at the scan
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"],
+               filter=pc.field("doc_id") < 250)
     return jaccard_verified_pairs(docs, threshold=0.8, num_partitions=16)
 
 
@@ -507,17 +512,19 @@ def _q_join_full_outer(sf_dir: str):
     emits the unmatched rows per bucket."""
     from raycdc.joins import hash_join
 
-    orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-    cust = _rp(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    # both predicates pushed into the parquet scans (row-group stat
+    # pruning); only the two key/payload columns leave storage
+    orders = _rp(sf_dir, "orders", ["o_custkey"],
+                 filter=pc.field("o_orderpriority") == "1-URGENT")
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_acctbal"],
+               filter=pc.field("c_acctbal") < 0.0)
 
     def okey(t: pa.Table) -> pa.Table:
-        c = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
-        return pa.table({"custkey": c["o_custkey"]})
+        return pa.table({"custkey": t["o_custkey"]})
 
     def ckey(t: pa.Table) -> pa.Table:
-        c = t.filter(pc.less(t["c_acctbal"], 0.0))
-        return pa.table({"custkey": c["c_custkey"],
-                         "c_acctbal": c["c_acctbal"]})
+        return pa.table({"custkey": t["c_custkey"],
+                         "c_acctbal": t["c_acctbal"]})
 
     left = grouped_aggregate(orders.map_batches(okey, batch_format="pyarrow"),
                              ["custkey"], count_name="n_orders")
@@ -693,11 +700,12 @@ def _q_join_anti(sf_dir: str):
     side is filtered first so the result is non-empty on this fixture —
     every customer has at least one order of SOME priority)."""
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
-    orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    # predicate pushed into the scan: row groups whose stats exclude
+    # '1-URGENT' never leave storage
+    orders = _rp(sf_dir, "orders", ["o_custkey"],
+                 filter=pc.field("o_orderpriority") == "1-URGENT")
     urgent = orders.map_batches(
-        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
-                   .select(["o_custkey"]),
-        batch_format="pyarrow")
+        lambda t: t.select(["o_custkey"]), batch_format="pyarrow")
     return hash_join(cust, urgent, on=["c_custkey"], right_on=["o_custkey"],
                      join_type="left_anti", num_partitions=16)
 
