@@ -153,20 +153,26 @@ def hash_join(
     num_partitions: int = 32,
     strategy: str = "auto",
     broadcast_max_bytes: int = 256 << 20,
+    broadcast_max_rows: int = 1 << 16,
 ) -> ray.data.Dataset:
     """Hash join of two Datasets.
 
     ``strategy="auto"`` (default) mirrors the flattener's auto pick: the
-    right (build) side is materialized and, when its size is under
-    ``broadcast_max_bytes`` and the join type is left-preserving
-    (inner/left_outer/left_semi/left_anti), the keyed exchange is skipped
-    entirely — the build table is ``ray.put`` once and probed per left
-    batch (:func:`broadcast_join`). Larger builds (or right/full outer
-    joins, which need global unmatched-right knowledge) run the shuffle
-    path. Pass ``strategy="shuffle"`` when the right side is a large
-    pipeline that should stream into the exchange concurrently with the
-    left instead of materializing first (e.g. the flattener's
-    reference-shaped per-level join and the dedup signature rejoins).
+    right (build) side is materialized and, when it is small — under
+    ``broadcast_max_bytes`` AND ``broadcast_max_rows`` — and the join type
+    is left-preserving (inner/left_outer/left_semi/left_anti), the keyed
+    exchange is skipped entirely: the build table is put in the object
+    store once and probed per left batch (:func:`broadcast_join`). The
+    ROW cap matters as much as the byte cap: ``pa.Table.join`` rebuilds
+    the build-side hash table on every probe call, so broadcast cost is
+    ~left_batches × build_rows — a mid-sized build (measured: 150k rows)
+    probes SLOWER than one exchange even though it fits comfortably in
+    memory. Larger builds (or right/full outer joins, which need global
+    unmatched-right knowledge) run the shuffle path. Pass
+    ``strategy="shuffle"`` when the right side is a large pipeline that
+    should stream into the exchange concurrently with the left instead of
+    materializing first (e.g. the flattener's reference-shaped per-level
+    join and the dedup signature rejoins).
 
     Non-key column names must be disjoint between the two sides (rename
     upstream; the flattener prefixes its right side). Null keys never match,
@@ -208,7 +214,8 @@ def hash_join(
 
     if strategy == "auto" and join_type in _BROADCASTABLE:
         right = right.materialize()
-        if (right.size_bytes() or 0) < broadcast_max_bytes:
+        if (right.size_bytes() or 0) < broadcast_max_bytes \
+                and right.count() <= broadcast_max_rows:
             def cast_side(schema: pa.Schema, key0: str):
                 def fn(t: pa.Table) -> pa.Table:
                     if t.num_rows == 0 or key0 not in t.column_names:
