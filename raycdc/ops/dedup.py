@@ -361,7 +361,10 @@ def minhash_lsh_pairs(
         return fn
 
     # corpus-sized signature sides must stream into the exchange, not
-    # materialize for the auto broadcast-size check
+    # materialize a second copy for the auto broadcast-size check; at
+    # small scale the exchange is not a bottleneck either (measured: the
+    # broadcast variant's two extra actor pools cost more than the
+    # partition-only exchange saves)
     joined = hash_join(cand, sigs.map_batches(rename("a"), batch_format="pyarrow"),
                        on=["id_a"], num_partitions=num_partitions,
                        strategy="shuffle")
