@@ -88,6 +88,11 @@ _NS_PER_UNIT = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
 
 
 def _temporal_hash_ticks(arr: "pa.Array", norm: pa.DataType) -> "pd.Series":
+    if pa.types.is_time32(arr.type):
+        # time32 (s/ms) has no direct int64 cast; widen to time64[us]
+        # first (exact) and scale from there
+        arr = pc.cast(arr, pa.time64("us"))
+        norm = arr.type
     unit = getattr(norm, "unit", "us")
     ticks = pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False)
     return pd.Series(ticks.astype(np.uint64)

@@ -335,3 +335,23 @@ def test_hash_join_null_key_batch_dtype_stability():
     anti = to_table(hash_join(nleft, right, on=["k"], right_on=["rk"],
                               join_type="left_anti", num_partitions=2))
     assert anti["v"].to_pylist() == ["y"]
+
+
+def test_hash_join_time32_vs_time64_keys():
+    """Regression: time32 (s/ms) keys have no direct int64 cast, so the
+    temporal hash raised ArrowNotImplementedError and, once widened, must
+    still hash the same instant identically as a time64[us]/[ns] side."""
+    import datetime as dt
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([3600, 7200, None], pa.time32("s")),
+        "lv": ["a", "b", "c"]}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([3_600_000_000, 10_800_000_000, None],
+                       pa.time64("us")),
+        "rv": ["x", "y", "z"]}))
+    out = to_table(hash_join(left, right, on=["k"], right_on=["rk"],
+                             num_partitions=3))
+    assert out.num_rows == 1
+    assert out["lv"].to_pylist() == ["a"]
+    assert out["rv"].to_pylist() == ["x"]
+    assert out["k"].to_pylist() == [dt.time(1, 0)]
