@@ -404,6 +404,41 @@ def _q_jaccard_pairs(sf_dir: str):
     return jaccard_verified_pairs(docs, threshold=0.8, num_partitions=16)
 
 
+def _q_near_dedup(sf_dir: str):
+    """Near-duplicate dedup that DROPS rows: one surviving doc per
+    transitive near-dup cluster (exact-verified 5-gram Jaccard >= 0.8
+    pairs -> distributed connected components -> min-id winner anti join).
+    Same doc_id < 250 window as jaccard_pairs so the O(n^2) ORACLE cross
+    join stays affordable; the engine never cross-joins and sizes the
+    component state by the duplicate graph, not the corpus."""
+    from raycdc.ops.dedup import near_dedup_keep_one
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"],
+               filter=pc.field("doc_id") < 250)
+    return near_dedup_keep_one(docs, threshold=0.8, num_partitions=16)
+
+
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup: the fresh "crawl" (doc_id % 3 == 0) deduped
+    against the existing "corpus" (the other docs) via the bloom-anti-join
+    — corpus folds to one broadcast bitmap, provably-unseen rows stream
+    straight through, only probable re-crawls pay the exact anti-join
+    exchange."""
+    from raycdc.ops.dedup import dedup_against
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(keep_new: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy() % 3 == 0) == keep_new
+            return t.filter(pa.array(m))
+        return fn
+
+    new = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    return dedup_against(new, corpus, num_partitions=16)
+
+
 def _q_curation(sf_dir: str):
     """End-to-end corpus curation: normalize → quality filter → language
     filter → exact dedup, as ONE streaming composition of engine operators
@@ -1329,6 +1364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _q_curation,
         "topk_lineitems": _q_topk_lineitems,
         "jaccard_pairs": _q_jaccard_pairs,
+        "near_dedup_docs": _q_near_dedup,
+        "dedup_incremental": _q_dedup_incremental,
         "quality_oracle": _q_quality_oracle,
         "embed_dup_pairs": _q_embed_dups,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -1583,6 +1620,41 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8""",
+        "near_dedup_docs": r"""
+            WITH RECURSIVE g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(length(text) - 4, 1)),
+                           i -> substr(text, i, 5))) AS grams
+                FROM documents WHERE doc_id < 250
+            ),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.grams, b.grams)))
+                      >= 0.8
+            ),
+            e AS (SELECT id_a AS s, id_b AS d FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            r(n, m) AS (
+                SELECT s, d FROM e
+                UNION
+                SELECT r.n, e.d FROM r JOIN e ON r.m = e.s
+            ),
+            -- min reachable id per node = its component representative
+            comp AS (SELECT n, min(m) AS mn FROM r GROUP BY n)
+            SELECT d.doc_id, d.text
+            FROM documents d
+            WHERE d.doc_id < 250
+              AND d.doc_id NOT IN (SELECT n FROM comp WHERE mn < n)""",
+        "dedup_incremental": r"""
+            SELECT n.doc_id, n.text
+            FROM documents n
+            WHERE n.doc_id % 3 = 0
+              AND NOT EXISTS (SELECT 1 FROM documents o
+                              WHERE o.doc_id % 3 <> 0
+                                AND o.text = n.text)""",
         "curation_pipeline": r"""
             WITH n AS (
                 SELECT doc_id,

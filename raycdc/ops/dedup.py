@@ -724,6 +724,11 @@ def jaccard_verified_pairs(
         num_partitions=num_partitions)
     cand = cand.map_batches(lambda t: t.select(["id_a", "id_b"]),
                             batch_format="pyarrow")
+    # A corpus with NO near-dup candidates leaves cand with zero blocks and
+    # an unknown schema the rejoin can't plan against — pin it with a typed
+    # empty branch (free when candidates exist).
+    cand = cand.union(ray.data.from_arrow(pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()))
 
     def rename(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -780,3 +785,94 @@ def jaccard_verified_pairs(
             .cast(out_schema)
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def near_dedup_keep_one(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Near-duplicate dedup that actually DROPS rows: one surviving
+    document per transitive near-duplicate cluster (minimum id wins), all
+    singletons untouched.
+
+    Pair detection alone (``jaccard_verified_pairs``) is not a dedup —
+    duplicate relations chain (a~b, b~c with a!~c), so the survivors are
+    one per CONNECTED COMPONENT of the pair graph, not one per pair. This
+    composes the scalable pieces end to end:
+
+    1. exact verified pairs (MinHash-LSH candidates + true k-gram Jaccard),
+    2. :func:`raycdc.ops.components.connected_components` min-label
+       propagation over the pair graph (sized by duplicates, not corpus),
+    3. an anti join of the corpus against the loser set (nodes whose
+       component representative is some other doc). The loser set is
+       ~duplicate-count rows, so ``hash_join(strategy="auto")`` broadcasts
+       it and the corpus pays NO exchange in this final step.
+
+    Deterministic: min true-Jaccard semantics + min-id winner, independent
+    of partitioning and parallelism.
+    """
+    from raycdc.joins import hash_join
+    from raycdc.ops.components import connected_components
+
+    pairs = jaccard_verified_pairs(
+        ds, text_col, id_col, threshold=threshold, num_perm=num_perm,
+        shingle_k=shingle_k, num_partitions=num_partitions)
+    comp = connected_components(pairs, "id_a", "id_b",
+                                num_partitions=max(4, num_partitions // 4))
+
+    def losers(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["node"], t["component"])
+        return pa.table({"__rcdc_loser": t["node"].filter(
+            pc.fill_null(keep, False))})
+
+    # The loser set is sized by the duplicate count — materializing it is
+    # cheap, feeds the auto-broadcast join, and lets the no-duplicates case
+    # short-circuit (a zero-block dataset has no schema to join against).
+    loser_ids = comp.map_batches(losers, batch_format="pyarrow").materialize()
+
+    def cast_id(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index(id_col), id_col,
+                            pc.cast(t[id_col], pa.int64()))
+
+    cast_docs = ds.map_batches(cast_id, batch_format="pyarrow")
+    if loser_ids.count() == 0:
+        return cast_docs
+    return hash_join(cast_docs,
+                     loser_ids, on=[id_col], right_on=["__rcdc_loser"],
+                     join_type="left_anti", num_partitions=num_partitions)
+
+
+def dedup_against(
+    new: ray.data.Dataset,
+    corpus: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    num_bits: int = 1 << 23,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Incremental exact dedup: drop every ``new`` row whose ``text_col``
+    already exists in ``corpus`` — the "dedup the fresh crawl against the
+    existing lake" shape, WITHOUT re-shuffling either side in full.
+
+    Rides :func:`raycdc.joins.bloom_anti_join`: the corpus folds into one
+    broadcast bitmap (never exchanged), new rows that miss the bitmap are
+    provably unseen and stream straight through, and only probable
+    re-crawls pay the exact anti join (which also kills bloom false
+    positives — results are exact, the bitmap is purely an
+    exchange-volume optimization). Size ``num_bits`` at ~10 bits per
+    distinct corpus text.
+    """
+    from raycdc.joins import bloom_anti_join
+
+    def prune(t: pa.Table) -> pa.Table:
+        return t.select([text_col])
+
+    return bloom_anti_join(
+        new, corpus.map_batches(prune, batch_format="pyarrow"),
+        on=[text_col], num_bits=num_bits, num_partitions=num_partitions)

@@ -1,0 +1,137 @@
+"""Connected components + the dedup operators built on it (keep-one
+near-dedup, bloom anti join, incremental dedup-against-corpus)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+from raycdc.joins import bloom_anti_join, hash_join
+from raycdc.ops.components import connected_components
+from raycdc.ops.dedup import dedup_against, near_dedup_keep_one
+
+
+def _cc(edges_dict, **kw) -> dict:
+    ds = ray.data.from_arrow(pa.table(edges_dict))
+    df = connected_components(ds, **kw).to_pandas()
+    return dict(zip(df["node"], df["component"]))
+
+
+def test_chain_collapses_to_min():
+    got = _cc({"id_a": [2, 3, 4], "id_b": [1, 2, 3]})
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cycle_terminates_and_labels_min():
+    got = _cc({"id_a": [1, 2, 3], "id_b": [2, 3, 1]})
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_disjoint_components_and_self_loop():
+    got = _cc({"id_a": [5, 20, 9], "id_b": [6, 21, 9]})
+    assert got == {5: 5, 6: 5, 20: 20, 21: 20, 9: 9}
+
+
+def test_null_endpoints_ignored():
+    got = _cc({"id_a": [1, None, 7], "id_b": [2, 3, None]})
+    assert got == {1: 1, 2: 1}
+
+
+def test_matches_union_find_on_random_graph():
+    rng = np.random.default_rng(7)
+    n, m = 200, 160
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    got = _cc({"id_a": a.tolist(), "id_b": b.tolist()}, num_partitions=8)
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        parent[find(x)] = find(y)
+    nodes = set(a.tolist()) | set(b.tolist())
+    want = {}
+    roots = {}
+    for x in sorted(nodes):
+        r = find(x)
+        roots.setdefault(r, x)  # min node per root (sorted iteration)
+        want[x] = roots[r]
+    assert got == want
+
+
+def test_max_iters_guard_raises():
+    edges = {"id_a": list(range(2, 12)), "id_b": list(range(1, 11))}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(edges, max_iters=2)
+
+
+def _docs(rows):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows]}))
+
+
+BASE = ("the quick brown fox jumps over the lazy dog again and again "
+        "in the yard near the old barn by the river bank")
+
+
+def test_near_dedup_keeps_one_per_transitive_cluster():
+    docs = _docs([(1, BASE), (2, BASE + " x"), (3, BASE + " x y"),
+                  (4, "entirely different text about arrow flight rpc"),
+                  (5, BASE + " x y z")])
+    out = near_dedup_keep_one(docs, threshold=0.7,
+                              num_partitions=4).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 4]
+
+
+def test_near_dedup_no_pairs_is_identity():
+    docs = _docs([(1, "alpha beta gamma delta epsilon zeta eta theta"),
+                  (2, "one two three four five six seven eight nine"),
+                  (3, "lorem ipsum dolor sit amet consectetur adipiscing")])
+    out = near_dedup_keep_one(docs, threshold=0.8,
+                              num_partitions=4).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
+
+
+def _anti_frames(left, right, **kw):
+    got = bloom_anti_join(left, right, on=["k"], **kw).to_pandas()
+    want = hash_join(left, right, on=["k"],
+                     join_type="left_anti").to_pandas()
+    key = ["k", "v"]
+    return (got.sort_values(key, na_position="last").reset_index(drop=True),
+            want.sort_values(key, na_position="last").reset_index(drop=True))
+
+
+def test_bloom_anti_matches_exact_anti_including_nulls():
+    left = ray.data.from_arrow(pa.table(
+        {"k": [1, 2, 3, None, 5], "v": ["a", "b", "c", "d", "e"]}))
+    right = ray.data.from_arrow(pa.table({"k": [2, 5, 7]}))
+    # auto_skip=None forces the two-branch bloom path even on tiny input
+    got, want = _anti_frames(left, right, auto_skip=None)
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got["v"]) == {"a", "c", "d"}
+
+
+def test_bloom_anti_auto_skip_path_matches():
+    left = ray.data.from_arrow(pa.table(
+        {"k": list(range(100)), "v": [str(i) for i in range(100)]}))
+    right = ray.data.from_arrow(pa.table({"k": list(range(90))}))
+    # 90% hit rate < default only via explicit low bar -> plain anti join
+    got, want = _anti_frames(left, right, auto_skip=0.5)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 10
+
+
+def test_dedup_against_drops_seen_texts_only():
+    corpus = _docs([(1, "aa"), (2, "bb"), (3, "cc")])
+    new = _docs([(10, "bb"), (11, "dd"), (12, "ee")])
+    out = dedup_against(new, corpus, num_partitions=4).to_pandas()
+    assert sorted(out["doc_id"]) == [11, 12]
+    assert set(out.columns) == {"doc_id", "text"}
