@@ -682,6 +682,30 @@ def _q_embed_dups(sf_dir: str):
     return out.select_columns(["id_a", "id_b"])
 
 
+def _q_embed_dedup(sf_dir: str):
+    """Semantic dedup keep-one over the planted-duplicate embedding corpus
+    (same fixture shape as embed_dup_pairs): transitive cosine>=0.9
+    clusters collapse to their min id. Returns surviving ids — vectors are
+    nested Arrow payloads that never enter a join (repo invariant)."""
+    from raycdc.ops.dedup import embedding_dedup_keep_one
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": pc.cast(t["vec_id"], pa.int64()),
+                         "embedding": t["embedding"]})
+
+    def plant(t: pa.Table) -> pa.Table:
+        c = t.filter(pc.less(t["vec_id"], 50))
+        return pa.table({
+            "vec_id": pc.add(pc.cast(c["vec_id"], pa.int64()), 10_000_000),
+            "embedding": c["embedding"]})
+
+    both = emb.map_batches(base, batch_format="pyarrow").union(
+        emb.map_batches(plant, batch_format="pyarrow"))
+    return embedding_dedup_keep_one(both, threshold=0.9, num_partitions=16)
+
+
 def _q_ann_ivf_full(sf_dir: str):
     """IVF at nprobe == nlist probes every cell and is exactly brute force —
     checked against the same SQL oracle as ``ann_topk`` (the accuracy knob's
@@ -1366,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "near_dedup_docs": _q_near_dedup,
         "dedup_incremental": _q_dedup_incremental,
+        "embed_dedup_ids": _q_embed_dedup,
         "quality_oracle": _q_quality_oracle,
         "embed_dup_pairs": _q_embed_dups,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -1655,6 +1680,31 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM documents o
                               WHERE o.doc_id % 3 <> 0
                                 AND o.text = n.text)""",
+        "embed_dedup_ids": r"""
+            WITH RECURSIVE allv AS (
+                SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding
+                FROM embeddings
+                UNION ALL
+                SELECT CAST(vec_id AS BIGINT) + 10000000, embedding
+                FROM embeddings WHERE vec_id < 50
+            ),
+            p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) >= 0.9
+            ),
+            e AS (SELECT id_a AS s, id_b AS d FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            r(n, m) AS (
+                SELECT s, d FROM e
+                UNION
+                SELECT r.n, e.d FROM r JOIN e ON r.m = e.s
+            ),
+            comp AS (SELECT n, min(m) AS mn FROM r GROUP BY n)
+            SELECT v.vec_id
+            FROM allv v
+            WHERE v.vec_id NOT IN (SELECT n FROM comp WHERE mn < n)""",
         "curation_pipeline": r"""
             WITH n AS (
                 SELECT doc_id,

@@ -876,3 +876,53 @@ def dedup_against(
     return bloom_anti_join(
         new, corpus.map_batches(prune, batch_format="pyarrow"),
         on=[text_col], num_bits=num_bits, num_partitions=num_partitions)
+
+
+def embedding_dedup_keep_one(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    num_tables: int = 2,
+    seed: int = 17,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Semantic (embedding-cosine) dedup keep-one: the surviving row ids
+    after dropping all but the min-id member of every transitive
+    cosine-near-duplicate cluster.
+
+    Same composition as :func:`near_dedup_keep_one` with
+    :func:`embedding_dup_pairs` as the pair source. Returns IDS ONLY
+    (one ``id_col`` int64 column): the vector column is a nested Arrow
+    type that Acero joins reject as a non-key payload (repo invariant —
+    carry vectors through joins as binary blobs or rejoin by id), and a
+    dedup verdict is an id set anyway — semi-join the survivors back to
+    the corpus to materialize payloads.
+    """
+    from raycdc.joins import hash_join
+    from raycdc.ops.components import connected_components
+
+    pairs = embedding_dup_pairs(
+        ds, vec_col, id_col, threshold=threshold, num_planes=num_planes,
+        num_tables=num_tables, seed=seed, num_partitions=num_partitions)
+    comp = connected_components(pairs, "id_a", "id_b",
+                                num_partitions=max(4, num_partitions // 4))
+
+    def losers(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["node"], t["component"])
+        return pa.table({"__rcdc_loser": t["node"].filter(
+            pc.fill_null(keep, False))})
+
+    loser_ids = comp.map_batches(losers, batch_format="pyarrow").materialize()
+
+    def only_id(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64())})
+
+    ids = ds.map_batches(only_id, batch_format="pyarrow")
+    if loser_ids.count() == 0:
+        return ids
+    return hash_join(ids, loser_ids, on=[id_col],
+                     right_on=["__rcdc_loser"], join_type="left_anti",
+                     num_partitions=num_partitions)

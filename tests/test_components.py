@@ -135,3 +135,24 @@ def test_dedup_against_drops_seen_texts_only():
     out = dedup_against(new, corpus, num_partitions=4).to_pandas()
     assert sorted(out["doc_id"]) == [11, 12]
     assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_embedding_dedup_keep_one_transitive_chain():
+    from raycdc.ops.dedup import embedding_dedup_keep_one
+    import math
+
+    def rot(deg):
+        a = math.radians(deg)
+        # 8-dim unit vectors rotating in the first two coords
+        return [math.cos(a), math.sin(a)] + [0.0] * 6
+
+    # 1~2 and 2~3 at cosine >= cos(6deg) ~ 0.9945, but 1!~3 (cos 10deg
+    # ~ 0.9848 < 0.99): the transitive cluster {1,2,3} must still
+    # collapse to doc 1.
+    vecs = [rot(0), rot(5), rot(10), [0.0] * 7 + [1.0]]
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": [1, 2, 3, 9],
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}))
+    out = embedding_dedup_keep_one(ds, threshold=0.99,
+                                   num_partitions=4).to_pandas()
+    assert sorted(out["vec_id"]) == [1, 9]
