@@ -682,6 +682,18 @@ def _q_embed_dups(sf_dir: str):
     return out.select_columns(["id_a", "id_b"])
 
 
+def _q_dup_passages(sf_dir: str):
+    """Corpus-level repeated-passage detection: every 32-token window
+    whose exact text occurs >= 2 times anywhere in the corpus, with the
+    global occurrence count — the boilerplate signal document-level dedup
+    cannot see. One text-hash partition exchange; per-bucket vectorized
+    value_counts with the exact_dedup collision guard."""
+    from raycdc.ops.dedup import duplicated_passages
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return duplicated_passages(docs, size=32, overlap=0, num_partitions=16)
+
+
 def _q_embed_dedup(sf_dir: str):
     """Semantic dedup keep-one over the planted-duplicate embedding corpus
     (same fixture shape as embed_dup_pairs): transitive cosine>=0.9
@@ -1391,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_docs": _q_near_dedup,
         "dedup_incremental": _q_dedup_incremental,
         "embed_dedup_ids": _q_embed_dedup,
+        "dup_passages": _q_dup_passages,
         "quality_oracle": _q_quality_oracle,
         "embed_dup_pairs": _q_embed_dups,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -1705,6 +1718,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.vec_id
             FROM allv v
             WHERE v.vec_id NOT IN (SELECT n FROM comp WHERE mn < n)""",
+        "dup_passages": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
+                     len(regexp_extract_all(text, '\S+')) AS n
+              FROM documents),
+            idx AS (
+              SELECT doc_id, t, n,
+                     unnest(generate_series(0,
+                         CAST(ceil(greatest(n - 32, 0)::DOUBLE / 32)
+                              AS BIGINT))) AS i
+              FROM toks WHERE n > 0),
+            c AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                     array_to_string(t[i*32+1 : i*32+32], ' ') AS chunk_text
+              FROM idx)
+            SELECT doc_id, chunk_id, chunk_text,
+                   CAST(count(*) OVER (PARTITION BY chunk_text) AS BIGINT)
+                       AS n_occurrences
+            FROM c
+            QUALIFY n_occurrences >= 2""",
         "curation_pipeline": r"""
             WITH n AS (
                 SELECT doc_id,

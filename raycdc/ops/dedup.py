@@ -926,3 +926,59 @@ def embedding_dedup_keep_one(
     return hash_join(ids, loser_ids, on=[id_col],
                      right_on=["__rcdc_loser"], join_type="left_anti",
                      num_partitions=num_partitions)
+
+
+def duplicated_passages(
+    ds: ray.data.Dataset,
+    *,
+    size: int,
+    overlap: int = 0,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Corpus-level repeated-passage detection: every token window (size /
+    overlap as in :func:`raycdc.ops.text.chunk_documents`) whose exact
+    text occurs at least ``min_count`` times ANYWHERE in the corpus —
+    the boilerplate / repeated-template signal that document-level dedup
+    (exact or near) cannot see, and the scalable stand-in for
+    suffix-array substring dedup (Lee et al. 2021: most >=50-token
+    repeats are caught by fixed windows at a fraction of the machinery).
+
+    Output: one row per duplicated window occurrence —
+    ``(id_col, chunk_id, chunk_text, n_occurrences)`` with the GLOBAL
+    occurrence count attached. One partition-only exchange keyed on the
+    window-text hash; within each bucket one vectorized value_counts over
+    the real text (the exact_dedup collision-guard pattern). Window text
+    rides the exchange, so pick ``overlap`` modestly at corpus scale
+    (overlap=0 ships each token once).
+    """
+    from raycdc.ops.text import chunk_documents
+    from raycdc.shuffle import partition_map
+
+    chunks = chunk_documents(ds, size=size, overlap=overlap,
+                             text_col=text_col, id_col=id_col)
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("chunk_id", pa.int64()),
+                            ("chunk_text", pa.string()),
+                            ("n_occurrences", pa.int64())])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, "chunk_id", "chunk_text"])
+        h = _text_hash(t["chunk_text"].to_pandas())
+        return t.append_column(
+            _B, pa.array((h % num_partitions).astype(np.int64)))
+
+    def dup_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        counts = df["chunk_text"].map(df["chunk_text"].value_counts())
+        df["n_occurrences"] = counts.astype("int64")
+        df = df[df["n_occurrences"] >= min_count]
+        return pa.Table.from_pandas(
+            df[[id_col, "chunk_id", "chunk_text", "n_occurrences"]],
+            preserve_index=False).cast(out_schema)
+
+    return partition_map(
+        chunks.map_batches(add_bucket, batch_format="pyarrow"),
+        _B, num_partitions, dup_bucket, empty_schema=out_schema)

@@ -156,3 +156,29 @@ def test_embedding_dedup_keep_one_transitive_chain():
     out = embedding_dedup_keep_one(ds, threshold=0.99,
                                    num_partitions=4).to_pandas()
     assert sorted(out["vec_id"]) == [1, 9]
+
+
+def test_duplicated_passages_within_and_across_docs():
+    from raycdc.ops.dedup import duplicated_passages
+
+    boiler = "click here to subscribe now"           # 5 tokens
+    docs = _docs([
+        (1, boiler + " unique tail one two three"),   # window 0 = boiler+tail
+        (2, boiler + " unique tail one two three"),   # exact copy of doc 1
+        (3, "totally different body of text here"),
+    ])
+    out = duplicated_passages(docs, size=5, overlap=0,
+                              num_partitions=4).to_pandas()
+    # docs 1 and 2 share BOTH 5-token windows; doc 3 shares none
+    got = sorted(map(tuple, out[["doc_id", "chunk_id"]].to_numpy()))
+    assert got == [(1, 0), (1, 1), (2, 0), (2, 1)]
+    assert (out["n_occurrences"] == 2).all()
+
+
+def test_duplicated_passages_min_count_and_no_dups():
+    from raycdc.ops.dedup import duplicated_passages
+
+    docs = _docs([(1, "a b c d e f"), (2, "g h i j k l")])
+    out = duplicated_passages(docs, size=3, overlap=0,
+                              num_partitions=4).to_pandas()
+    assert len(out) == 0
