@@ -694,6 +694,17 @@ def _q_dup_passages(sf_dir: str):
     return duplicated_passages(docs, size=32, overlap=0, num_partitions=16)
 
 
+def _q_scrub_passages(sf_dir: str):
+    """C4-style passage scrub: drop every repeated 32-token window keeping
+    one global occurrence (min (doc_id, chunk_id) wins), reassemble docs
+    from the surviving windows. Two partition-only exchanges; the global
+    winner rule makes the output parallelism-invariant."""
+    from raycdc.ops.dedup import scrub_duplicated_passages
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return scrub_duplicated_passages(docs, size=32, num_partitions=16)
+
+
 def _q_embed_dedup(sf_dir: str):
     """Semantic dedup keep-one over the planted-duplicate embedding corpus
     (same fixture shape as embed_dup_pairs): transitive cosine>=0.9
@@ -1404,6 +1415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "embed_dedup_ids": _q_embed_dedup,
         "dup_passages": _q_dup_passages,
+        "scrub_passages": _q_scrub_passages,
         "quality_oracle": _q_quality_oracle,
         "embed_dup_pairs": _q_embed_dups,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -1738,6 +1750,31 @@ def oracle_sql() -> dict[str, str]:
                        AS n_occurrences
             FROM c
             QUALIFY n_occurrences >= 2""",
+        "scrub_passages": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
+                     len(regexp_extract_all(text, '\S+')) AS n
+              FROM documents),
+            idx AS (
+              SELECT doc_id, t, n,
+                     unnest(generate_series(0,
+                         CAST(ceil(greatest(n - 32, 0)::DOUBLE / 32)
+                              AS BIGINT))) AS i
+              FROM toks WHERE n > 0),
+            c AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                     array_to_string(t[i*32+1 : i*32+32], ' ') AS chunk_text
+              FROM idx),
+            w AS (
+              SELECT doc_id, chunk_id, chunk_text,
+                     row_number() OVER (PARTITION BY chunk_text
+                                        ORDER BY doc_id, chunk_id) AS rn,
+                     count(*) OVER (PARTITION BY chunk_text) AS cnt
+              FROM c)
+            SELECT doc_id,
+                   string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text
+            FROM w WHERE cnt < 2 OR rn = 1
+            GROUP BY doc_id""",
         "curation_pipeline": r"""
             WITH n AS (
                 SELECT doc_id,

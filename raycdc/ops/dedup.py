@@ -982,3 +982,66 @@ def duplicated_passages(
     return partition_map(
         chunks.map_batches(add_bucket, batch_format="pyarrow"),
         _B, num_partitions, dup_bucket, empty_schema=out_schema)
+
+
+def scrub_duplicated_passages(
+    ds: ray.data.Dataset,
+    *,
+    size: int,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """C4-style passage scrub: remove every repeated token window from the
+    corpus KEEPING exactly one global occurrence (the minimum
+    ``(doc_id, chunk_id)`` wins), then reassemble each document from its
+    surviving windows.
+
+    Windows are non-overlapping (``overlap=0`` — they partition the token
+    stream, so dropping one is well-defined; scrubbing overlapped windows
+    is ambiguous). A document whose every window was scrubbed disappears
+    from the output, matching SQL ``GROUP BY`` over zero kept rows.
+    Deterministic and parallelism-invariant: the winner rule is a global
+    order, and all occurrences of one window text co-locate in one hash
+    bucket.
+
+    Two partition-only exchanges: (1) window-text hash — per bucket one
+    vectorized pass marks each window unique-or-winner; (2) doc id —
+    :func:`raycdc.agg.grouped_string_agg` rebuilds the text in chunk
+    order. Window text rides both exchanges once; there is no
+    driver-side state.
+    """
+    from raycdc.agg import grouped_string_agg
+    from raycdc.ops.text import chunk_documents
+    from raycdc.shuffle import partition_map
+
+    chunks = chunk_documents(ds, size=size, overlap=0,
+                             text_col=text_col, id_col=id_col)
+
+    kept_schema = pa.schema([(id_col, pa.int64()), ("chunk_id", pa.int64()),
+                             ("chunk_text", pa.string())])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, "chunk_id", "chunk_text"])
+        h = _text_hash(t["chunk_text"].to_pandas())
+        return t.append_column(
+            _B, pa.array((h % num_partitions).astype(np.int64)))
+
+    def keep_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["chunk_text", id_col, "chunk_id"], kind="stable")
+        cnt = df.groupby("chunk_text", sort=False)["chunk_text"] \
+                .transform("size")
+        winner = ~df.duplicated(subset=["chunk_text"], keep="first")
+        df = df[(cnt < min_count) | winner]
+        return pa.Table.from_pandas(
+            df[[id_col, "chunk_id", "chunk_text"]],
+            preserve_index=False).cast(kept_schema)
+
+    kept = partition_map(
+        chunks.map_batches(add_bucket, batch_format="pyarrow"),
+        _B, num_partitions, keep_bucket, empty_schema=kept_schema)
+    return grouped_string_agg(
+        kept, [id_col], "chunk_text", order_by=["chunk_id"], sep=" ",
+        name=text_col, num_partitions=num_partitions)

@@ -182,3 +182,22 @@ def test_duplicated_passages_min_count_and_no_dups():
     out = duplicated_passages(docs, size=3, overlap=0,
                               num_partitions=4).to_pandas()
     assert len(out) == 0
+
+
+def test_scrub_duplicated_passages_keeps_one_global_occurrence():
+    from raycdc.ops.dedup import scrub_duplicated_passages
+
+    boiler = "one two three four five"
+    docs = _docs([
+        (1, boiler + " alpha beta gamma delta eps"),
+        (2, boiler + " alpha beta gamma delta eps"),   # exact copy: all
+                                                       # windows scrubbed
+        (3, boiler + " zeta eta theta iota kappa"),    # shares window 0
+    ])
+    out = scrub_duplicated_passages(docs, size=5,
+                                    num_partitions=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["text"]))
+    # doc 1 keeps both windows (it is the global winner of each);
+    # doc 2 loses everything and disappears; doc 3 keeps only its tail.
+    assert got == {1: boiler + " alpha beta gamma delta eps",
+                   3: "zeta eta theta iota kappa"}
