@@ -1370,21 +1370,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": _q_window_tumbling,
         "window_session": _q_window_session,
         "window_funcs": _q_window_funcs,
-        "window_rank": _q_window_rank,
         "explode_embeddings": _q_explode_embeddings,
         "grouped_quantiles_sketch_full": _q_grouped_quantiles_sketch_full,
         "approx_quantile_full": _q_approx_quantile_full,
         "rollup_lineitem": _q_rollup_lineitem,
-        "cube_lineitem": _q_cube_lineitem,
         "pivot_lineitem": _q_pivot_lineitem,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "except_events": _q_except_events,
-        "intersect_events": _q_intersect_events,
         "count_distinct_users": _q_count_distinct_users,
         "mode_event_type": _q_mode_event_type,
         "argmax_event": _q_argmax_event,
         "string_agg_docs": _q_string_agg_docs,
-        "sample_events": _q_sample_events,
         "mixture_by_source": _q_mixture_by_source,
         "tokenize_docs": _q_tokenize_docs,
         "repetition_stats": _q_repetition_stats,
@@ -1393,12 +1389,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": _q_decontaminate,
         "quality_filter_median": _q_quality_filter_median,
         "global_sort_events": _q_global_sort_events,
-        "global_sort_docs": _q_global_sort_docs,
         "ordered_lake": _q_ordered_lake,
+        "near_dedup_docs": _q_near_dedup,
+        "dedup_incremental": _q_dedup_incremental,
+        "embed_dedup_ids": _q_embed_dedup,
+        "dup_passages": _q_dup_passages,
+        "scrub_passages": _q_scrub_passages,
         "curation_pipeline_v2": _q_curation_v2,
         "curation_pipeline_v3": _q_curation_v3,
         # -- tail: oracle-backed siblings of in-window surfaces -----------
         "flatten_tree_shuffle": _q_flatten_tree_shuffle,
+        "window_rank": _q_window_rank,
+        "cube_lineitem": _q_cube_lineitem,
+        "intersect_events": _q_intersect_events,
+        "sample_events": _q_sample_events,
+        "global_sort_docs": _q_global_sort_docs,
         "ann_ivf_full": _q_ann_ivf_full,
         "bpe_token_count": _q_bpe_token_count,
         "window_sliding": _q_window_sliding,
@@ -1411,11 +1416,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _q_curation,
         "topk_lineitems": _q_topk_lineitems,
         "jaccard_pairs": _q_jaccard_pairs,
-        "near_dedup_docs": _q_near_dedup,
-        "dedup_incremental": _q_dedup_incremental,
-        "embed_dedup_ids": _q_embed_dedup,
-        "dup_passages": _q_dup_passages,
-        "scrub_passages": _q_scrub_passages,
         "quality_oracle": _q_quality_oracle,
         "embed_dup_pairs": _q_embed_dups,
         "grouped_quantiles": _q_grouped_quantiles,
