@@ -694,6 +694,18 @@ def _q_dup_passages(sf_dir: str):
     return duplicated_passages(docs, size=32, overlap=0, num_partitions=16)
 
 
+def _q_curation_v4(sf_dir: str):
+    """Round-4 composition: passage scrub → min-length filter on the
+    scrubbed text → exact dedup of scrubbed texts (docs that differed
+    only in shared boilerplate collapse here). Three partition-only
+    exchanges; everything else streams."""
+    from raycdc.pipelines.curation import curate_documents_v4
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return curate_documents_v4(docs, scrub_window=32, min_tokens=10,
+                               num_partitions=16)
+
+
 def _q_scrub_passages(sf_dir: str):
     """C4-style passage scrub: drop every repeated 32-token window keeping
     one global occurrence (min (doc_id, chunk_id) wins), reassemble docs
@@ -1399,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v3": _q_curation_v3,
         # -- tail: oracle-backed siblings of in-window surfaces -----------
         "flatten_tree_shuffle": _q_flatten_tree_shuffle,
+        "curation_pipeline_v4": _q_curation_v4,
         "window_rank": _q_window_rank,
         "cube_lineitem": _q_cube_lineitem,
         "intersect_events": _q_intersect_events,
@@ -1775,6 +1788,38 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text
             FROM w WHERE cnt < 2 OR rn = 1
             GROUP BY doc_id""",
+        "curation_pipeline_v4": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
+                     len(regexp_extract_all(text, '\S+')) AS n
+              FROM documents),
+            idx AS (
+              SELECT doc_id, t, n,
+                     unnest(generate_series(0,
+                         CAST(ceil(greatest(n - 32, 0)::DOUBLE / 32)
+                              AS BIGINT))) AS i
+              FROM toks WHERE n > 0),
+            c AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                     array_to_string(t[i*32+1 : i*32+32], ' ') AS chunk_text
+              FROM idx),
+            w AS (
+              SELECT doc_id, chunk_id, chunk_text,
+                     row_number() OVER (PARTITION BY chunk_text
+                                        ORDER BY doc_id, chunk_id) AS rn,
+                     count(*) OVER (PARTITION BY chunk_text) AS cnt
+              FROM c),
+            s AS (
+              SELECT doc_id,
+                     string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text
+              FROM w WHERE cnt < 2 OR rn = 1
+              GROUP BY doc_id),
+            f AS (
+              SELECT doc_id, text FROM s
+              WHERE len(regexp_extract_all(text, '\S+')) >= 10)
+            SELECT doc_id, text FROM f
+            QUALIFY row_number() OVER (PARTITION BY text
+                                       ORDER BY doc_id) = 1""",
         "curation_pipeline": r"""
             WITH n AS (
                 SELECT doc_id,

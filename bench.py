@@ -206,7 +206,7 @@ def run_bench() -> dict:
         "chunk_docs", "quality_filter_median", "mixture_by_source",
         "decontaminate_docs", "top_bigrams", "curation_pipeline_v3",
         "near_dedup_docs", "dedup_incremental", "embed_dedup_ids",
-        "dup_passages", "scrub_passages",
+        "dup_passages", "scrub_passages", "curation_pipeline_v4",
     ]
     # Two passes, per-query MIN: this box has episodic multi-minute
     # slowdown windows (measured 2026-08-17: the same query set ran

@@ -203,3 +203,43 @@ def curate_documents_v3(
         lambda t: t.select([id_col, "chunk_id", "chunk_text",
                             "n_chunk_tokens"]),
         batch_format="pyarrow")
+
+
+def curate_documents_v4(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scrub_window: int = 32,
+    min_tokens: int = 10,
+    num_partitions: int = 32,
+):
+    """Fourth composition story — the round-4 dedup wave chained end to
+    end: C4-style PASSAGE SCRUB (repeated token windows removed, one
+    global occurrence kept, docs reassembled) → minimum-length quality
+    filter on the SCRUBBED text (boilerplate removal shrinks docs, so the
+    filter must run after it) → EXACT DEDUP of the scrubbed texts (two
+    docs that differed only in shared boilerplate collapse here — the
+    pair the pre-scrub dedup could never see). Returns (doc_id, text).
+
+    Three partition-only exchanges total (scrub's window hash, scrub's
+    doc-id reassembly, dedup's text hash); every other stage is
+    stateless per-batch streaming.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raycdc.ops.dedup import exact_dedup, scrub_duplicated_passages
+
+    scrubbed = scrub_duplicated_passages(
+        ds, size=scrub_window, text_col=text_col, id_col=id_col,
+        num_partitions=num_partitions)
+
+    def len_filter(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(t[text_col], " "))
+        return t.filter(pc.fill_null(
+            pc.greater_equal(n, min_tokens), False))
+
+    long_enough = scrubbed.map_batches(len_filter, batch_format="pyarrow")
+    return exact_dedup(long_enough, text_col=text_col, id_col=id_col,
+                       num_partitions=num_partitions)
