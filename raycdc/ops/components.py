@@ -39,6 +39,46 @@ import ray
 import ray.data
 
 
+def _local_components(tables: "list[pa.Table]") -> pa.Table:
+    """Union-find over a small materialized edge table — the fast path.
+    One numpy pass compacts ids; the find loop is O(E α(N)) Python over
+    int arrays, fine up to the local threshold."""
+    import numpy as np
+
+    # Ray Data can hand schema-less empty blocks (union branches — see the
+    # _split_by_column invariant); the caller guarantees >= 1 real edge
+    tables = [t for t in tables if t.num_rows]
+    t = pa.concat_tables(tables)
+    a = t["src"].to_numpy(zero_copy_only=False)
+    b = t["dst"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[:len(a)], inv[len(a):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(ia.tolist(), ib.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by smaller ORIGINAL id so the root is the min node
+            if nodes[rx] < nodes[ry]:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "component": pa.array(nodes[roots], pa.int64())})
+
+
+@ray.remote(num_returns=1)
+def _local_cc_task(*blocks: pa.Table) -> pa.Table:
+    return _local_components(list(blocks))
+
+
 def connected_components(
     edges: ray.data.Dataset,
     src: str = "id_a",
@@ -46,6 +86,7 @@ def connected_components(
     *,
     num_partitions: int = 16,
     max_iters: int = 64,
+    local_threshold: int = 1 << 19,
 ) -> ray.data.Dataset:
     """Connected components of the undirected graph given as an edge list.
 
@@ -54,6 +95,14 @@ def connected_components(
     node id reachable from it (a canonical representative). Node ids must
     be integral; null endpoints are ignored (an edge with a null end
     connects nothing).
+
+    Strategy is auto-picked by materialized edge count, mirroring the
+    broadcast-vs-shuffle join auto pick: at or below ``local_threshold``
+    symmetrized edges (= 8 MB of int64 pairs at the default) the whole
+    graph runs through a single remote union-find task — dup graphs are
+    usually tiny relative to the corpus, and each distributed round costs
+    several pipeline latencies. Above it, the iterative min-label
+    propagation runs entirely on partition-only exchanges.
     """
     from raycdc.agg import grouped_aggregate
     from raycdc.joins import hash_join
@@ -73,10 +122,17 @@ def connected_components(
     # upstream pair pipeline (LSH + verify) per round would be absurd.
     esym = esym.materialize()
     out_schema = pa.schema([("node", pa.int64()), ("component", pa.int64())])
-    if esym.count() == 0:
+    n_edges = esym.count()
+    if n_edges == 0:
         # an edgeless graph has no nodes to label; return a TYPED empty so
         # downstream joins can still plan against the schema
         return ray.data.from_arrow(out_schema.empty_table())
+    if n_edges <= local_threshold:
+        # small graph: one remote union-find task; edges go straight from
+        # the object store into the task, never through the driver
+        from raycdc.shuffle import block_refs_of
+        ref = _local_cc_task.remote(*block_refs_of(esym))
+        return ray.data.from_arrow_refs([ref])
 
     # labels(node) = node — every endpoint, deduped by the grouped min
     # itself (min(node) grouped by node is node), so no separate distinct.

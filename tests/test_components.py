@@ -13,38 +13,49 @@ from raycdc.ops.components import connected_components
 from raycdc.ops.dedup import dedup_against, near_dedup_keep_one
 
 
+# local_threshold=0 forces the distributed min-label propagation;
+# the default exercises the single-task union-find fast path
+STRATS = [{}, {"local_threshold": 0}]
+
+
 def _cc(edges_dict, **kw) -> dict:
     ds = ray.data.from_arrow(pa.table(edges_dict))
     df = connected_components(ds, **kw).to_pandas()
     return dict(zip(df["node"], df["component"]))
 
 
-def test_chain_collapses_to_min():
-    got = _cc({"id_a": [2, 3, 4], "id_b": [1, 2, 3]})
+@pytest.mark.parametrize("strat", STRATS)
+def test_chain_collapses_to_min(strat):
+    got = _cc({"id_a": [2, 3, 4], "id_b": [1, 2, 3]}, **strat)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
 
 
-def test_cycle_terminates_and_labels_min():
-    got = _cc({"id_a": [1, 2, 3], "id_b": [2, 3, 1]})
+@pytest.mark.parametrize("strat", STRATS)
+def test_cycle_terminates_and_labels_min(strat):
+    got = _cc({"id_a": [1, 2, 3], "id_b": [2, 3, 1]}, **strat)
     assert got == {1: 1, 2: 1, 3: 1}
 
 
-def test_disjoint_components_and_self_loop():
-    got = _cc({"id_a": [5, 20, 9], "id_b": [6, 21, 9]})
+@pytest.mark.parametrize("strat", STRATS)
+def test_disjoint_components_and_self_loop(strat):
+    got = _cc({"id_a": [5, 20, 9], "id_b": [6, 21, 9]}, **strat)
     assert got == {5: 5, 6: 5, 20: 20, 21: 20, 9: 9}
 
 
-def test_null_endpoints_ignored():
-    got = _cc({"id_a": [1, None, 7], "id_b": [2, 3, None]})
+@pytest.mark.parametrize("strat", STRATS)
+def test_null_endpoints_ignored(strat):
+    got = _cc({"id_a": [1, None, 7], "id_b": [2, 3, None]}, **strat)
     assert got == {1: 1, 2: 1}
 
 
-def test_matches_union_find_on_random_graph():
+@pytest.mark.parametrize("strat", STRATS)
+def test_matches_union_find_on_random_graph(strat):
     rng = np.random.default_rng(7)
     n, m = 200, 160
     a = rng.integers(0, n, m)
     b = rng.integers(0, n, m)
-    got = _cc({"id_a": a.tolist(), "id_b": b.tolist()}, num_partitions=8)
+    got = _cc({"id_a": a.tolist(), "id_b": b.tolist()},
+              num_partitions=8, **strat)
 
     parent = list(range(n))
 
@@ -69,7 +80,7 @@ def test_matches_union_find_on_random_graph():
 def test_max_iters_guard_raises():
     edges = {"id_a": list(range(2, 12)), "id_b": list(range(1, 11))}
     with pytest.raises(RuntimeError, match="did not converge"):
-        _cc(edges, max_iters=2)
+        _cc(edges, max_iters=2, local_threshold=0)
 
 
 def _docs(rows):
