@@ -893,6 +893,64 @@ def _cdc_replay_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
         FROM win WHERE rn = 1 AND op <> 'D'"""
 
 
+_HOST_RE = (r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)")
+
+
+def _q_host_stats(sf_dir: str):
+    """Per-host WAL roll-up over the nested change-event log: events per
+    host, distinct urls per host, latest fetch timestamp — the crawl
+    monitoring shape, and the first EXTERNAL check of extract_host (the
+    SQL-visible fixtures have no url column; the WAL does). Nested fields
+    are projected with two struct_field kernels before anything else, so
+    the html payload never leaves the scan."""
+    from raycdc.agg import grouped_aggregate, grouped_count_distinct
+    from raycdc.joins import hash_join
+    from raycdc.ops.text import extract_host
+
+    sf_tag, n = _cdc_scale(sf_dir)
+    wal, spec = _cdc_spec(sf_tag, n)
+    generate_changelog(wal, spec)  # deterministic + idempotent
+    ds = ray.data.read_parquet(wal, columns=["page"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        p = t["page"].combine_chunks()
+        return pa.table({
+            "url": pc.struct_field(p, "url"),
+            "warc_ts": pc.struct_field(p, ["fetch", "warc_ts"])})
+
+    ev = extract_host(ds.map_batches(proj, batch_format="pyarrow"))
+    agg = grouped_aggregate(ev, ["host"], maxs={"latest_ts": "warc_ts"},
+                            count_name="n_events", num_partitions=8)
+    nd = grouped_count_distinct(ev, ["host"], "url", name="n_urls",
+                                num_partitions=8)
+    out = hash_join(agg, nd, on=["host"], num_partitions=8)
+    return out.select_columns(["host", "n_events", "n_urls", "latest_ts"])
+
+
+def _host_stats_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Same WAL-targeting rule as _cdc_replay_oracle_sql; the host regex
+    is the exact RE2 pattern extract_host compiles (DuckDB is RE2 too)."""
+    sf_tag, n = _cdc_scale(sf_dir)
+    wal, spec = _cdc_spec(sf_tag, n)
+    try:
+        generate_changelog(wal, spec)
+    except OSError:
+        pass
+    return f"""
+        WITH ev AS (
+            SELECT page.url AS url, page.fetch.warc_ts AS warc_ts
+            FROM read_parquet('{wal}/events-*.parquet')
+        ), h AS (
+            SELECT lower(regexp_extract(url, '{_HOST_RE}', 1)) AS host,
+                   url, warc_ts
+            FROM ev
+        )
+        SELECT host, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+               max(warc_ts) AS latest_ts
+        FROM h GROUP BY host"""
+
+
 def _q_window_tumbling(sf_dir: str):
     from raycdc.ops.window import tumbling_window
 
@@ -1412,6 +1470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- tail: oracle-backed siblings of in-window surfaces -----------
         "flatten_tree_shuffle": _q_flatten_tree_shuffle,
         "curation_pipeline_v4": _q_curation_v4,
+        "host_stats": _q_host_stats,
         "window_rank": _q_window_rank,
         "cube_lineitem": _q_cube_lineitem,
         "intersect_events": _q_intersect_events,
@@ -1564,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
         "cdc_replay": _cdc_replay_oracle_sql(),
+        "host_stats": _host_stats_oracle_sql(),
         "dedup_exact": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
             FROM documents GROUP BY text""",

@@ -67,8 +67,10 @@ def test_query_matches_oracle(name, sf_dir):
     con = duck_con(sf_dir)
     # the cdc_replay oracle reads the WAL whose path depends on the scale
     # factor; oracle_sql() pins the driver's sf0.01, tests re-derive it
-    sql = (entrymod._cdc_replay_oracle_sql(sf_dir)
-           if name == "cdc_replay" else ORACLE[name])
+    sf_dependent = {"cdc_replay": entrymod._cdc_replay_oracle_sql,
+                    "host_stats": entrymod._host_stats_oracle_sql}
+    sql = (sf_dependent[name](sf_dir) if name in sf_dependent
+           else ORACLE[name])
     sql_df = con.sql(sql).df()
     assert_frames_match(ray_df, sql_df, name)
 
