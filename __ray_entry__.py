@@ -694,6 +694,16 @@ def _q_dup_passages(sf_dir: str):
     return duplicated_passages(docs, size=32, overlap=0, num_partitions=16)
 
 
+def _q_rare_token_filter(sf_dir: str):
+    """Corpus-relative gibberish filter: drop docs carrying any token
+    that occurs < 50 times in the whole corpus. Integer-exact end to end
+    (no float accumulation in the oracle comparison)."""
+    from raycdc.ops.text import min_token_freq_filter
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return min_token_freq_filter(docs, min_freq=50, num_partitions=16)
+
+
 def _q_curation_v4(sf_dir: str):
     """Round-4 composition: passage scrub → min-length filter on the
     scrubbed text → exact dedup of scrubbed texts (docs that differed
@@ -1471,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flatten_tree_shuffle": _q_flatten_tree_shuffle,
         "curation_pipeline_v4": _q_curation_v4,
         "host_stats": _q_host_stats,
+        "rare_token_filter": _q_rare_token_filter,
         "window_rank": _q_window_rank,
         "cube_lineitem": _q_cube_lineitem,
         "intersect_events": _q_intersect_events,
@@ -1624,6 +1635,16 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
         "cdc_replay": _cdc_replay_oracle_sql(),
         "host_stats": _host_stats_oracle_sql(),
+        "rare_token_filter": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+              FROM documents),
+            freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+            ok AS (
+              SELECT t.doc_id FROM tok t JOIN freq f USING (token)
+              GROUP BY t.doc_id HAVING min(f.c) >= 50)
+            SELECT d.doc_id, d.text FROM documents d
+            WHERE d.doc_id IN (SELECT doc_id FROM ok)""",
         "dedup_exact": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
             FROM documents GROUP BY text""",

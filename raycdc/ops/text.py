@@ -590,3 +590,48 @@ def tokenize_explode(ds: ray.data.Dataset, text_col: str = "text",
         return explode_list_table(narrow, token_col)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def min_token_freq_filter(
+    ds: "ray.data.Dataset",
+    *,
+    min_freq: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Corpus-relative gibberish filter: keep only documents whose EVERY
+    whitespace token occurs at least ``min_freq`` times in the whole
+    corpus. Random strings, encoding garbage and hash-like junk carry
+    corpus-unique tokens, so a small threshold removes them while leaving
+    natural text (whose vocabulary repeats) untouched — the
+    distribution-relative cousin of the absolute quality heuristics.
+
+    Exact integer semantics end to end (oracle-safe: no float
+    accumulation). Four keyed steps, all on existing machinery:
+    tokenize-to-rows → token-frequency pre-agg → token join → per-doc
+    grouped MIN frequency → semi join of the corpus against the passing
+    ids. Token-less documents have no minimum and are dropped, matching
+    the SQL ``GROUP BY ... HAVING`` shape.
+    """
+    from raycdc.agg import grouped_aggregate
+    from raycdc.joins import hash_join
+
+    tok = tokenize_explode(ds, text_col=text_col, id_col=id_col)
+    freq = grouped_aggregate(
+        tok.map_batches(lambda t: t.select(["token"]),
+                        batch_format="pyarrow"),
+        ["token"], count_name="__rcdc_tf", num_partitions=num_partitions)
+    joined = hash_join(tok, freq, on=["token"],
+                       num_partitions=num_partitions, strategy="shuffle")
+    verdict = grouped_aggregate(
+        joined, [id_col], mins={"__rcdc_minf": "__rcdc_tf"},
+        exchange="partition", num_partitions=num_partitions)
+
+    def passing(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.greater_equal(t["__rcdc_minf"], min_freq), False)
+        return pa.table({id_col: t[id_col].filter(m)})
+
+    keep = verdict.map_batches(passing, batch_format="pyarrow")
+    return hash_join(ds, keep, on=[id_col], join_type="left_semi",
+                     num_partitions=num_partitions, strategy="shuffle")

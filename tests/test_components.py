@@ -212,3 +212,17 @@ def test_scrub_duplicated_passages_keeps_one_global_occurrence():
     # doc 2 loses everything and disappears; doc 3 keeps only its tail.
     assert got == {1: boiler + " alpha beta gamma delta eps",
                    3: "zeta eta theta iota kappa"}
+
+
+def test_min_token_freq_filter_drops_gibberish():
+    from raycdc.ops.text import min_token_freq_filter
+
+    common = "the cat sat on the mat"
+    docs = _docs([
+        (1, common), (2, common), (3, common),
+        (4, common + " qzxv9f8h2k"),   # one corpus-unique token
+        (5, ""),                        # token-less: dropped (no minimum)
+    ])
+    out = min_token_freq_filter(docs, min_freq=3,
+                                num_partitions=4).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
