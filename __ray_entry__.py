@@ -694,6 +694,37 @@ def _q_dup_passages(sf_dir: str):
     return duplicated_passages(docs, size=32, overlap=0, num_partitions=16)
 
 
+def _q_crawl_diff(sf_dir: str):
+    """Snapshot diff — the inverse of replay: derive the I/U/D changelog
+    between the current documents table and a deterministic simulated
+    next crawl (doc_id%5 deleted, doc_id%7 re-fetched with changed text,
+    doc_id<20 re-added under new ids). Output is sized by the churn, not
+    the corpus; one full-outer co-partition exchange."""
+    from raycdc.cdc.diff import table_diff
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def next_crawl(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        keep = ids % 5 != 0
+        kept = t.filter(pa.array(keep))
+        upd = kept["doc_id"].to_numpy() % 7 == 0
+        text = pc.if_else(pa.array(upd),
+                          pc.binary_join_element_wise(
+                              kept["text"], "updated", " "),
+                          kept["text"])
+        base = pa.table({"doc_id": kept["doc_id"], "text": text})
+        ins = t.filter(pa.array(ids < 20))
+        added = pa.table({
+            "doc_id": pc.add(ins["doc_id"], pa.scalar(1_000_000)),
+            "text": ins["text"]})
+        return pa.concat_tables([base, added])
+
+    new = docs.map_batches(next_crawl, batch_format="pyarrow")
+    return table_diff(docs, new, key_cols=["doc_id"],
+                      compare_cols=["text"], num_partitions=16)
+
+
 def _q_rare_token_filter(sf_dir: str):
     """Corpus-relative gibberish filter: drop docs carrying any token
     that occurs < 50 times in the whole corpus. Integer-exact end to end
@@ -1482,6 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v4": _q_curation_v4,
         "host_stats": _q_host_stats,
         "rare_token_filter": _q_rare_token_filter,
+        "crawl_diff": _q_crawl_diff,
         "window_rank": _q_window_rank,
         "cube_lineitem": _q_cube_lineitem,
         "intersect_events": _q_intersect_events,
@@ -1645,6 +1677,29 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY t.doc_id HAVING min(f.c) >= 50)
             SELECT d.doc_id, d.text FROM documents d
             WHERE d.doc_id IN (SELECT doc_id FROM ok)""",
+        "crawl_diff": r"""
+            WITH old AS (SELECT doc_id, text FROM documents),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 5 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id < 20
+            ),
+            j AS (
+              SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                     o.text AS ot, n.text AS nt,
+                     o.doc_id IS NOT NULL AS in_old,
+                     n.doc_id IS NOT NULL AS in_new
+              FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+            SELECT CASE WHEN NOT in_old THEN 'I'
+                        WHEN NOT in_new THEN 'D'
+                        ELSE 'U' END AS op,
+                   doc_id, nt AS text
+            FROM j
+            WHERE NOT in_old OR NOT in_new OR ot IS DISTINCT FROM nt""",
         "dedup_exact": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
             FROM documents GROUP BY text""",

@@ -207,7 +207,7 @@ def run_bench() -> dict:
         "decontaminate_docs", "top_bigrams", "curation_pipeline_v3",
         "near_dedup_docs", "dedup_incremental", "embed_dedup_ids",
         "dup_passages", "scrub_passages", "curation_pipeline_v4",
-        "host_stats", "rare_token_filter",
+        "host_stats", "rare_token_filter", "crawl_diff",
     ]
     # Two passes, per-query MIN: this box has episodic multi-minute
     # slowdown windows (measured 2026-08-17: the same query set ran

@@ -1,0 +1,86 @@
+"""Snapshot diff: derive a changelog from two table states.
+
+The inverse of the replay path (`cdc/apply.py` folds a changelog INTO a
+table; this folds two table snapshots into a changelog): given the
+previous crawl and the current crawl keyed by url/doc id, emit one row
+per difference — ``I`` (key only in the new snapshot), ``D`` (key only in
+the old), ``U`` (key in both with any compared column changed, null-safe).
+Unchanged rows are omitted, so the output is sized by the churn, not the
+corpus — exactly what an incremental downstream (index refresh, re-embed,
+re-train delta) wants to consume.
+
+One keyed full-outer co-partition exchange (the same machinery as every
+hash join) plus a stateless vectorized classify per bucket output. The
+comparison is exact and null-safe (SQL ``IS DISTINCT FROM``).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def table_diff(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    *,
+    key_cols: list[str],
+    compare_cols: list[str],
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Changelog between two snapshots sharing ``key_cols + compare_cols``.
+
+    Output columns: ``op`` ('I'/'U'/'D'), the key columns, then the
+    compared columns carrying the NEW value for I/U and null for D.
+    Deterministic; both inputs stream into one co-partition exchange.
+    """
+    from raycdc.joins import hash_join
+
+    key_cols = list(key_cols)
+    compare_cols = list(compare_cols)
+
+    def tag(side: str):
+        old_names = {c: f"__rcdc_{side}_{c}" for c in compare_cols}
+
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {k: t[k] for k in key_cols}
+            for c in compare_cols:
+                cols[old_names[c]] = t[c]
+            cols[f"__rcdc_{side}"] = pa.array(
+                np.ones(t.num_rows, dtype=np.int8))
+            return pa.table(cols)
+        return fn
+
+    joined = hash_join(
+        old.map_batches(tag("o"), batch_format="pyarrow"),
+        new.map_batches(tag("n"), batch_format="pyarrow"),
+        on=key_cols, join_type="full_outer",
+        num_partitions=num_partitions)
+
+    out_fields = [("op", pa.string())]
+
+    def classify(t: pa.Table) -> pa.Table:
+        in_old = pc.fill_null(pc.is_valid(t["__rcdc_o"]), False) \
+            .to_numpy(zero_copy_only=False)
+        in_new = pc.is_valid(t["__rcdc_n"]).to_numpy(zero_copy_only=False)
+        changed = np.zeros(t.num_rows, dtype=bool)
+        for c in compare_cols:
+            a, b = t[f"__rcdc_o_{c}"], t[f"__rcdc_n_{c}"]
+            av = pc.is_valid(a).to_numpy(zero_copy_only=False)
+            bv = pc.is_valid(b).to_numpy(zero_copy_only=False)
+            neq = pc.fill_null(pc.not_equal(a, b), False) \
+                .to_numpy(zero_copy_only=False)
+            # IS DISTINCT FROM: validity differs, or both valid and unequal
+            changed |= (av != bv) | (av & bv & neq)
+        op = np.where(~in_old, "I", np.where(~in_new, "D", "U"))
+        keep = ~in_old | ~in_new | (in_old & in_new & changed)
+        cols = {"op": pa.array(op[keep], pa.string())}
+        kt = t.filter(pa.array(keep))
+        for k in key_cols:
+            cols[k] = kt[k]
+        for c in compare_cols:
+            cols[c] = kt[f"__rcdc_n_{c}"]  # new value; null for D rows
+        return pa.table(cols)
+
+    return joined.map_batches(classify, batch_format="pyarrow")

@@ -226,3 +226,18 @@ def test_min_token_freq_filter_drops_gibberish():
     out = min_token_freq_filter(docs, min_freq=3,
                                 num_partitions=4).to_pandas()
     assert sorted(out["doc_id"]) == [1, 2, 3]
+
+
+def test_table_diff_classifies_inserts_updates_deletes():
+    from raycdc.cdc.diff import table_diff
+
+    old = ray.data.from_arrow(pa.table(
+        {"k": [1, 2, 3, 4], "v": ["a", "b", None, "d"]}))
+    new = ray.data.from_arrow(pa.table(
+        {"k": [2, 3, 4, 5], "v": ["B", None, "d", "e"]}))
+    out = table_diff(old, new, key_cols=["k"], compare_cols=["v"],
+                     num_partitions=4).to_pandas().sort_values("k")
+    got = list(map(tuple, out[["op", "k"]].to_numpy()))
+    # k=3 both-null and k=4 equal are unchanged (IS DISTINCT FROM), omitted
+    assert got == [("D", 1), ("U", 2), ("I", 5)]
+    assert out.set_index("k")["v"].to_dict() == {1: None, 2: "B", 5: "e"}
