@@ -1481,7 +1481,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": _q_window_tumbling,
         "window_session": _q_window_session,
         "window_funcs": _q_window_funcs,
-        "explode_embeddings": _q_explode_embeddings,
         "grouped_quantiles_sketch_full": _q_grouped_quantiles_sketch_full,
         "approx_quantile_full": _q_approx_quantile_full,
         "rollup_lineitem": _q_rollup_lineitem,
@@ -1491,7 +1490,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct_users": _q_count_distinct_users,
         "mode_event_type": _q_mode_event_type,
         "argmax_event": _q_argmax_event,
-        "string_agg_docs": _q_string_agg_docs,
         "mixture_by_source": _q_mixture_by_source,
         "tokenize_docs": _q_tokenize_docs,
         "repetition_stats": _q_repetition_stats,
@@ -1506,14 +1504,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dedup_ids": _q_embed_dedup,
         "dup_passages": _q_dup_passages,
         "scrub_passages": _q_scrub_passages,
+        "crawl_diff": _q_crawl_diff,
+        "host_stats": _q_host_stats,
         "curation_pipeline_v2": _q_curation_v2,
         "curation_pipeline_v3": _q_curation_v3,
         # -- tail: oracle-backed siblings of in-window surfaces -----------
         "flatten_tree_shuffle": _q_flatten_tree_shuffle,
+        "string_agg_docs": _q_string_agg_docs,
+        "explode_embeddings": _q_explode_embeddings,
         "curation_pipeline_v4": _q_curation_v4,
-        "host_stats": _q_host_stats,
         "rare_token_filter": _q_rare_token_filter,
-        "crawl_diff": _q_crawl_diff,
         "window_rank": _q_window_rank,
         "cube_lineitem": _q_cube_lineitem,
         "intersect_events": _q_intersect_events,
