@@ -241,3 +241,33 @@ def test_table_diff_classifies_inserts_updates_deletes():
     # k=3 both-null and k=4 equal are unchanged (IS DISTINCT FROM), omitted
     assert got == [("D", 1), ("U", 2), ("I", 5)]
     assert out.set_index("k")["v"].to_dict() == {1: None, 2: "B", 5: "e"}
+
+
+def test_table_diff_round_trip_reconstructs_new_snapshot():
+    """Closure property: applying the diff to the old snapshot yields the
+    new snapshot exactly — multi-column keys and compare columns."""
+    from raycdc.cdc.diff import table_diff
+
+    old = pa.table({"k1": [1, 1, 2, 3, 4], "k2": ["a", "b", "a", "a", "a"],
+                    "v": [10, 20, 30, 40, None],
+                    "w": ["x", "y", "z", "q", "r"]})
+    new = pa.table({"k1": [1, 2, 3, 5, 4], "k2": ["a", "a", "a", "a", "a"],
+                    "v": [10, 31, 40, 50, None],
+                    "w": ["X", "z", "q", "s", "r"]})
+    diff = table_diff(ray.data.from_arrow(old), ray.data.from_arrow(new),
+                      key_cols=["k1", "k2"], compare_cols=["v", "w"],
+                      num_partitions=4).to_pandas()
+
+    odf = old.to_pandas()
+    changed = set(map(tuple, diff[["k1", "k2"]].to_numpy()))
+    untouched = odf[~odf.apply(
+        lambda r: (r["k1"], r["k2"]) in changed, axis=1)]
+    applied = pd.concat([
+        untouched,
+        diff[diff["op"].isin(["I", "U"])][["k1", "k2", "v", "w"]],
+    ])
+    key = ["k1", "k2"]
+    a = applied.sort_values(key).reset_index(drop=True)
+    b = new.to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["k1", "k2", "v", "w"]].astype(str),
+                                  b[["k1", "k2", "v", "w"]].astype(str))
