@@ -694,6 +694,18 @@ def _q_dup_passages(sf_dir: str):
     return duplicated_passages(docs, size=32, overlap=0, num_partitions=16)
 
 
+def _q_top_docs_per_source(sf_dir: str):
+    """Top-3 longest docs per source — grouped top-N ROWS (row_number
+    OVER PARTITION BY ... QUALIFY <= n): per-batch local head(n) combiner,
+    one partition-only exchange of the survivors, no global sort."""
+    from raycdc.agg import grouped_top_n
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = grouped_top_n(docs, ["source"], "n_chars", n=3,
+                        tiebreak="doc_id", num_partitions=16)
+    return out.select_columns(["source", "doc_id", "n_chars"])
+
+
 def _q_crawl_diff(sf_dir: str):
     """Snapshot diff — the inverse of replay: derive the I/U/D changelog
     between the current documents table and a deterministic simulated
@@ -1510,6 +1522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v3": _q_curation_v3,
         # -- tail: oracle-backed siblings of in-window surfaces -----------
         "flatten_tree_shuffle": _q_flatten_tree_shuffle,
+        "top_docs_per_source": _q_top_docs_per_source,
         "string_agg_docs": _q_string_agg_docs,
         "explode_embeddings": _q_explode_embeddings,
         "curation_pipeline_v4": _q_curation_v4,
@@ -1677,6 +1690,10 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY t.doc_id HAVING min(f.c) >= 50)
             SELECT d.doc_id, d.text FROM documents d
             WHERE d.doc_id IN (SELECT doc_id FROM ok)""",
+        "top_docs_per_source": r"""
+            SELECT source, doc_id, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY source
+                                       ORDER BY n_chars DESC, doc_id) <= 3""",
         "crawl_diff": r"""
             WITH old AS (SELECT doc_id, text FROM documents),
             new AS (

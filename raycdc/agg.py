@@ -868,3 +868,52 @@ def grouped_string_agg(
     bucketed = pruned.map_batches(add_bucket, batch_format="pyarrow")
     return partition_map(bucketed, b, num_partitions, concat,
                          empty_schema=lazy_schema(pruned))
+
+
+def grouped_top_n(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_by: str,
+    *,
+    n: int,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Top-``n`` ROWS per group by ``order_by`` — SQL
+    ``QUALIFY row_number() OVER (PARTITION BY keys ORDER BY order_by
+    [DESC], tiebreak) <= n``. Deterministic when ``tiebreak`` (a unique
+    id column) is given; pass one whenever ``order_by`` can tie.
+
+    Per-batch LOCAL top-n first (the combiner: a batch can contribute at
+    most n rows per group it contains), then one partition-only exchange
+    of those survivors and the same vectorized head(n) per bucket — the
+    distributed-top-k shape generalized to per-group row selection; no
+    global sort, no per-group Python.
+    """
+    from raycdc.ops.ordered import _hash_bucket
+    from raycdc.shuffle import lazy_schema, partition_map
+
+    b = "__rcdc_gtn"
+    sort_cols = [order_by] + ([tiebreak] if tiebreak else [])
+    ascending = [not descending] + ([True] if tiebreak else [])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas(types_mapper=_stm)
+        df = df.sort_values(sort_cols, ascending=ascending, kind="stable",
+                            na_position="last")
+        df = df.groupby(keys, sort=False, dropna=False).head(n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas(types_mapper=_stm)
+        df = df.sort_values(sort_cols, ascending=ascending, kind="stable",
+                            na_position="last")
+        df = df.groupby(keys, sort=False, dropna=False).head(n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pre = ds.map_batches(
+        lambda t: _hash_bucket(local_top(t), keys, b, num_partitions),
+        batch_format="pyarrow")
+    return partition_map(pre, b, num_partitions, bucket_top,
+                         empty_schema=lazy_schema(ds))

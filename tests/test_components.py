@@ -271,3 +271,27 @@ def test_table_diff_round_trip_reconstructs_new_snapshot():
     b = new.to_pandas().sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[["k1", "k2", "v", "w"]].astype(str),
                                   b[["k1", "k2", "v", "w"]].astype(str))
+
+
+def test_grouped_top_n_ties_and_small_groups():
+    from raycdc.agg import grouped_top_n
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": ["a", "a", "a", "a", "b"],
+        "v": [9, 9, 9, 1, 5],
+        "id": [3, 1, 2, 4, 9]}))
+    out = grouped_top_n(ds, ["g"], "v", n=2, tiebreak="id",
+                        num_partitions=4).to_pandas()
+    got = sorted(map(tuple, out[["g", "id"]].to_numpy()))
+    # tie on v=9 broken by min id (1, 2); group b smaller than n survives
+    assert got == [("a", 1), ("a", 2), ("b", 9)]
+
+
+def test_grouped_top_n_ascending():
+    from raycdc.agg import grouped_top_n
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": ["a"] * 4, "v": [4, 2, 3, 1], "id": [1, 2, 3, 4]}))
+    out = grouped_top_n(ds, ["g"], "v", n=2, descending=False,
+                        tiebreak="id", num_partitions=2).to_pandas()
+    assert sorted(out["v"]) == [1, 2]
