@@ -1383,6 +1383,16 @@ def _q_quality_filter_median(sf_dir: str):
     return filter_above_global_quantile(docs, "n_chars", 0.5, m=1 << 20)
 
 
+def _q_quantile_buckets(sf_dir: str):
+    """Global quartile labelling of every doc by length — two streaming
+    passes (one-row threshold summary at full fidelity == exact
+    percentile_disc, then a stateless searchsorted label), no shuffle."""
+    from raycdc.pipelines.curation import quantile_bucket
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+    return quantile_bucket(docs, "n_chars", [0.25, 0.5, 0.75], m=1 << 20)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality signals (duplicate-line fraction,
     top-word fraction) — exact counts via Arrow group_by kernels
@@ -1523,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- tail: oracle-backed siblings of in-window surfaces -----------
         "flatten_tree_shuffle": _q_flatten_tree_shuffle,
         "top_docs_per_source": _q_top_docs_per_source,
+        "quantile_buckets": _q_quantile_buckets,
         "string_agg_docs": _q_string_agg_docs,
         "explode_embeddings": _q_explode_embeddings,
         "curation_pipeline_v4": _q_curation_v4,
@@ -1690,6 +1701,19 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY t.doc_id HAVING min(f.c) >= 50)
             SELECT d.doc_id, d.text FROM documents d
             WHERE d.doc_id IN (SELECT doc_id FROM ok)""",
+        "quantile_buckets": r"""
+            WITH t AS (
+              SELECT quantile_disc(n_chars, 0.25) AS t0,
+                     quantile_disc(n_chars, 0.50) AS t1,
+                     quantile_disc(n_chars, 0.75) AS t2
+              FROM documents)
+            SELECT doc_id, n_chars,
+                   CASE WHEN n_chars IS NULL THEN NULL
+                        WHEN n_chars <= t.t0 THEN 0
+                        WHEN n_chars <= t.t1 THEN 1
+                        WHEN n_chars <= t.t2 THEN 2
+                        ELSE 3 END AS bucket
+            FROM documents, t""",
         "top_docs_per_source": r"""
             SELECT source, doc_id, n_chars FROM documents
             QUALIFY row_number() OVER (PARTITION BY source

@@ -243,3 +243,54 @@ def curate_documents_v4(
     long_enough = scrubbed.map_batches(len_filter, batch_format="pyarrow")
     return exact_dedup(long_enough, text_col=text_col, id_col=id_col,
                        num_partitions=num_partitions)
+
+
+def quantile_bucket(
+    ds,
+    col: str,
+    qs: list | None = None,
+    *,
+    label_col: str = "bucket",
+    m: int = 2048,
+):
+    """Assign every row its GLOBAL distribution bucket: ``bucket = i`` for
+    the first quantile threshold ``t_i = percentile_disc(qs[i])`` with
+    ``value <= t_i``, else ``len(qs)`` — quartile/decile labelling for
+    curriculum mixes, stratified reporting, length-balanced sampling.
+
+    Same two-phase shape as :func:`filter_above_global_quantile`: the
+    mergeable quantile summary reduces the corpus to ONE threshold row
+    (exact percentile_disc at full fidelity ``m``), then a stateless
+    vectorized searchsorted labels every batch — no shuffle in either
+    phase. Null values get a null bucket (SQL CASE semantics made
+    explicit rather than CASE's fall-through-to-ELSE).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raycdc.ops.sketch import approx_quantile
+
+    qs = list(qs or (0.25, 0.5, 0.75))
+    if sorted(qs) != qs:
+        raise ValueError("qs must be ascending")
+    names = [f"t{i}" for i in range(len(qs))]
+    summary = next(iter(
+        approx_quantile(ds, col, qs, names=names, m=m)
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    thresholds = np.array([summary[n][0].as_py() for n in names],
+                          dtype=np.float64)
+
+    def label(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        vals = pc.cast(arr, pa.float64()).to_numpy(zero_copy_only=False)
+        # first threshold >= value == the CASE WHEN v <= t_i chain
+        idx = np.searchsorted(thresholds, np.where(valid, vals, 0.0),
+                              side="left").astype(np.int64)
+        buckets = pa.array(idx, pa.int64(), mask=~valid)
+        return t.append_column(label_col, buckets)
+
+    return ds.map_batches(label, batch_format="pyarrow")

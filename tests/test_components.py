@@ -295,3 +295,18 @@ def test_grouped_top_n_ascending():
     out = grouped_top_n(ds, ["g"], "v", n=2, descending=False,
                         tiebreak="id", num_partitions=2).to_pandas()
     assert sorted(out["v"]) == [1, 2]
+
+
+def test_quantile_bucket_labels_match_case_chain():
+    from raycdc.pipelines.curation import quantile_bucket
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, None]
+    ds = ray.data.from_arrow(pa.table(
+        {"id": list(range(9)), "x": pa.array(vals, pa.int64())}))
+    out = quantile_bucket(ds, "x", [0.25, 0.5, 0.75],
+                          m=1 << 20).to_pandas().sort_values("id")
+    # percentile_disc of 1..8: t=(2,4,6); buckets: <=2 -> 0, <=4 -> 1,
+    # <=6 -> 2, else 3; null -> null
+    want = [0, 0, 1, 1, 2, 2, 3, 3, None]
+    got = [None if pd.isna(v) else int(v) for v in out["bucket"]]
+    assert got == want
