@@ -1383,6 +1383,17 @@ def _q_quality_filter_median(sf_dir: str):
     return filter_above_global_quantile(docs, "n_chars", 0.5, m=1 << 20)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Per-row-rate sampling: keep each doc with probability
+    min(1, n_chars/1000) — quality/length-weighted downsampling, exactly
+    reproducible (Knuth hash predicate, cut line from the row's own
+    weight). Stateless streaming filter, no shuffle."""
+    from raycdc.agg import weighted_sample
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(docs, "doc_id", "n_chars", scale=0.001)
+
+
 def _q_quantile_buckets(sf_dir: str):
     """Global quartile labelling of every doc by length — two streaming
     passes (one-row threshold summary at full fidelity == exact
@@ -1534,6 +1545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flatten_tree_shuffle": _q_flatten_tree_shuffle,
         "top_docs_per_source": _q_top_docs_per_source,
         "quantile_buckets": _q_quantile_buckets,
+        "weighted_sample_docs": _q_weighted_sample,
         "string_agg_docs": _q_string_agg_docs,
         "explode_embeddings": _q_explode_embeddings,
         "curation_pipeline_v4": _q_curation_v4,
@@ -1701,6 +1713,10 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY t.doc_id HAVING min(f.c) >= 50)
             SELECT d.doc_id, d.text FROM documents d
             WHERE d.doc_id IN (SELECT doc_id FROM ok)""",
+        "weighted_sample_docs": r"""
+            SELECT doc_id, n_chars FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 <
+                  floor(least(1.0, 0.001 * n_chars) * 4294967296)""",
         "quantile_buckets": r"""
             WITH t AS (
               SELECT quantile_disc(n_chars, 0.25) AS t0,

@@ -917,3 +917,43 @@ def grouped_top_n(
         batch_format="pyarrow")
     return partition_map(pre, b, num_partitions, bucket_top,
                          empty_schema=lazy_schema(ds))
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    *,
+    scale: float = 1.0,
+    mult: int = 2654435761,
+) -> ray.data.Dataset:
+    """Deterministic PER-ROW-rate sampling: keep a row with probability
+    ``min(1, scale * weight)`` — quality-weighted corpus downsampling
+    ("keep high-score docs at full rate, low-score at their score"),
+    reproducible across runs/parallelism/engines.
+
+    The same Knuth multiplicative-hash predicate as :func:`hash_sample`
+    with the cut line computed from the row's own weight:
+    ``(id * mult) % 2^32 < floor(min(1, scale*weight) * 2^32)`` —
+    expressible verbatim in ANSI SQL, so the sample is oracle-checkable.
+    Null id or null/negative weight drops the row (SQL: NULL predicate
+    is not TRUE). Stateless per-batch filter; no shuffle.
+    """
+
+    def keep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        valid = pc.and_(pc.is_valid(t[id_col]), pc.is_valid(t[weight_col]))
+        if t.num_rows and not pc.all(pc.fill_null(valid, False)).as_py():
+            t = t.filter(pc.fill_null(valid, False))
+        if t.num_rows == 0:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        w = pc.cast(t[weight_col], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        rate = np.clip(scale * w, 0.0, 1.0)
+        cut = np.floor(rate * 4294967296.0)
+        h = (ids.astype(np.uint64) * np.uint64(mult)) % np.uint64(1 << 32)
+        return t.filter(pa.array(h.astype(np.float64) < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

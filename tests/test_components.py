@@ -310,3 +310,23 @@ def test_quantile_bucket_labels_match_case_chain():
     want = [0, 0, 1, 1, 2, 2, 3, 3, None]
     got = [None if pd.isna(v) else int(v) for v in out["bucket"]]
     assert got == want
+
+
+def test_weighted_sample_rates_and_nulls():
+    from raycdc.agg import weighted_sample
+
+    n = 4000
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(list(range(n)) + [None], pa.int64()),
+        "w": pa.array([0.0] * (n // 2) + [1.0] * (n // 2) + [0.5],
+                      pa.float64())}))
+    out = weighted_sample(ds, "id", "w").to_pandas()
+    kept = set(out["id"])
+    # weight 0 -> never kept; weight 1 -> always kept; null id dropped
+    assert kept == set(range(n // 2, n))
+
+    half = ray.data.from_arrow(pa.table({
+        "id": pa.array(list(range(n)), pa.int64()),
+        "w": pa.array([0.5] * n, pa.float64())}))
+    frac = weighted_sample(half, "id", "w").count() / n
+    assert 0.45 < frac < 0.55  # deterministic, ~rate-proportional
