@@ -35,10 +35,18 @@ def table_diff(
     compared columns carrying the NEW value for I/U and null for D.
     Deterministic; both inputs stream into one co-partition exchange.
     """
-    from raycdc.joins import hash_join
+    from raycdc.joins import _pa_schema, hash_join, pin_schema
 
     key_cols = list(key_cols)
     compare_cols = list(compare_cols)
+    oschema, nschema = _pa_schema(old), _pa_schema(new)
+
+    def tagged_schema(s: pa.Schema, side: str) -> pa.Schema:
+        return pa.schema(
+            [pa.field(k, s.field(k).type) for k in key_cols]
+            + [pa.field(f"__rcdc_{side}_{c}", s.field(c).type)
+               for c in compare_cols]
+            + [pa.field(f"__rcdc_{side}", pa.int8())])
 
     def tag(side: str):
         old_names = {c: f"__rcdc_{side}_{c}" for c in compare_cols}
@@ -52,13 +60,21 @@ def table_diff(
             return pa.table(cols)
         return fn
 
+    # Pin both tagged lineages: an empty snapshot (first crawl, or a
+    # filtered slice) yields zero blocks with no schema, which hash_join
+    # cannot consume.
     joined = hash_join(
-        old.map_batches(tag("o"), batch_format="pyarrow"),
-        new.map_batches(tag("n"), batch_format="pyarrow"),
+        pin_schema(old.map_batches(tag("o"), batch_format="pyarrow"),
+                   tagged_schema(oschema, "o")),
+        pin_schema(new.map_batches(tag("n"), batch_format="pyarrow"),
+                   tagged_schema(nschema, "n")),
         on=key_cols, join_type="full_outer",
         num_partitions=num_partitions)
 
-    out_fields = [("op", pa.string())]
+    out_schema = pa.schema(
+        [pa.field("op", pa.string())]
+        + [pa.field(k, nschema.field(k).type) for k in key_cols]
+        + [pa.field(c, nschema.field(c).type) for c in compare_cols])
 
     def classify(t: pa.Table) -> pa.Table:
         in_old = pc.fill_null(pc.is_valid(t["__rcdc_o"]), False) \
@@ -83,4 +99,7 @@ def table_diff(
             cols[c] = kt[f"__rcdc_n_{c}"]  # new value; null for D rows
         return pa.table(cols)
 
-    return joined.map_batches(classify, batch_format="pyarrow")
+    # Pin the final stage too: identical snapshots classify every row
+    # away and the pin above does not survive map_batches over zero rows.
+    return pin_schema(joined.map_batches(classify, batch_format="pyarrow"),
+                      out_schema)

@@ -367,7 +367,9 @@ def broadcast_join(
         left_schema = _pa_schema(left)
     except Exception:
         left_schema = None
-    return left.map_batches(
+    if isinstance(right, pa.Table):
+        schema = right.schema
+    out = left.map_batches(
         BroadcastJoiner,
         fn_constructor_args=(right_ref, on, right_on,
                              _ARROW_VERBS[join_type], left_schema),
@@ -375,11 +377,39 @@ def broadcast_join(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+    # Pin the output: an empty probe side yields zero blocks and a None
+    # schema downstream (repo invariant). The output schema is derivable
+    # from the two input schemas via a zero-row Acero join; skip the pin
+    # only when neither is knowable.
+    if left_schema is not None:
+        try:
+            verb = _ARROW_VERBS[join_type]
+            if verb in ("left semi", "left anti"):
+                out = pin_schema(out, left_schema)
+            elif schema is not None:
+                out_schema = left_schema.empty_table().join(
+                    schema.empty_table(), keys=on, right_keys=right_on,
+                    join_type=verb, coalesce_keys=True).schema
+                out = pin_schema(out, out_schema)
+        except Exception:
+            pass
+    return out
 
 
 def _pa_schema(ds: ray.data.Dataset) -> pa.Schema:
     s = ds.schema()
     return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+
+
+def pin_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Union a typed empty block so a dataset that may be EMPTY at runtime
+    keeps its schema (zero blocks => ``ds.schema()`` is None, which crashes
+    any downstream join or `_pa_schema`). Lazy — adds one empty block, no
+    materialization. Pin BEFORE handing a possibly-empty lineage to
+    `hash_join`; the pin does not survive a further `map_batches` over
+    zero blocks, so pin the final stage too when the consumer needs a
+    schema."""
+    return ds.union(ray.data.from_arrow(schema.empty_table()))
 
 
 def _widen_shared_fields(
@@ -859,10 +889,13 @@ def bloom_semi_join(
                                  join_type="left_semi",
                                  num_partitions=num_partitions)
 
-    survivors = left.map_batches(
+    # Pin the survivor lineage: a bitmap that drops EVERY left row (or an
+    # empty left) yields zero blocks and no schema, which the exact join
+    # below cannot consume.
+    survivors = pin_schema(left.map_batches(
         _BloomProbe, batch_format="pyarrow",
         fn_constructor_args=(bmp_ref, on, num_bits, num_hashes),
-        concurrency=concurrency)
+        concurrency=concurrency), _pa_schema(left))
     return hash_join(survivors, right, on=on, right_on=right_on,
                      join_type="left_semi", num_partitions=num_partitions)
 
@@ -977,15 +1010,19 @@ def bloom_anti_join(
                                  join_type="left_anti",
                                  num_partitions=num_partitions)
 
+    # An empty (or fully-filtered) left side leaves both branches with
+    # zero blocks and no schema — pin them with the left schema so the
+    # downstream hash_join and consumers always see typed output.
+    lschema = _pa_schema(left)
     keep = left.map_batches(
         _BloomMissKeep, batch_format="pyarrow",
         fn_constructor_args=(bmp_ref, on, num_bits, num_hashes),
         concurrency=concurrency)
-    hits = left.map_batches(
+    hits = pin_schema(left.map_batches(
         _BloomProbe, batch_format="pyarrow",
         fn_constructor_args=(bmp_ref, on, num_bits, num_hashes),
-        concurrency=concurrency)
+        concurrency=concurrency), lschema)
     anti_hits = hash_join(hits, right, on=on, right_on=right_on,
                           join_type="left_anti",
                           num_partitions=num_partitions)
-    return keep.union(anti_hits)
+    return pin_schema(keep, lschema).union(anti_hits)
