@@ -81,7 +81,9 @@ def read_manifest(lake_dir: str) -> Optional[LakeManifest]:
 def commit_manifest(lake_dir: str, manifest: LakeManifest) -> None:
     """Atomic publish: write tmp, fsync, rename over the live manifest."""
     os.makedirs(lake_dir, exist_ok=True)
-    tmp = manifest_path(lake_dir) + ".tmp"
+    # pid-unique tmp (repo invariant): two committers racing on one lake
+    # must not interleave writes into one shared .tmp file.
+    tmp = f"{manifest_path(lake_dir)}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         f.write(manifest.to_json())
         f.flush()
@@ -89,24 +91,40 @@ def commit_manifest(lake_dir: str, manifest: LakeManifest) -> None:
     os.replace(tmp, manifest_path(lake_dir))
 
 
-def vacuum(lake_dir: str) -> list[str]:
+def vacuum(lake_dir: str, stale_tmp_seconds: float = 600.0) -> list[str]:
     """Delete data files not referenced by the committed manifest.
 
     Safe at any time: readers resolve files only through the manifest, and
     writers never reuse an (partition, version) file name for different
-    content. Returns the deleted relative paths.
+    content. Orphaned ``*.tmp.<pid>`` files from crashed writers are also
+    removed, but only once older than ``stale_tmp_seconds`` so an in-flight
+    writer's tmp is never unlinked mid-write. Returns the deleted relative
+    paths.
     """
+    import time
+
     manifest = read_manifest(lake_dir)
     live = set()
     if manifest:
         for pid in manifest.partitions:
             live.update(manifest.partition_files(pid))
     deleted = []
+    now = time.time()
     for root, _, files in os.walk(lake_dir):
         for f in files:
             full = os.path.join(root, f)
             rel = os.path.relpath(full, lake_dir)
-            if rel == MANIFEST_NAME or not f.endswith(".parquet"):
+            if rel == MANIFEST_NAME:
+                continue
+            if ".tmp." in f:
+                try:
+                    if now - os.path.getmtime(full) > stale_tmp_seconds:
+                        os.unlink(full)
+                        deleted.append(rel)
+                except FileNotFoundError:
+                    pass  # a concurrent vacuum or writer already moved it
+                continue
+            if not f.endswith(".parquet"):
                 continue
             if rel not in live:
                 os.unlink(full)
@@ -119,7 +137,10 @@ def atomic_write_parquet(table, final_path: str) -> int:
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(final_path), exist_ok=True)
-    tmp = final_path + ".tmp"
+    # pid-unique tmp (repo invariant): a retried merge task can overlap its
+    # original attempt in another worker process; both rewriting identical
+    # bytes is safe ONLY if they never share one .tmp inode.
+    tmp = f"{final_path}.tmp.{os.getpid()}"
     pq.write_table(table, tmp)
     os.replace(tmp, final_path)
     return os.path.getsize(final_path)

@@ -305,3 +305,42 @@ def test_feature_extractor_batch_matches_single_row_kernel():
     # length component stays human-checkable; empty/None decode as b"\x00"
     lens = [f[0] for f in out["features"].to_pylist()]
     assert lens == [150.0, 10.0, 1.0, 1.0, 1.0]
+
+
+# ------------------------------------------- pid-unique tmps + vacuum GC
+def test_atomic_writers_use_pid_unique_tmps_and_vacuum_gcs_them(tmp_path):
+    """Repo invariant: every atomic writer's tmp name embeds the pid so two
+    processes rewriting the same artifact never interleave one shared
+    inode. Orphaned tmps from crashed writers are vacuumed once stale,
+    but a fresh (in-flight) tmp must survive."""
+    import os
+    import time
+
+    from raycdc.cdc.sink import (LakeManifest, atomic_write_parquet,
+                                 commit_manifest, manifest_path, vacuum)
+
+    lake = str(tmp_path / "lake")
+    t = pa.table({"x": pa.array([1, 2], pa.int64())})
+    part = os.path.join(lake, "part-00000", "v1.parquet")
+    atomic_write_parquet(t, part)
+    commit_manifest(lake, LakeManifest(
+        version=1, num_partitions=1, epochs_applied=[0], watermark_seq=1,
+        partitions={"0": {"files": ["part-00000/v1.parquet"],
+                          "rows": 2, "bytes": 1, "lineage": []}}))
+    # neither writer left its tmp behind, and neither used a bare ".tmp"
+    leftovers = [f for r, _, fs in os.walk(lake) for f in fs if ".tmp" in f]
+    assert leftovers == []
+
+    # a crashed writer's orphan: stale → GC'd; fresh → untouched
+    stale = part + f".tmp.{os.getpid() + 1}"
+    fresh = manifest_path(lake) + f".tmp.{os.getpid() + 2}"
+    for p in (stale, fresh):
+        with open(p, "wb") as f:
+            f.write(b"partial")
+    old = time.time() - 3600
+    os.utime(stale, (old, old))
+    removed = vacuum(lake)
+    assert os.path.relpath(stale, lake) in removed
+    assert os.path.exists(fresh)
+    # the committed data file is still live
+    assert os.path.exists(part)
