@@ -946,6 +946,53 @@ def _cdc_replay_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
         FROM win WHERE rn = 1 AND op <> 'D'"""
 
 
+# Mid-history epoch for the time-travel query (of the spec's 8 epochs).
+_TT_EPOCH = 3
+
+
+def _q_cdc_time_travel(sf_dir: str):
+    """Lake time travel: apply the WAL one epoch per commit (each commit
+    retains an immutable snapshot manifest), then read the lake as of
+    mid-history. The as-of read must equal a replay of the WAL prefix —
+    the oracle is the cdc_replay LWW SQL restricted to epoch <= k."""
+    sf_tag, n = _cdc_scale(sf_dir)
+    wal, spec = _cdc_spec(sf_tag, n)
+    generate_changelog(wal, spec)
+    # separate lake from cdc_replay's (that one commits all epochs at once,
+    # so its history has a single snapshot); per-epoch applies are
+    # idempotent — repeated driver calls skip committed epochs
+    lake = f"/tmp/raycdc/lake-tt-{sf_tag}-{n}"
+    for e in range(spec.num_epochs):
+        apply_changelog(wal, lake, num_partitions=16, epochs=[e])
+    ds = read_lake(lake, as_of_epoch=_TT_EPOCH)
+    return ds.select_columns(["url", "warc_ts", "seq", "text", "lang"])
+
+
+def _cdc_time_travel_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """cdc_replay's LWW winner-per-url SQL over the WAL prefix
+    epoch <= _TT_EPOCH — time travel IS prefix replay."""
+    sf_tag, n = _cdc_scale(sf_dir)
+    wal, spec = _cdc_spec(sf_tag, n)
+    try:
+        generate_changelog(wal, spec)
+    except OSError:
+        pass  # read-only FS etc.: the Ray query's own generation covers it
+    return f"""
+        WITH ev AS (
+            SELECT seq, op, page.url AS url,
+                   page.fetch.warc_ts AS warc_ts,
+                   page.content.text AS text, page.content.lang AS lang
+            FROM read_parquet('{wal}/events-*.parquet')
+            WHERE epoch <= {_TT_EPOCH}
+        ), win AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM ev
+        )
+        SELECT url, warc_ts, seq, text, lang
+        FROM win WHERE rn = 1 AND op <> 'D'"""
+
+
 _HOST_RE = (r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)")
 
 
@@ -1540,8 +1587,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff": _q_crawl_diff,
         "host_stats": _q_host_stats,
         "curation_pipeline_v2": _q_curation_v2,
-        "curation_pipeline_v3": _q_curation_v3,
+        "cdc_time_travel": _q_cdc_time_travel,
         # -- tail: oracle-backed siblings of in-window surfaces -----------
+        "curation_pipeline_v3": _q_curation_v3,
         "flatten_tree_shuffle": _q_flatten_tree_shuffle,
         "top_docs_per_source": _q_top_docs_per_source,
         "quantile_buckets": _q_quantile_buckets,
@@ -1702,6 +1750,7 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
         "cdc_replay": _cdc_replay_oracle_sql(),
+        "cdc_time_travel": _cdc_time_travel_oracle_sql(),
         "host_stats": _host_stats_oracle_sql(),
         "rare_token_filter": r"""
             WITH tok AS (

@@ -13,4 +13,10 @@ from raycdc.cdc.apply import (
     oracle_final_state,
     read_lake,
 )
-from raycdc.cdc.sink import LakeManifest, read_manifest
+from raycdc.cdc.sink import (
+    LakeManifest,
+    expire_snapshots,
+    list_snapshots,
+    read_manifest,
+    vacuum,
+)

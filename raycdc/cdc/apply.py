@@ -433,12 +433,60 @@ def _read_partition(lake_dir: str, files: list[str],
     return align_to_schema(merged, target)
 
 
-def read_lake(lake_dir: str, include_deleted: bool = False) -> ray.data.Dataset:
+def _resolve_manifest(lake_dir: str, as_of_version, as_of_epoch):
+    """Pick the manifest a read should resolve through.
+
+    ``as_of_version`` names a retained snapshot exactly; ``as_of_epoch``
+    picks the NEWEST committed manifest whose applied epochs all fall at or
+    before that epoch (so a later compaction of the same epochs wins).
+    Only versions ≤ the head are committed truth — a crash between the
+    snapshot write and the head replace can orphan a newer snapshot."""
+    from raycdc.cdc.sink import list_snapshots
+
+    head = read_manifest(lake_dir)
+    if head is None:
+        raise FileNotFoundError(f"no committed manifest in {lake_dir}")
+    if as_of_version is not None and as_of_epoch is not None:
+        raise ValueError("pass as_of_version OR as_of_epoch, not both")
+    if as_of_version is None and as_of_epoch is None:
+        return head
+    if as_of_version is not None:
+        if as_of_version > head.version:
+            raise ValueError(
+                f"version {as_of_version} is not committed "
+                f"(head is v{head.version})")
+        m = read_manifest(lake_dir, version=as_of_version)
+        if m is None:
+            raise ValueError(
+                f"no retained snapshot v{as_of_version} in {lake_dir} "
+                f"(expired? see expire_snapshots)")
+        return m
+    versions = {v for v in list_snapshots(lake_dir) if v <= head.version}
+    versions.add(head.version)  # pre-snapshot lakes have a head only
+    for v in sorted(versions, reverse=True):
+        m = head if v == head.version else read_manifest(lake_dir, version=v)
+        if m is not None and m.epochs_applied \
+                and max(m.epochs_applied) <= as_of_epoch:
+            return m
+    raise ValueError(
+        f"no committed snapshot at or before epoch {as_of_epoch} "
+        f"in {lake_dir}")
+
+
+def read_lake(lake_dir: str, include_deleted: bool = False, *,
+              as_of_version: Optional[int] = None,
+              as_of_epoch: Optional[int] = None) -> ray.data.Dataset:
     """Read the committed lake state (manifest-resolved files only), LWW-
     merging per-partition delta runs and unifying evolved schemas (missing
-    columns → nulls)."""
-    manifest = read_manifest(lake_dir)
-    if manifest is None or not manifest.partitions:
+    columns → nulls).
+
+    Time travel: ``as_of_epoch=k`` reads the lake as it stood once every
+    epoch ≤ k was applied (exactly the state a replay of the WAL prefix
+    would produce); ``as_of_version=v`` reads a specific retained manifest
+    snapshot. History is retained until ``expire_snapshots`` + ``vacuum``.
+    """
+    manifest = _resolve_manifest(lake_dir, as_of_version, as_of_epoch)
+    if not manifest.partitions:
         raise FileNotFoundError(f"no committed manifest in {lake_dir}")
     per_part = {pid: manifest.partition_files(pid)
                 for pid in sorted(manifest.partitions, key=int)}

@@ -30,6 +30,7 @@ import os
 from typing import Any, Optional
 
 MANIFEST_NAME = "_manifest.json"
+SNAPSHOT_DIR = "_manifests"
 
 
 @dataclasses.dataclass
@@ -70,31 +71,101 @@ def manifest_path(lake_dir: str) -> str:
     return os.path.join(lake_dir, MANIFEST_NAME)
 
 
-def read_manifest(lake_dir: str) -> Optional[LakeManifest]:
+def snapshot_path(lake_dir: str, version: int) -> str:
+    return os.path.join(lake_dir, SNAPSHOT_DIR, f"v{version:06d}.json")
+
+
+def list_snapshots(lake_dir: str) -> list[int]:
+    """Retained snapshot manifest versions, ascending. Includes any
+    uncommitted orphan a crash left behind (version > head) — callers that
+    need committed-only must clamp to ``head.version``."""
+    d = os.path.join(lake_dir, SNAPSHOT_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def read_manifest(lake_dir: str,
+                  version: Optional[int] = None) -> Optional[LakeManifest]:
+    """Read the head manifest (``version=None``) or a retained snapshot.
+
+    Snapshot reads fall back to the head when it carries the requested
+    version — lakes committed before snapshots existed have a head but no
+    ``_manifests/`` history."""
     path = manifest_path(lake_dir)
     if not os.path.exists(path):
         return None
     with open(path) as f:
+        head = LakeManifest.from_json(f.read())
+    if version is None or version == head.version:
+        return head
+    spath = snapshot_path(lake_dir, version)
+    if not os.path.exists(spath):
+        return None
+    with open(spath) as f:
         return LakeManifest.from_json(f.read())
 
 
-def commit_manifest(lake_dir: str, manifest: LakeManifest) -> None:
-    """Atomic publish: write tmp, fsync, rename over the live manifest."""
-    os.makedirs(lake_dir, exist_ok=True)
+def _atomic_write_text(path: str, text: str) -> None:
     # pid-unique tmp (repo invariant): two committers racing on one lake
     # must not interleave writes into one shared .tmp file.
-    tmp = f"{manifest_path(lake_dir)}.tmp.{os.getpid()}"
+    tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
-        f.write(manifest.to_json())
+        f.write(text)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, manifest_path(lake_dir))
+    os.replace(tmp, path)
+
+
+def commit_manifest(lake_dir: str, manifest: LakeManifest) -> None:
+    """Atomic publish: write tmp, fsync, rename over the live manifest.
+
+    An immutable per-version snapshot copy is retained under
+    ``_manifests/v{version}.json`` BEFORE the head replace, enabling
+    time-travel reads (``read_lake(as_of_epoch=...)``). A crash between the
+    two writes leaves an orphan snapshot with ``version > head.version``;
+    readers treat only versions ≤ head as committed, and a re-run of the
+    same epoch rewrites the orphan with identical content (deterministic
+    merge), so convergence is unaffected."""
+    os.makedirs(os.path.join(lake_dir, SNAPSHOT_DIR), exist_ok=True)
+    text = manifest.to_json()
+    _atomic_write_text(snapshot_path(lake_dir, manifest.version), text)
+    _atomic_write_text(manifest_path(lake_dir), text)
+
+
+def expire_snapshots(lake_dir: str, keep_last: int = 2) -> list[int]:
+    """Drop time-travel history: delete all but the newest ``keep_last``
+    committed snapshot manifests (the head's version is always kept). The
+    data files they referenced become vacuum-able afterwards. Returns the
+    expired versions."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    head = read_manifest(lake_dir)
+    if head is None:
+        return []
+    committed = [v for v in list_snapshots(lake_dir) if v <= head.version]
+    expired = []
+    for v in committed[:-keep_last] if len(committed) > keep_last else []:
+        if v == head.version:
+            continue
+        os.unlink(snapshot_path(lake_dir, v))
+        expired.append(v)
+    return expired
 
 
 def vacuum(lake_dir: str, stale_tmp_seconds: float = 600.0) -> list[str]:
-    """Delete data files not referenced by the committed manifest.
+    """Delete data files not referenced by the head manifest or any
+    retained snapshot manifest (time-travel readers resolve through
+    snapshots, so their files stay live until ``expire_snapshots``).
 
-    Safe at any time: readers resolve files only through the manifest, and
+    Safe at any time: readers resolve files only through manifests, and
     writers never reuse an (partition, version) file name for different
     content. Orphaned ``*.tmp.<pid>`` files from crashed writers are also
     removed, but only once older than ``stale_tmp_seconds`` so an in-flight
@@ -103,11 +174,14 @@ def vacuum(lake_dir: str, stale_tmp_seconds: float = 600.0) -> list[str]:
     """
     import time
 
-    manifest = read_manifest(lake_dir)
+    manifests = [read_manifest(lake_dir)]
+    manifests += [read_manifest(lake_dir, version=v)
+                  for v in list_snapshots(lake_dir)]
     live = set()
-    if manifest:
-        for pid in manifest.partitions:
-            live.update(manifest.partition_files(pid))
+    for manifest in manifests:
+        if manifest:
+            for pid in manifest.partitions:
+                live.update(manifest.partition_files(pid))
     deleted = []
     now = time.time()
     for root, _, files in os.walk(lake_dir):

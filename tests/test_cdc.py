@@ -232,8 +232,13 @@ def test_lsm_delta_runs_and_compaction(changelog, tmp_path):
     got = lake_state(lake)
     expected = oracle_final_state(generate_events(SPEC))
     assert got["text"].to_pylist() == expected["text"].to_pylist()
+    # superseded runs stay vacuum-protected while snapshot history retains
+    # them (time travel); expiring history makes them collectable
+    from raycdc.cdc.sink import expire_snapshots
+
+    assert [p for p in vacuum(lake) if p.endswith(".parquet")] == []
+    expire_snapshots(lake, keep_last=1)
     removed = vacuum(lake)
-    # compactions happened → superseded runs got GC'd, state unchanged
     assert removed
     assert url_text_digest(lake_state(lake)) == url_text_digest(got)
 

@@ -68,6 +68,7 @@ def test_query_matches_oracle(name, sf_dir):
     # the cdc_replay oracle reads the WAL whose path depends on the scale
     # factor; oracle_sql() pins the driver's sf0.01, tests re-derive it
     sf_dependent = {"cdc_replay": entrymod._cdc_replay_oracle_sql,
+                    "cdc_time_travel": entrymod._cdc_time_travel_oracle_sql,
                     "host_stats": entrymod._host_stats_oracle_sql}
     sql = (sf_dependent[name](sf_dir) if name in sf_dependent
            else ORACLE[name])

@@ -1,0 +1,127 @@
+"""Lake time travel: every manifest commit retains an immutable snapshot
+under _manifests/, read_lake(as_of_epoch=k) reproduces exactly the state a
+replay of the WAL prefix (epochs <= k) would build, and history is
+reclaimable via expire_snapshots + vacuum without touching the head."""
+
+import pyarrow.compute as pc
+import pytest
+
+from raycdc.cdc import (apply_changelog, expire_snapshots, generate_changelog,
+                        list_snapshots, read_lake, read_manifest, vacuum)
+from raycdc.cdc.apply import oracle_final_state
+from raycdc.cdc.changelog import ChangelogSpec, generate_events
+
+from tests.test_cdc import lake_state, url_text_digest
+
+SPEC = ChangelogSpec(num_events=8_000, num_urls=600, num_epochs=4, seed=13)
+
+
+@pytest.fixture(scope="module")
+def lake(tmp_path_factory):
+    wal = str(tmp_path_factory.mktemp("wal"))
+    generate_changelog(wal, SPEC)
+    lake = str(tmp_path_factory.mktemp("tt") / "lake")
+    for e in range(SPEC.num_epochs):
+        apply_changelog(wal, lake, num_partitions=4, epochs=[e])
+    return lake
+
+
+def as_of_table(lake, **kw):
+    ds = read_lake(lake, **kw)
+    import pyarrow as pa
+
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+
+def oracle_prefix(k: int):
+    ev = generate_events(SPEC)
+    return oracle_final_state(ev.filter(pc.less_equal(ev["epoch"], k)))
+
+
+def test_as_of_epoch_matches_prefix_replay(lake):
+    for k in range(SPEC.num_epochs):
+        got = as_of_table(lake, as_of_epoch=k)
+        want = oracle_prefix(k)
+        assert got["url"].to_pylist() == want["url"].to_pylist(), k
+        assert got["text"].to_pylist() == want["text"].to_pylist(), k
+
+
+def test_head_read_is_final_state(lake):
+    assert url_text_digest(lake_state(lake)) \
+        == url_text_digest(oracle_prefix(SPEC.num_epochs - 1))
+
+
+def test_as_of_version_reads_named_snapshot(lake):
+    head = read_manifest(lake)
+    versions = [v for v in list_snapshots(lake) if v <= head.version]
+    assert len(versions) == SPEC.num_epochs
+    first = as_of_table(lake, as_of_version=versions[0])
+    want = oracle_prefix(0)
+    assert first["url"].to_pylist() == want["url"].to_pylist()
+    assert first["text"].to_pylist() == want["text"].to_pylist()
+    # head version resolves without a snapshot lookup
+    assert url_text_digest(as_of_table(lake, as_of_version=head.version)) \
+        == url_text_digest(lake_state(lake))
+
+
+def test_as_of_argument_validation(lake):
+    with pytest.raises(ValueError, match="not both"):
+        read_lake(lake, as_of_version=1, as_of_epoch=1)
+    with pytest.raises(ValueError, match="not committed"):
+        read_lake(lake, as_of_version=10_000)
+    with pytest.raises(ValueError, match="at or before epoch"):
+        read_lake(lake, as_of_epoch=-1)
+
+
+def test_future_epoch_resolves_to_head(lake):
+    assert url_text_digest(as_of_table(lake, as_of_epoch=99)) \
+        == url_text_digest(lake_state(lake))
+
+
+def test_vacuum_retains_snapshot_referenced_files(lake):
+    # nothing live is collectable: every data file is referenced by the
+    # head or by a retained snapshot, so time travel survives a vacuum
+    removed = [p for p in vacuum(lake) if p.endswith(".parquet")]
+    assert removed == []
+    got = as_of_table(lake, as_of_epoch=0)
+    want = oracle_prefix(0)
+    assert got["text"].to_pylist() == want["text"].to_pylist()
+
+
+def test_expire_then_vacuum_frees_history(tmp_path):
+    wal = str(tmp_path / "wal")
+    generate_changelog(wal, SPEC)
+    lake = str(tmp_path / "lake")
+    for e in range(SPEC.num_epochs):
+        apply_changelog(wal, lake, num_partitions=4, epochs=[e])
+    head_digest = url_text_digest(lake_state(lake))
+    old_versions = list_snapshots(lake)[:-1]
+    expired = expire_snapshots(lake, keep_last=1)
+    assert expired == old_versions
+    freed = [p for p in vacuum(lake) if p.endswith(".parquet")]
+    assert freed  # superseded partition files are gone
+    # the head is untouched; expired history reads fail cleanly
+    assert url_text_digest(lake_state(lake)) == head_digest
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        read_lake(lake, as_of_version=old_versions[0])
+    with pytest.raises(ValueError, match="at or before epoch"):
+        read_lake(lake, as_of_epoch=0)
+
+
+def test_streaming_engine_commits_snapshots(tmp_path):
+    from raycdc.cdc.actors import CdcEngine
+
+    wal = str(tmp_path / "wal")
+    generate_changelog(wal, SPEC)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(wal, lake, num_partitions=4)
+    eng.advance(1)
+    eng.advance(1)
+    eng.shutdown()
+    head = read_manifest(lake)
+    assert [v for v in list_snapshots(lake) if v <= head.version]
+    got = as_of_table(lake, as_of_epoch=0)
+    want = oracle_prefix(0)
+    assert got["url"].to_pylist() == want["url"].to_pylist()
+    assert got["text"].to_pylist() == want["text"].to_pylist()
