@@ -15,6 +15,10 @@ Subcommands:
 - ``stream``   tail the WAL with the stateful actor engine (per-epoch commits)
 - ``compact``  collapse per-partition LSM run sets into single base files
 - ``stats``    print manifest/lineage/skew metrics for a lake
+- ``export``   write the lake's live view to parquet (optionally as of an
+  epoch/version — time travel over retained snapshot manifests)
+- ``expire``   drop time-travel history (keep the newest N snapshots)
+- ``vacuum``   delete data files no retained manifest references
 """
 
 from __future__ import annotations
@@ -59,6 +63,19 @@ def main(argv=None) -> int:
     st = sub.add_parser("stats", help="print lake metrics")
     st.add_argument("--lake", required=True)
 
+    ex = sub.add_parser("export", help="write the lake view to parquet")
+    ex.add_argument("--lake", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--as-of-epoch", type=int, default=None)
+    ex.add_argument("--as-of-version", type=int, default=None)
+
+    xp = sub.add_parser("expire", help="drop time-travel history")
+    xp.add_argument("--lake", required=True)
+    xp.add_argument("--keep-last", type=int, default=2)
+
+    vc = sub.add_parser("vacuum", help="GC unreferenced data files")
+    vc.add_argument("--lake", required=True)
+
     args = p.parse_args(argv)
     _ray_init()
     import ray
@@ -81,6 +98,31 @@ def main(argv=None) -> int:
             from raycdc.cdc import compact_lake
 
             m = compact_lake(args.lake)
+        elif args.cmd == "export":
+            from raycdc.cdc import read_lake
+
+            ds = read_lake(args.lake, as_of_epoch=args.as_of_epoch,
+                           as_of_version=args.as_of_version)
+            ds.write_parquet(args.out)
+            # row count from the written footers — metadata only, no
+            # second execution of the read pipeline
+            import glob
+            import pyarrow.parquet as pq
+
+            rows = sum(pq.read_metadata(f).num_rows
+                       for f in glob.glob(f"{args.out}/*.parquet"))
+            m = {"rows": rows, "out": args.out,
+                 "as_of_epoch": args.as_of_epoch,
+                 "as_of_version": args.as_of_version}
+        elif args.cmd == "expire":
+            from raycdc.cdc import expire_snapshots
+
+            m = {"expired_versions": expire_snapshots(
+                args.lake, keep_last=args.keep_last)}
+        elif args.cmd == "vacuum":
+            from raycdc.cdc import vacuum
+
+            m = {"deleted": vacuum(args.lake)}
         else:
             from raycdc.cdc.metrics import lake_stats
 
