@@ -125,3 +125,27 @@ def test_streaming_engine_commits_snapshots(tmp_path):
     want = oracle_prefix(0)
     assert got["url"].to_pylist() == want["url"].to_pylist()
     assert got["text"].to_pylist() == want["text"].to_pylist()
+
+
+def test_time_travel_across_schema_evolution(tmp_path):
+    """An as-of read resolves files through the OLD manifest, so a read
+    before the column-add shows the pre-evolution schema; a later as-of
+    carries the added column with nulls backfilled on old rows."""
+    spec = ChangelogSpec(num_events=5_000, num_urls=400, num_epochs=4,
+                         seed=11, evolve_from_epoch=2)
+    wal = str(tmp_path / "wal")
+    generate_changelog(wal, spec)
+    lake = str(tmp_path / "lake")
+    apply_changelog(wal, lake, num_partitions=4, epochs=[0, 1])
+    apply_changelog(wal, lake, num_partitions=4, epochs=[2, 3])
+
+    ev = generate_events(spec)
+    pre = as_of_table(lake, as_of_epoch=1)
+    assert "title" not in pre.column_names
+    want_pre = oracle_final_state(ev.filter(pc.less_equal(ev["epoch"], 1)))
+    assert pre["url"].to_pylist() == want_pre["url"].to_pylist()
+    assert pre["text"].to_pylist() == want_pre["text"].to_pylist()
+
+    post = as_of_table(lake, as_of_epoch=3)
+    want_post = oracle_final_state(ev)
+    assert post["title"].to_pylist() == want_post["title"].to_pylist()
