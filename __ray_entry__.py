@@ -950,22 +950,41 @@ def _cdc_replay_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
 _TT_EPOCH = 3
 
 
-def _q_cdc_time_travel(sf_dir: str):
-    """Lake time travel: apply the WAL one epoch per commit (each commit
-    retains an immutable snapshot manifest), then read the lake as of
-    mid-history. The as-of read must equal a replay of the WAL prefix —
-    the oracle is the cdc_replay LWW SQL restricted to epoch <= k."""
+def _tt_lake(sf_dir: str) -> str:
+    """The time-travel lake: the WAL applied one epoch per commit, so every
+    epoch boundary has a retained snapshot manifest. Separate from
+    cdc_replay's lake (that one commits all epochs at once, so its history
+    has a single snapshot); per-epoch applies are idempotent — repeated
+    driver calls skip committed epochs."""
     sf_tag, n = _cdc_scale(sf_dir)
     wal, spec = _cdc_spec(sf_tag, n)
     generate_changelog(wal, spec)
-    # separate lake from cdc_replay's (that one commits all epochs at once,
-    # so its history has a single snapshot); per-epoch applies are
-    # idempotent — repeated driver calls skip committed epochs
     lake = f"/tmp/raycdc/lake-tt-{sf_tag}-{n}"
     for e in range(spec.num_epochs):
         apply_changelog(wal, lake, num_partitions=16, epochs=[e])
-    ds = read_lake(lake, as_of_epoch=_TT_EPOCH)
+    return lake
+
+
+def _q_cdc_time_travel(sf_dir: str):
+    """Lake time travel: read the per-epoch-committed lake as of
+    mid-history. The as-of read must equal a replay of the WAL prefix —
+    the oracle is the cdc_replay LWW SQL restricted to epoch <= k."""
+    ds = read_lake(_tt_lake(sf_dir), as_of_epoch=_TT_EPOCH)
     return ds.select_columns(["url", "warc_ts", "seq", "text", "lang"])
+
+
+def _q_cdc_changes(sf_dir: str):
+    """Change data feed: the I/U/D delta between the lake as of mid-history
+    and its head, read via manifest-level partition pruning
+    (cdc/apply.lake_changes). Oracle: FULL OUTER JOIN of the two LWW
+    prefix states with IS DISTINCT FROM classification."""
+    from raycdc.cdc import lake_changes
+
+    feed = lake_changes(_tt_lake(sf_dir), from_epoch=_TT_EPOCH,
+                        compare_cols=["warc_ts", "seq", "text", "lang"],
+                        num_partitions=16)
+    return feed.select_columns(["op", "url", "warc_ts", "seq", "text",
+                                "lang"])
 
 
 def _cdc_time_travel_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
@@ -991,6 +1010,49 @@ def _cdc_time_travel_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
         )
         SELECT url, warc_ts, seq, text, lang
         FROM win WHERE rn = 1 AND op <> 'D'"""
+
+
+def _cdc_changes_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """The CDF contract in SQL: the LWW state at epoch <= k FULL OUTER
+    JOINed with the final LWW state on url; rows kept when the url exists
+    on one side only (I/D) or any compared column IS DISTINCT FROM (U);
+    I/U rows carry the new values, D rows nulls."""
+    sf_tag, n = _cdc_scale(sf_dir)
+    wal, spec = _cdc_spec(sf_tag, n)
+    try:
+        generate_changelog(wal, spec)
+    except OSError:
+        pass  # read-only FS etc.: the Ray query's own generation covers it
+    return f"""
+        WITH ev AS (
+            SELECT seq, op, epoch, page.url AS url,
+                   page.fetch.warc_ts AS warc_ts,
+                   page.content.text AS text, page.content.lang AS lang
+            FROM read_parquet('{wal}/events-*.parquet')
+        ), o AS (
+            SELECT url, warc_ts, seq, text, lang FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+                FROM ev WHERE epoch <= {_TT_EPOCH})
+            WHERE rn = 1 AND op <> 'D'
+        ), n AS (
+            SELECT url, warc_ts, seq, text, lang FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+                FROM ev)
+            WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT CASE WHEN o.url IS NULL THEN 'I'
+                    WHEN n.url IS NULL THEN 'D' ELSE 'U' END AS op,
+               COALESCE(n.url, o.url) AS url,
+               n.warc_ts AS warc_ts, n.seq AS seq,
+               n.text AS text, n.lang AS lang
+        FROM o FULL OUTER JOIN n ON o.url = n.url
+        WHERE o.url IS NULL OR n.url IS NULL
+           OR o.warc_ts IS DISTINCT FROM n.warc_ts
+           OR o.seq IS DISTINCT FROM n.seq
+           OR o.text IS DISTINCT FROM n.text
+           OR o.lang IS DISTINCT FROM n.lang"""
 
 
 _HOST_RE = (r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)")
@@ -1589,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v2": _q_curation_v2,
         "cdc_time_travel": _q_cdc_time_travel,
         # -- tail: oracle-backed siblings of in-window surfaces -----------
+        "cdc_changes": _q_cdc_changes,
         "curation_pipeline_v3": _q_curation_v3,
         "flatten_tree_shuffle": _q_flatten_tree_shuffle,
         "top_docs_per_source": _q_top_docs_per_source,
@@ -1751,6 +1814,7 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
         "cdc_replay": _cdc_replay_oracle_sql(),
         "cdc_time_travel": _cdc_time_travel_oracle_sql(),
+        "cdc_changes": _cdc_changes_oracle_sql(),
         "host_stats": _host_stats_oracle_sql(),
         "rare_token_filter": r"""
             WITH tok AS (

@@ -10,6 +10,7 @@ from raycdc.cdc.changelog import ChangelogSpec, generate_changelog
 from raycdc.cdc.apply import (
     apply_changelog,
     compact_lake,
+    lake_changes,
     oracle_final_state,
     read_lake,
 )

@@ -511,6 +511,86 @@ def read_lake(lake_dir: str, include_deleted: bool = False, *,
     return ds
 
 
+def _changed_pids(m_old, m_new) -> list[int]:
+    """Partitions whose manifest file sets differ between two versions.
+    Writers never reuse a (partition, version) file name for different
+    content, so identical file lists imply identical partition state —
+    a CDF read can prune every unchanged partition without opening it."""
+    pids = {int(p) for p in m_old.partitions} | \
+           {int(p) for p in m_new.partitions}
+    return sorted(p for p in pids
+                  if m_old.partition_files(p) != m_new.partition_files(p))
+
+
+def _live_view(lake_dir: str, manifest, pids: list[int],
+               target: pa.Schema) -> ray.data.Dataset:
+    """The live (tombstones dropped) rows of the given partitions under
+    the given manifest, aligned to ``target``."""
+    from raycdc.joins import pin_schema
+
+    refs = [_read_partition.remote(lake_dir, manifest.partition_files(pid),
+                                   target)
+            for pid in pids if manifest.partition_files(pid)]
+    ds = ray.data.from_arrow_refs(refs) if refs \
+        else ray.data.from_arrow(target.empty_table())
+    out = ds.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.fill_null(t[DELETED_COL], False))
+        ).drop_columns([DELETED_COL]),
+        batch_format="pyarrow")
+    # an all-pruned (or all-tombstone) view has zero rows and loses its
+    # schema through map_batches (repo invariant) — pin it so table_diff
+    # can always derive its tagged schemas
+    return pin_schema(
+        out, pa.schema([f for f in target if f.name != DELETED_COL]))
+
+
+def lake_changes(
+    lake_dir: str,
+    *,
+    from_version: Optional[int] = None,
+    from_epoch: Optional[int] = None,
+    to_version: Optional[int] = None,
+    to_epoch: Optional[int] = None,
+    compare_cols: Optional[list[str]] = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Change data feed between two committed lake states: one ``I``/``U``/
+    ``D`` row per url whose live value differs (the ``cdc/diff.table_diff``
+    contract — new values for I/U, nulls for D, ``IS DISTINCT FROM``
+    comparison over ``compare_cols``, default every non-key column).
+
+    Reads ONLY partitions whose manifest file sets differ between the two
+    versions — unchanged partitions are pruned at the manifest, so the scan
+    is sized by the churn, not the corpus. Each endpoint resolves like
+    ``read_lake``: by version, by epoch (newest manifest with all applied
+    epochs ≤ it), or the head when neither is given.
+    """
+    from raycdc.cdc.diff import table_diff
+
+    m_old = _resolve_manifest(lake_dir, from_version, from_epoch)
+    m_new = _resolve_manifest(lake_dir, to_version, to_epoch)
+    if m_old.num_partitions != m_new.num_partitions:
+        raise ValueError("lake partition count changed between versions")
+    changed = _changed_pids(m_old, m_new)
+    files = sorted({f for m in (m_old, m_new) for pid in changed
+                    for f in m.partition_files(pid)})
+    if not files:
+        # identical manifests: type the empty feed from any live file
+        files = sorted({f for pid in m_new.partitions
+                        for f in m_new.partition_files(pid)})[:1]
+    target = unify([pq.read_schema(os.path.join(lake_dir, f))
+                    for f in files])
+    if compare_cols is None:
+        compare_cols = [n for n in target.names
+                        if n not in ("url", DELETED_COL)]
+    return table_diff(
+        _live_view(lake_dir, m_old, changed, target),
+        _live_view(lake_dir, m_new, changed, target),
+        key_cols=["url"], compare_cols=compare_cols,
+        num_partitions=num_partitions)
+
+
 def oracle_final_state(events: pa.Table) -> pa.Table:
     """In-memory oracle for tests: expected final lake state from the raw
     nested event table (winner per url by (warc_ts, seq); deletes dropped)."""

@@ -54,7 +54,10 @@ def assert_frames_match(ray_df, sql_df, name):
                                rtol=1e-9, atol=1e-9, equal_nan=True), \
                 f"{name}: float col {c} differs"
         else:
-            assert (av == bv).all(), f"{name}: col {c} differs"
+            # NaT/NA compare unequal to themselves; a null matches a null
+            # (the SQL comparison the driver mirrors is value-based)
+            both_na = pd.isna(a[c]).to_numpy() & pd.isna(b[c]).to_numpy()
+            assert ((av == bv) | both_na).all(), f"{name}: col {c} differs"
 
 
 ORACLE = entrymod.oracle_sql()
@@ -69,6 +72,7 @@ def test_query_matches_oracle(name, sf_dir):
     # factor; oracle_sql() pins the driver's sf0.01, tests re-derive it
     sf_dependent = {"cdc_replay": entrymod._cdc_replay_oracle_sql,
                     "cdc_time_travel": entrymod._cdc_time_travel_oracle_sql,
+                    "cdc_changes": entrymod._cdc_changes_oracle_sql,
                     "host_stats": entrymod._host_stats_oracle_sql}
     sql = (sf_dependent[name](sf_dir) if name in sf_dependent
            else ORACLE[name])

@@ -149,3 +149,68 @@ def test_time_travel_across_schema_evolution(tmp_path):
     post = as_of_table(lake, as_of_epoch=3)
     want_post = oracle_final_state(ev)
     assert post["title"].to_pylist() == want_post["title"].to_pylist()
+
+
+# ---------------------------------------------------------- change data feed
+def _expected_changes(ev, k_old, k_new):
+    """Reference I/U/D set from the two LWW prefix states (pandas)."""
+    old = oracle_final_state(
+        ev.filter(pc.less_equal(ev["epoch"], k_old))).to_pandas()
+    new = oracle_final_state(
+        ev.filter(pc.less_equal(ev["epoch"], k_new))).to_pandas()
+    cols = ["warc_ts", "seq", "text", "lang"]
+    m = old.merge(new, on="url", how="outer", suffixes=("_o", "_n"),
+                  indicator=True)
+    out = {}
+    for _, r in m.iterrows():
+        if r["_merge"] == "right_only":
+            out[r["url"]] = "I"
+        elif r["_merge"] == "left_only":
+            out[r["url"]] = "D"
+        elif any(not (r[f"{c}_o"] == r[f"{c}_n"]) for c in cols):
+            out[r["url"]] = "U"
+    return out
+
+
+def test_lake_changes_matches_prefix_diff(lake):
+    from raycdc.cdc import lake_changes
+
+    ev = generate_events(SPEC)
+    feed = lake_changes(lake, from_epoch=1, to_epoch=3,
+                        compare_cols=["warc_ts", "seq", "text", "lang"],
+                        num_partitions=4).to_pandas()
+    got = dict(zip(feed["url"], feed["op"]))
+    assert got == _expected_changes(ev, 1, 3)
+    # I/U rows carry the NEW state's values
+    new = oracle_final_state(ev).to_pandas().set_index("url")
+    iu = feed[feed["op"].isin(["I", "U"])]
+    assert list(iu["text"]) == list(new.loc[iu["url"], "text"])
+
+
+def test_lake_changes_same_version_is_empty(lake):
+    from raycdc.cdc import lake_changes, read_manifest
+
+    head = read_manifest(lake)
+    feed = lake_changes(lake, from_version=head.version,
+                        to_version=head.version, num_partitions=2)
+    assert feed.count() == 0
+    assert "op" in feed.schema().names  # typed empty, not schema-less
+
+
+def test_changed_pids_prunes_identical_partitions():
+    from raycdc.cdc.apply import _changed_pids
+    from raycdc.cdc.sink import LakeManifest
+
+    def mk(files_by_pid, version):
+        return LakeManifest(
+            version=version, num_partitions=4, epochs_applied=[0],
+            watermark_seq=1,
+            partitions={str(p): {"files": fs, "rows": 1, "bytes": 1,
+                                 "lineage": []}
+                        for p, fs in files_by_pid.items()})
+
+    a = mk({0: ["p0/v1.parquet"], 1: ["p1/v1.parquet"],
+            2: ["p2/v1.parquet"]}, 1)
+    b = mk({0: ["p0/v1.parquet"], 1: ["p1/v2.parquet"],
+            2: ["p2/v1.parquet"], 3: ["p3/v2.parquet"]}, 2)
+    assert _changed_pids(a, b) == [1, 3]
