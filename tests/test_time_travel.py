@@ -214,3 +214,39 @@ def test_changed_pids_prunes_identical_partitions():
     b = mk({0: ["p0/v1.parquet"], 1: ["p1/v2.parquet"],
             2: ["p2/v1.parquet"], 3: ["p3/v2.parquet"]}, 2)
     assert _changed_pids(a, b) == [1, 3]
+
+
+def test_orphan_snapshot_beyond_head_is_ignored(tmp_path):
+    """A crash between the snapshot write and the head replace leaves an
+    orphan snapshot with version > head. It is NOT committed truth:
+    as-of-epoch resolution must never pick it, version reads must refuse
+    it, and vacuum must still protect its files (the re-run rewrites them
+    idempotently)."""
+    import json
+    import os
+
+    from raycdc.cdc.sink import snapshot_path
+
+    wal = str(tmp_path / "wal")
+    generate_changelog(wal, SPEC)
+    lake = str(tmp_path / "lake")
+    for e in range(2):
+        apply_changelog(wal, lake, num_partitions=4, epochs=[e])
+    head = read_manifest(lake)
+    orphan = snapshot_path(lake, head.version + 1)
+    body = json.loads(head.to_json())
+    body["version"] = head.version + 1
+    body["epochs_applied"] = [0, 1, 2]
+    with open(orphan, "w") as f:
+        json.dump(body, f)
+
+    # epoch resolution clamps to committed versions
+    m = __import__("raycdc.cdc.apply", fromlist=["_resolve_manifest"]) \
+        ._resolve_manifest(lake, None, 99)
+    assert m.version == head.version
+    with pytest.raises(ValueError, match="not committed"):
+        read_lake(lake, as_of_version=head.version + 1)
+    # vacuum keeps the orphan's files (they are the head's files here)
+    assert [p for p in vacuum(lake) if p.endswith(".parquet")] == []
+    assert url_text_digest(lake_state(lake)) \
+        == url_text_digest(oracle_prefix(1))
