@@ -7,7 +7,7 @@ run-level metrics the north star asks for.
 
 from __future__ import annotations
 
-from raycdc.cdc.sink import read_manifest
+from raycdc.cdc.sink import list_snapshots, read_manifest
 
 
 def lake_stats(lake_dir: str) -> dict:
@@ -33,6 +33,9 @@ def lake_stats(lake_dir: str) -> dict:
         "tombstones": (rows - live)
         if all(v is not None for v in live_known) else None,
         "bytes": size,
+        # retained time-travel history (committed snapshot manifests)
+        "snapshots": [v for v in list_snapshots(lake_dir)
+                      if v <= m.version],
         "skew": _skew(m),
     }
 

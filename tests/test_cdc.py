@@ -152,6 +152,7 @@ def test_partition_lineage_surface(changelog, tmp_path):
     stats = lake_stats(lake)
     assert stats["committed"] and stats["files"] == 4
     assert stats["skew"]["max_rows"] >= stats["skew"]["min_rows"]
+    assert stats["snapshots"] == [1]  # one commit → one retained snapshot
 
 
 def test_partition_count_change_rejected(changelog, tmp_path):
