@@ -17,6 +17,8 @@ Subcommands:
 - ``stats``    print manifest/lineage/skew metrics for a lake
 - ``export``   write the lake's live view to parquet (optionally as of an
   epoch/version — time travel over retained snapshot manifests)
+- ``changes``  write the I/U/D change feed between two committed versions
+  (or epochs) to parquet — the incremental-consumer surface
 - ``expire``   drop time-travel history (keep the newest N snapshots)
 - ``vacuum``   delete data files no retained manifest references
 """
@@ -69,6 +71,14 @@ def main(argv=None) -> int:
     ex.add_argument("--as-of-epoch", type=int, default=None)
     ex.add_argument("--as-of-version", type=int, default=None)
 
+    ch = sub.add_parser("changes", help="write the I/U/D feed to parquet")
+    ch.add_argument("--lake", required=True)
+    ch.add_argument("--out", required=True)
+    ch.add_argument("--from-version", type=int, default=None)
+    ch.add_argument("--from-epoch", type=int, default=None)
+    ch.add_argument("--to-version", type=int, default=None)
+    ch.add_argument("--to-epoch", type=int, default=None)
+
     xp = sub.add_parser("expire", help="drop time-travel history")
     xp.add_argument("--lake", required=True)
     xp.add_argument("--keep-last", type=int, default=2)
@@ -114,6 +124,20 @@ def main(argv=None) -> int:
             m = {"rows": rows, "out": args.out,
                  "as_of_epoch": args.as_of_epoch,
                  "as_of_version": args.as_of_version}
+        elif args.cmd == "changes":
+            from raycdc.cdc import lake_changes
+
+            feed = lake_changes(
+                args.lake,
+                from_version=args.from_version, from_epoch=args.from_epoch,
+                to_version=args.to_version, to_epoch=args.to_epoch)
+            feed.write_parquet(args.out)
+            import glob
+            import pyarrow.parquet as pq
+
+            rows = sum(pq.read_metadata(f).num_rows
+                       for f in glob.glob(f"{args.out}/*.parquet"))
+            m = {"rows": rows, "out": args.out}
         elif args.cmd == "expire":
             from raycdc.cdc import expire_snapshots
 

@@ -22,7 +22,7 @@ def test_cli_apply_and_stats(tmp_path):
         [sys.executable, "-m", "raycdc", "apply", "--wal", wal,
          "--lake", lake, "--partitions", "2"],
         capture_output=True, text=True, env=env, cwd="/root/repo",
-        timeout=300)
+        timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     m = json.loads(r.stdout.strip().splitlines()[-1])
     assert m["events"] == 5_000 and m["epochs"] == [0, 1]
@@ -30,7 +30,7 @@ def test_cli_apply_and_stats(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "raycdc", "stats", "--lake", lake],
         capture_output=True, text=True, env=env, cwd="/root/repo",
-        timeout=300)
+        timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     s = json.loads(r.stdout.strip().splitlines()[-1])
     assert s["committed"] and s["epochs_applied"] == [0, 1]
@@ -53,7 +53,7 @@ def test_cli_stream_then_compact(tmp_path):
         [sys.executable, "-m", "raycdc", "stream", "--wal", wal,
          "--lake", lake, "--partitions", "2", "--epochs-per-commit", "2"],
         capture_output=True, text=True, env=env, cwd="/root/repo",
-        timeout=300)
+        timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     m = json.loads(r.stdout.strip().splitlines()[-1])
     assert m["events"] == 4_000
@@ -61,13 +61,13 @@ def test_cli_stream_then_compact(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "raycdc", "compact", "--lake", lake],
         capture_output=True, text=True, env=env, cwd="/root/repo",
-        timeout=300)
+        timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
 
     r = subprocess.run(
         [sys.executable, "-m", "raycdc", "stats", "--lake", lake],
         capture_output=True, text=True, env=env, cwd="/root/repo",
-        timeout=300)
+        timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     s = json.loads(r.stdout.strip().splitlines()[-1])
     assert s["committed"] and s["epochs_applied"] == [0, 1, 2, 3]
@@ -92,7 +92,7 @@ def test_cli_export_expire_vacuum(tmp_path):
         r = subprocess.run(
             [sys.executable, "-m", "raycdc", *args],
             capture_output=True, text=True, env=env, cwd="/root/repo",
-            timeout=300)
+            timeout=600)
         if ok:
             assert r.returncode == 0, r.stderr[-2000:]
             return json.loads(r.stdout.strip().splitlines()[-1])
@@ -117,6 +117,13 @@ def test_cli_export_expire_vacuum(tmp_path):
 
     head = str(tmp_path / "head")
     before = run("export", "--lake", lake, "--out", head)["rows"]
+
+    # the change feed between epoch 0 and the head: row count equals the
+    # url-level symmetric difference + value changes, never more than the
+    # union of both states
+    feed = run("changes", "--lake", lake, "--out", str(tmp_path / "feed"),
+               "--from-epoch", "0")
+    assert 0 < feed["rows"] <= m["rows"] + before
 
     expired = run("expire", "--lake", lake, "--keep-last", "1")
     assert expired["expired_versions"]
