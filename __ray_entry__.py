@@ -1621,7 +1621,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "heavy_hitters": _q_heavy_hitters,
         "window_tumbling": _q_window_tumbling,
-        "window_session": _q_window_session,
         "window_funcs": _q_window_funcs,
         "grouped_quantiles_sketch_full": _q_grouped_quantiles_sketch_full,
         "approx_quantile_full": _q_approx_quantile_full,
@@ -1650,8 +1649,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": _q_host_stats,
         "curation_pipeline_v2": _q_curation_v2,
         "cdc_time_travel": _q_cdc_time_travel,
-        # -- tail: oracle-backed siblings of in-window surfaces -----------
         "cdc_changes": _q_cdc_changes,
+        # -- tail: oracle-backed siblings of in-window surfaces -----------
+        "window_session": _q_window_session,
         "curation_pipeline_v3": _q_curation_v3,
         "flatten_tree_shuffle": _q_flatten_tree_shuffle,
         "top_docs_per_source": _q_top_docs_per_source,
