@@ -1055,6 +1055,48 @@ def _cdc_changes_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
            OR o.lang IS DISTINCT FROM n.lang"""
 
 
+def _q_incremental_view(sf_dir: str):
+    """Incremental materialized-view maintenance (the canonical CDC
+    downstream): the per-lang live-page count + seq-sum view is
+    bootstrapped at mid-history (as-of read), then MAINTAINED to the head
+    purely from the change data feed (`cdc/views.maintain_count_view` —
+    retract old contribution, add new one; integer-exact). The oracle is
+    the full recompute over the final LWW state, so a hash match proves
+    maintained == recomputed."""
+    from raycdc.cdc.views import maintain_count_view
+
+    lake = _tt_lake(sf_dir)
+    view = maintain_count_view(lake, "lang", sums={"sum_seq": "seq"},
+                               from_epoch=_TT_EPOCH, num_partitions=16)
+    return view.select_columns(["lang", "sum_seq", "n"])
+
+
+def _incremental_view_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """GROUP BY lang over the final live LWW state (cdc_replay's winner SQL
+    with tombstones dropped) — what the incrementally maintained view must
+    equal exactly (integer count + sum)."""
+    sf_tag, n = _cdc_scale(sf_dir)
+    wal, spec = _cdc_spec(sf_tag, n)
+    try:
+        generate_changelog(wal, spec)
+    except OSError:
+        pass  # read-only FS etc.: the Ray query's own generation covers it
+    return f"""
+        WITH ev AS (
+            SELECT seq, op, page.url AS url,
+                   page.fetch.warc_ts AS warc_ts,
+                   page.content.lang AS lang
+            FROM read_parquet('{wal}/events-*.parquet')
+        ), win AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM ev
+        )
+        SELECT lang, SUM(seq) AS sum_seq, COUNT(*) AS n
+        FROM win WHERE rn = 1 AND op <> 'D'
+        GROUP BY lang"""
+
+
 _HOST_RE = (r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)")
 
 
@@ -1632,7 +1674,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type": _q_mode_event_type,
         "argmax_event": _q_argmax_event,
         "mixture_by_source": _q_mixture_by_source,
-        "tokenize_docs": _q_tokenize_docs,
         "repetition_stats": _q_repetition_stats,
         "chunk_docs": _q_chunk_docs,
         "top_bigrams": _q_top_bigrams,
@@ -1650,8 +1691,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v2": _q_curation_v2,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_changes": _q_cdc_changes,
+        "incremental_view": _q_incremental_view,
         # -- tail: oracle-backed siblings of in-window surfaces -----------
         "window_session": _q_window_session,
+        "tokenize_docs": _q_tokenize_docs,
         "curation_pipeline_v3": _q_curation_v3,
         "flatten_tree_shuffle": _q_flatten_tree_shuffle,
         "top_docs_per_source": _q_top_docs_per_source,
@@ -1815,6 +1858,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay": _cdc_replay_oracle_sql(),
         "cdc_time_travel": _cdc_time_travel_oracle_sql(),
         "cdc_changes": _cdc_changes_oracle_sql(),
+        "incremental_view": _incremental_view_oracle_sql(),
         "host_stats": _host_stats_oracle_sql(),
         "rare_token_filter": r"""
             WITH tok AS (

@@ -28,6 +28,20 @@ from raycdc.shuffle import stable_types_mapper as _stm
 _GROUPING_SETS_MAX_ROWS = 2_000_000
 
 
+def _restore_key_types(out: pa.Table, ref: pa.Schema,
+                       keys: list[str]) -> pa.Table:
+    """Pin grouping-key columns back to their input Arrow types after a
+    pandas hop: a batch whose string key is ALL null round-trips through
+    `groupby(...).reset_index()` as float64 NaN → null, silently changing
+    that block's schema and breaking unification with sibling blocks."""
+    for k in keys:
+        want = ref.field(k).type
+        i = out.column_names.index(k)
+        if out.schema.field(k).type != want:
+            out = out.set_column(i, pa.field(k, want), out[k].cast(want))
+    return out
+
+
 def distinct_rows(ds: ray.data.Dataset, subset: list[str],
                   num_partitions: int = 32) -> ray.data.Dataset:
     """Global DISTINCT on ``subset``: per-batch local dedup (combiner) then a
@@ -109,7 +123,9 @@ def grouped_aggregate(
         if need_count:
             parts[cnt_col] = g.size()
         out_df = pd.DataFrame(parts).reset_index()
-        return pa.Table.from_pandas(out_df, preserve_index=False)
+        return _restore_key_types(
+            pa.Table.from_pandas(out_df, preserve_index=False),
+            t.schema, keys)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -164,8 +180,10 @@ def grouped_aggregate(
                 parts[out] = g[out].max()
             if need_count:
                 parts[cnt_col] = g[cnt_col].sum()
-            return pa.Table.from_pandas(pd.DataFrame(parts).reset_index(),
-                                        preserve_index=False)
+            return _restore_key_types(
+                pa.Table.from_pandas(pd.DataFrame(parts).reset_index(),
+                                     preserve_index=False),
+                t.schema, keys)
 
         bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
                                         batch_size=None)

@@ -21,3 +21,9 @@ from raycdc.cdc.sink import (
     read_manifest,
     vacuum,
 )
+from raycdc.cdc.views import (
+    count_view,
+    maintain_count_view,
+    merge_view,
+    view_delta,
+)

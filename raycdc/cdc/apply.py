@@ -554,11 +554,14 @@ def lake_changes(
     to_epoch: Optional[int] = None,
     compare_cols: Optional[list[str]] = None,
     num_partitions: int = 16,
+    include_old: bool = False,
 ) -> ray.data.Dataset:
     """Change data feed between two committed lake states: one ``I``/``U``/
     ``D`` row per url whose live value differs (the ``cdc/diff.table_diff``
     contract — new values for I/U, nulls for D, ``IS DISTINCT FROM``
-    comparison over ``compare_cols``, default every non-key column).
+    comparison over ``compare_cols``, default every non-key column;
+    ``include_old`` adds ``old_<c>`` columns carrying the previous values
+    for U/D rows — what an incremental view maintainer consumes).
 
     Reads ONLY partitions whose manifest file sets differ between the two
     versions — unchanged partitions are pruned at the manifest, so the scan
@@ -588,7 +591,7 @@ def lake_changes(
         _live_view(lake_dir, m_old, changed, target),
         _live_view(lake_dir, m_new, changed, target),
         key_cols=["url"], compare_cols=compare_cols,
-        num_partitions=num_partitions)
+        num_partitions=num_partitions, include_old=include_old)
 
 
 def oracle_final_state(events: pa.Table) -> pa.Table:

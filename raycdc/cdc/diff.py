@@ -28,11 +28,17 @@ def table_diff(
     key_cols: list[str],
     compare_cols: list[str],
     num_partitions: int = 32,
+    include_old: bool = False,
+    old_prefix: str = "old_",
 ) -> ray.data.Dataset:
     """Changelog between two snapshots sharing ``key_cols + compare_cols``.
 
     Output columns: ``op`` ('I'/'U'/'D'), the key columns, then the
     compared columns carrying the NEW value for I/U and null for D.
+    With ``include_old`` each compared column also appears as
+    ``old_<c>`` carrying the OLD value for U/D and null for I — the shape
+    an incremental view maintainer needs (retract the old contribution,
+    add the new one).
     Deterministic; both inputs stream into one co-partition exchange.
     """
     from raycdc.joins import _pa_schema, hash_join, pin_schema
@@ -74,7 +80,9 @@ def table_diff(
     out_schema = pa.schema(
         [pa.field("op", pa.string())]
         + [pa.field(k, nschema.field(k).type) for k in key_cols]
-        + [pa.field(c, nschema.field(c).type) for c in compare_cols])
+        + [pa.field(c, nschema.field(c).type) for c in compare_cols]
+        + ([pa.field(f"{old_prefix}{c}", oschema.field(c).type)
+            for c in compare_cols] if include_old else []))
 
     def classify(t: pa.Table) -> pa.Table:
         in_old = pc.fill_null(pc.is_valid(t["__rcdc_o"]), False) \
@@ -97,6 +105,10 @@ def table_diff(
             cols[k] = kt[k]
         for c in compare_cols:
             cols[c] = kt[f"__rcdc_n_{c}"]  # new value; null for D rows
+        if include_old:
+            for c in compare_cols:
+                # old value; null for I rows
+                cols[f"{old_prefix}{c}"] = kt[f"__rcdc_o_{c}"]
         return pa.table(cols)
 
     # Pin the final stage too: identical snapshots classify every row

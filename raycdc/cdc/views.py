@@ -1,0 +1,190 @@
+"""Incremental materialized-view maintenance over the change data feed.
+
+The canonical CDC downstream: a grouped aggregate view (count per group,
+plus optional integer sums) kept up to date from `lake_changes` deltas
+instead of recomputing over the whole lake. Each feed row contributes
+retractions and additions (the classic delta-rule for distributive
+aggregates):
+
+- ``I``: +1 (and +value) under the NEW group
+- ``D``: -1 (and -value) under the OLD group
+- ``U``: -1 under the OLD group and +1 under the NEW group (cancels to a
+  pure value delta when the group did not change)
+
+Counts and sums are distributive, so the maintained view is EXACTLY the
+view recomputed from scratch at the target version (gated by
+tests/test_views.py). Everything is sized by the churn: the feed scans only
+partitions whose manifests changed, the delta is a grouped pre-aggregated
+exchange over feed rows, and the merge touches view rows only (groups, not
+the corpus). Aggregates stay integer end-to-end — no accumulation-order
+float drift — which is what makes the view oracle-checkable by value hash.
+
+Null semantics: a null group value is a group of its own (SQL ``GROUP BY``
+keeps it); null values in a sum column contribute 0 (SQL ``SUM`` ignores
+nulls).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_COUNT = "n"
+
+
+def _sum_specs(sums: Optional[dict[str, str]]) -> dict[str, str]:
+    sums = dict(sums or {})
+    if _COUNT in sums:
+        raise ValueError(f"sum output name {_COUNT!r} is reserved for the "
+                         "view's row count")
+    return sums
+
+
+def count_view(
+    live: ray.data.Dataset,
+    group_col: str,
+    *,
+    sums: Optional[dict[str, str]] = None,  # out_name -> source col (int)
+    count_name: str = _COUNT,
+) -> ray.data.Dataset:
+    """Full recompute of the view: count (and integer sums) per group over
+    the live rows — the bootstrap for :func:`maintain_count_view` and the
+    equality oracle for its tests."""
+    from raycdc.agg import grouped_aggregate
+
+    sums = _sum_specs(sums)
+    src = live.map_batches(
+        lambda t: pa.table(
+            {group_col: t[group_col],
+             **{out: pc.cast(t[col], pa.int64()) for out, col in sums.items()}}),
+        batch_format="pyarrow")
+    # exchange="partition": group values may be NULL, which Ray's
+    # sort-based groupby cannot order (None < str raises).
+    return grouped_aggregate(src, [group_col],
+                             sums={out: out for out in sums},
+                             count_name=count_name, exchange="partition",
+                             num_partitions=8)
+
+
+def view_delta(
+    changes: ray.data.Dataset,
+    group_col: str,
+    *,
+    sums: Optional[dict[str, str]] = None,
+    count_name: str = _COUNT,
+    old_prefix: str = "old_",
+) -> ray.data.Dataset:
+    """Per-group view delta from an ``include_old=True`` change feed.
+
+    Input columns: ``op`` ('I'/'U'/'D'), ``group_col`` (new value, null for
+    D), ``old_<group_col>`` (old value, null for I), and likewise for every
+    sum source column. Output: one row per touched group with the SIGNED
+    count/sum deltas (zero-delta groups are kept — the merge drops groups
+    only when their merged count reaches zero).
+    """
+    from raycdc.agg import grouped_aggregate
+
+    sums = _sum_specs(sums)
+
+    def contributions(t: pa.Table) -> pa.Table:
+        op = t["op"]
+        plus = pc.fill_null(pc.not_equal(op, "D"), False)   # I, U
+        minus = pc.fill_null(pc.not_equal(op, "I"), False)  # U, D
+        pt, mt = t.filter(plus), t.filter(minus)
+
+        def side(src: pa.Table, sign: int, prefix: str) -> pa.Table:
+            n = src.num_rows
+            cols = {group_col: src[f"{prefix}{group_col}"]}
+            for out, col in sums.items():
+                v = pc.fill_null(
+                    pc.cast(src[f"{prefix}{col}"], pa.int64()), 0)
+                cols[out] = pc.multiply(v, pa.scalar(sign, pa.int64()))
+            cols["__w"] = pa.array([sign] * n, pa.int64())
+            return pa.table(cols)
+
+        return pa.concat_tables([side(pt, 1, ""),
+                                 side(mt, -1, old_prefix)])
+
+    contrib = changes.map_batches(contributions, batch_format="pyarrow")
+    agg = grouped_aggregate(contrib, [group_col],
+                            sums={**{out: out for out in sums},
+                                  count_name: "__w"},
+                            exchange="partition", num_partitions=8)
+    # grouped_aggregate emits count_name via its sums path here (the signed
+    # weight IS the count delta); cast every delta to int64 for a stable
+    # schema even when a batch's pandas hop widened an empty column.
+    from raycdc.joins import _pa_schema
+
+    target = pa.schema([_pa_schema(changes).field(group_col)]
+                       + [pa.field(out, pa.int64()) for out in sums]
+                       + [pa.field(count_name, pa.int64())])
+    return agg.map_batches(
+        lambda t: t.select(target.names).cast(target),
+        batch_format="pyarrow")
+
+
+def merge_view(
+    prior: ray.data.Dataset,
+    delta: ray.data.Dataset,
+    group_col: str,
+    *,
+    value_cols: Optional[list[str]] = None,
+    count_name: str = _COUNT,
+) -> ray.data.Dataset:
+    """Fold a view delta into the prior view: groups are summed, and a
+    group whose merged count reaches zero disappears (exactly the recompute
+    semantics — a group exists iff it has live rows)."""
+    from raycdc.agg import grouped_aggregate
+    from raycdc.joins import _pa_schema
+
+    if value_cols is None:
+        value_cols = [c for c in _pa_schema(prior).names
+                      if c not in (group_col, count_name)]
+    names = [group_col] + list(value_cols) + [count_name]
+    both = prior.select_columns(names).union(delta.select_columns(names))
+    merged = grouped_aggregate(
+        both, [group_col],
+        sums={c: c for c in list(value_cols) + [count_name]},
+        exchange="partition", num_partitions=8)
+    return merged.map_batches(
+        lambda t: t.filter(pc.not_equal(t[count_name], 0)),
+        batch_format="pyarrow")
+
+
+def maintain_count_view(
+    lake_dir: str,
+    group_col: str,
+    *,
+    sums: Optional[dict[str, str]] = None,
+    count_name: str = _COUNT,
+    prior_view: Optional[ray.data.Dataset] = None,
+    from_version: Optional[int] = None,
+    from_epoch: Optional[int] = None,
+    to_version: Optional[int] = None,
+    to_epoch: Optional[int] = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Maintain the grouped count/sum view of the lake incrementally from
+    ``from_*`` to ``to_*`` (defaults: head). ``prior_view`` is the view at
+    the ``from_*`` state; when omitted it is bootstrapped there with one
+    full recompute (`count_view` over the as-of read) — every later hop can
+    pass the maintained view back in and pay only for the churn."""
+    from raycdc.cdc.apply import lake_changes, read_lake
+
+    sums = _sum_specs(sums)
+    if prior_view is None:
+        prior_view = count_view(
+            read_lake(lake_dir, as_of_version=from_version,
+                      as_of_epoch=from_epoch),
+            group_col, sums=sums, count_name=count_name)
+    compare = sorted({group_col, *sums.values()})
+    feed = lake_changes(lake_dir,
+                        from_version=from_version, from_epoch=from_epoch,
+                        to_version=to_version, to_epoch=to_epoch,
+                        compare_cols=compare, include_old=True,
+                        num_partitions=num_partitions)
+    delta = view_delta(feed, group_col, sums=sums, count_name=count_name)
+    return merge_view(prior_view, delta, group_col,
+                      value_cols=list(sums), count_name=count_name)
