@@ -1071,6 +1071,54 @@ def _q_incremental_view(sf_dir: str):
     return view.select_columns(["lang", "sum_seq", "n"])
 
 
+def _q_copartition_join(sf_dir: str):
+    """Zero-exchange co-partitioned lake join (cdc/cojoin.py): the lake's
+    mid-history snapshot (side a) inner-joined on url with its head (side
+    b), partition-pairwise — both sides share the engine's url-hash
+    routing, so partition i of a joins ONLY partition i of b and the
+    all-to-all exchange a generic hash join would pay disappears. Emits
+    urls live at both versions with both versions' (seq, lang)."""
+    from raycdc.cdc.cojoin import copartitioned_lake_join
+
+    lake = _tt_lake(sf_dir)
+    ds = copartitioned_lake_join(lake, as_of_epoch_a=_TT_EPOCH,
+                                 columns_a=["seq"],
+                                 columns_b=["seq", "lang"])
+    return ds.select_columns(["url", "seq_a", "seq_b", "lang_b"])
+
+
+def _copartition_join_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """The two LWW prefix states (epoch <= k, and the full WAL) inner
+    joined on url — exactly what the co-partitioned join must produce."""
+    sf_tag, n = _cdc_scale(sf_dir)
+    wal, spec = _cdc_spec(sf_tag, n)
+    try:
+        generate_changelog(wal, spec)
+    except OSError:
+        pass  # read-only FS etc.: the Ray query's own generation covers it
+    return f"""
+        WITH ev AS (
+            SELECT seq, op, epoch, page.url AS url,
+                   page.fetch.warc_ts AS warc_ts,
+                   page.content.lang AS lang
+            FROM read_parquet('{wal}/events-*.parquet')
+        ), a AS (
+            SELECT url, seq FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+                FROM ev WHERE epoch <= {_TT_EPOCH})
+            WHERE rn = 1 AND op <> 'D'
+        ), b AS (
+            SELECT url, seq, lang FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+                FROM ev)
+            WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT a.url AS url, a.seq AS seq_a, b.seq AS seq_b, b.lang AS lang_b
+        FROM a JOIN b ON a.url = b.url"""
+
+
 def _incremental_view_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """GROUP BY lang over the final live LWW state (cdc_replay's winner SQL
     with tombstones dropped) — what the incrementally maintained view must
@@ -1668,7 +1716,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantile_full": _q_approx_quantile_full,
         "rollup_lineitem": _q_rollup_lineitem,
         "pivot_lineitem": _q_pivot_lineitem,
-        "unpivot_lineitem": _q_unpivot_lineitem,
         "except_events": _q_except_events,
         "count_distinct_users": _q_count_distinct_users,
         "mode_event_type": _q_mode_event_type,
@@ -1692,9 +1739,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_changes": _q_cdc_changes,
         "incremental_view": _q_incremental_view,
+        "copartition_join": _q_copartition_join,
         # -- tail: oracle-backed siblings of in-window surfaces -----------
         "window_session": _q_window_session,
         "tokenize_docs": _q_tokenize_docs,
+        "unpivot_lineitem": _q_unpivot_lineitem,
         "curation_pipeline_v3": _q_curation_v3,
         "flatten_tree_shuffle": _q_flatten_tree_shuffle,
         "top_docs_per_source": _q_top_docs_per_source,
@@ -1859,6 +1908,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_time_travel": _cdc_time_travel_oracle_sql(),
         "cdc_changes": _cdc_changes_oracle_sql(),
         "incremental_view": _incremental_view_oracle_sql(),
+        "copartition_join": _copartition_join_oracle_sql(),
         "host_stats": _host_stats_oracle_sql(),
         "rare_token_filter": r"""
             WITH tok AS (

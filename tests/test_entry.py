@@ -74,6 +74,7 @@ def test_query_matches_oracle(name, sf_dir):
                     "cdc_time_travel": entrymod._cdc_time_travel_oracle_sql,
                     "cdc_changes": entrymod._cdc_changes_oracle_sql,
                     "incremental_view": entrymod._incremental_view_oracle_sql,
+                    "copartition_join": entrymod._copartition_join_oracle_sql,
                     "host_stats": entrymod._host_stats_oracle_sql}
     sql = (sf_dependent[name](sf_dir) if name in sf_dependent
            else ORACLE[name])
