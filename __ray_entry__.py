@@ -1071,6 +1071,72 @@ def _q_incremental_view(sf_dir: str):
     return view.select_columns(["lang", "sum_seq", "n"])
 
 
+# Schema evolution fixture: page.content gains `title` from this epoch on
+# (earlier segments genuinely lack the column in their file schema). Late
+# enough that many urls' LWW winners predate it — the result must carry
+# BOTH generations (nulls where the winner is pre-evolution).
+_EVO_FROM = 6
+
+
+def _evo_wal(sf_dir: str) -> tuple[str, str]:
+    sf_tag, n = _cdc_scale(sf_dir)
+    # num_urls = n/2 (flatter than the replay fixture's n/12): the Zipf
+    # tail then leaves dozens of live urls whose LWW winner PREDATES the
+    # evolution epoch — the result must carry both generations (measured:
+    # 52/672 pre-evo winners at 20k events, 73/1560 at 50k).
+    spec = ChangelogSpec(num_events=n, num_urls=max(400, n // 2),
+                         num_epochs=8, seed=42,
+                         evolve_from_epoch=_EVO_FROM)
+    wal = f"/tmp/raycdc/wal-evo{_EVO_FROM}-{sf_tag}-{n}"
+    try:
+        generate_changelog(wal, spec)
+    except OSError:
+        pass  # read-only FS etc.: whichever of query/oracle runs first wins
+    return wal, f"/tmp/raycdc/lake-evo{_EVO_FROM}-{sf_tag}-{n}"
+
+
+def _q_cdc_schema_evolution(sf_dir: str):
+    """Replay across a column-add schema evolution: segments before
+    _EVO_FROM lack page.content.title in their FILE schema; the apply path
+    unifies footer schemas and aligns every batch before the shuffle, so
+    the lake head carries title with nulls exactly where the url's LWW
+    winner predates the evolution. The oracle reads the two segment
+    generations separately (DuckDB's union_by_name does not unify nested
+    struct fields) and replays the same LWW rule."""
+    wal, lake = _evo_wal(sf_dir)
+    apply_changelog(wal, lake, num_partitions=16)
+    ds = read_lake(lake)
+    return ds.select_columns(["url", "warc_ts", "seq", "text", "lang",
+                              "title"])
+
+
+def _cdc_schema_evolution_oracle_sql(
+        sf_dir: str = "/root/testdata/sf0.01") -> str:
+    wal, _ = _evo_wal(sf_dir)
+    pre = ", ".join(f"'{wal}/events-{e:05d}.parquet'"
+                    for e in range(_EVO_FROM))
+    post = ", ".join(f"'{wal}/events-{e:05d}.parquet'"
+                     for e in range(_EVO_FROM, 8))
+    return f"""
+        WITH ev AS (
+            SELECT seq, op, page.url AS url,
+                   page.fetch.warc_ts AS warc_ts,
+                   page.content.text AS text, page.content.lang AS lang,
+                   NULL::VARCHAR AS title
+            FROM read_parquet([{pre}])
+            UNION ALL
+            SELECT seq, op, page.url, page.fetch.warc_ts,
+                   page.content.text, page.content.lang, page.content.title
+            FROM read_parquet([{post}])
+        ), win AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM ev
+        )
+        SELECT url, warc_ts, seq, text, lang, title
+        FROM win WHERE rn = 1 AND op <> 'D'"""
+
+
 def _q_copartition_join(sf_dir: str):
     """Zero-exchange co-partitioned lake join (cdc/cojoin.py): the lake's
     mid-history snapshot (side a) inner-joined on url with its head (side
@@ -1713,7 +1779,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": _q_window_tumbling,
         "window_funcs": _q_window_funcs,
         "grouped_quantiles_sketch_full": _q_grouped_quantiles_sketch_full,
-        "approx_quantile_full": _q_approx_quantile_full,
         "rollup_lineitem": _q_rollup_lineitem,
         "pivot_lineitem": _q_pivot_lineitem,
         "except_events": _q_except_events,
@@ -1740,10 +1805,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_changes": _q_cdc_changes,
         "incremental_view": _q_incremental_view,
         "copartition_join": _q_copartition_join,
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
         # -- tail: oracle-backed siblings of in-window surfaces -----------
         "window_session": _q_window_session,
         "tokenize_docs": _q_tokenize_docs,
         "unpivot_lineitem": _q_unpivot_lineitem,
+        "approx_quantile_full": _q_approx_quantile_full,
         "curation_pipeline_v3": _q_curation_v3,
         "flatten_tree_shuffle": _q_flatten_tree_shuffle,
         "top_docs_per_source": _q_top_docs_per_source,
@@ -1909,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changes": _cdc_changes_oracle_sql(),
         "incremental_view": _incremental_view_oracle_sql(),
         "copartition_join": _copartition_join_oracle_sql(),
+        "cdc_schema_evolution": _cdc_schema_evolution_oracle_sql(),
         "host_stats": _host_stats_oracle_sql(),
         "rare_token_filter": r"""
             WITH tok AS (

@@ -210,6 +210,7 @@ def run_bench() -> dict:
         "host_stats", "rare_token_filter", "crawl_diff",
         "top_docs_per_source", "quantile_buckets", "weighted_sample_docs",
         "cdc_time_travel", "cdc_changes",
+        "incremental_view", "copartition_join", "cdc_schema_evolution",
     ]
     # Two passes, per-query MIN: this box has episodic multi-minute
     # slowdown windows (measured 2026-08-17: the same query set ran

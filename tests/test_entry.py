@@ -75,6 +75,8 @@ def test_query_matches_oracle(name, sf_dir):
                     "cdc_changes": entrymod._cdc_changes_oracle_sql,
                     "incremental_view": entrymod._incremental_view_oracle_sql,
                     "copartition_join": entrymod._copartition_join_oracle_sql,
+                    "cdc_schema_evolution":
+                        entrymod._cdc_schema_evolution_oracle_sql,
                     "host_stats": entrymod._host_stats_oracle_sql}
     sql = (sf_dependent[name](sf_dir) if name in sf_dependent
            else ORACLE[name])
