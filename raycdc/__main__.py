@@ -19,6 +19,8 @@ Subcommands:
   epoch/version — time travel over retained snapshot manifests)
 - ``changes``  write the I/U/D change feed between two committed versions
   (or epochs) to parquet — the incremental-consumer surface
+- ``repartition`` re-route the lake to a new url-hash partition count
+  (state-preserving; subsequent applies use the new count)
 - ``expire``   drop time-travel history (keep the newest N snapshots)
 - ``vacuum``   delete data files no retained manifest references
 """
@@ -79,6 +81,11 @@ def main(argv=None) -> int:
     ch.add_argument("--to-version", type=int, default=None)
     ch.add_argument("--to-epoch", type=int, default=None)
 
+    rp = sub.add_parser("repartition",
+                        help="re-route the lake to a new partition count")
+    rp.add_argument("--lake", required=True)
+    rp.add_argument("--partitions", type=int, required=True)
+
     xp = sub.add_parser("expire", help="drop time-travel history")
     xp.add_argument("--lake", required=True)
     xp.add_argument("--keep-last", type=int, default=2)
@@ -138,6 +145,10 @@ def main(argv=None) -> int:
             rows = sum(pq.read_metadata(f).num_rows
                        for f in glob.glob(f"{args.out}/*.parquet"))
             m = {"rows": rows, "out": args.out}
+        elif args.cmd == "repartition":
+            from raycdc.cdc import repartition_lake
+
+            m = repartition_lake(args.lake, args.partitions)
         elif args.cmd == "expire":
             from raycdc.cdc import expire_snapshots
 

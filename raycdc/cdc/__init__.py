@@ -13,6 +13,7 @@ from raycdc.cdc.apply import (
     lake_changes,
     oracle_final_state,
     read_lake,
+    repartition_lake,
 )
 from raycdc.cdc.sink import (
     LakeManifest,

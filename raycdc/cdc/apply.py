@@ -421,6 +421,63 @@ def compact_lake(lake_dir: str) -> dict:
     return {"partitions_compacted": len(results), "files_removed": removed}
 
 
+def repartition_lake(lake_dir: str, num_partitions: int) -> dict:
+    """Re-route the lake to a new url-hash partition count (scale the lake
+    out/in as it grows/shrinks) — one read task per old partition, the same
+    split + merge exchange as the apply path, one atomic manifest commit.
+
+    State is preserved exactly: every row (INCLUDING tombstones — replay
+    idempotence needs them) lands in its new partition, each new partition
+    file is LWW-reduced and url-sorted like any apply output, and
+    ``epochs_applied``/``watermark_seq`` carry over so subsequent
+    ``apply_changelog`` calls (with the NEW count) resume exactly where the
+    old layout stopped. Earlier snapshots keep the old layout — time travel
+    still works; ``lake_changes`` across the boundary raises (by design:
+    partition pruning compares like-for-like layouts only). A crash before
+    the commit leaves the head untouched; re-running converges (writes are
+    atomic and deterministic).
+    """
+    head = read_manifest(lake_dir)
+    if head is None:
+        raise FileNotFoundError(f"no committed manifest in {lake_dir}")
+    if head.num_partitions == num_partitions:
+        return {"noop": True, "version": head.version,
+                "num_partitions": num_partitions, "partitions": 0}
+    t0 = time.perf_counter()
+    version = head.version + 1
+    per_part = {pid: head.partition_files(pid)
+                for pid in sorted(head.partitions, key=int)}
+    all_files = [os.path.join(lake_dir, f)
+                 for files in per_part.values() for f in files]
+    target = unify([pq.read_schema(f) for f in all_files])
+    refs = [_read_partition.remote(lake_dir, files, target)
+            for files in per_part.values() if files]
+    ds = ray.data.from_arrow_refs(refs)
+    merge = MergePartition(lake_dir, version, {}, head.epochs_applied)
+    rows, _ = _partitioned_merge(ds, merge, num_partitions)
+    partitions = {}
+    for r in rows:
+        partitions[str(r["pid"])] = {
+            "files": [r["file"]],
+            "rows": int(r["rows"]),
+            "live_rows": int(r["live_rows"]),
+            "bytes": int(r["bytes"]),
+            "lineage": {"epochs": head.epochs_applied, "version": version,
+                        "delta_rows": int(r["delta_rows"]),
+                        "repartitioned_from": head.num_partitions},
+        }
+    commit_manifest(lake_dir, LakeManifest(
+        version=version,
+        num_partitions=num_partitions,
+        epochs_applied=head.epochs_applied,
+        watermark_seq=head.watermark_seq,
+        partitions=partitions,
+    ))
+    return {"noop": False, "version": version,
+            "num_partitions": num_partitions, "partitions": len(rows),
+            "seconds": round(time.perf_counter() - t0, 3)}
+
+
 @ray.remote
 def _read_partition(lake_dir: str, files: list[str],
                     target: pa.Schema) -> pa.Table:
