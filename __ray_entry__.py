@@ -1071,6 +1071,80 @@ def _q_incremental_view(sf_dir: str):
     return view.select_columns(["lang", "sum_seq", "n"])
 
 
+# MERGE INTO fixture: the correction batch always wins (its warc_ts is far
+# past any WAL event) and is a pure function of the url set, so re-merging
+# on repeated driver calls converges to the same state (LWW idempotence).
+_MERGE_TS = np.datetime64("2031-01-01", "us")
+_MERGE_SEQ = 2_000_000_000
+
+
+def _q_merge_upsert(sf_dir: str):
+    """General MERGE INTO (cdc/apply.merge_into): replay the WAL into a
+    dedicated lake, then upsert a correction snapshot — every English
+    page's text is editorially replaced — through the same LWW
+    partitioned-merge path the WAL uses. The oracle is the WAL's LWW state
+    with the correction applied in SQL (the correction's (warc_ts, seq)
+    beats every WAL event, so it always wins)."""
+    from raycdc.cdc import merge_into
+
+    sf_tag, n = _cdc_scale(sf_dir)
+    wal, spec = _cdc_spec(sf_tag, n)
+    generate_changelog(wal, spec)
+    lake = f"/tmp/raycdc/lake-merge-{sf_tag}-{n}"
+    apply_changelog(wal, lake, num_partitions=16)
+
+    def correction(t: pa.Table) -> pa.Table:
+        en = t.filter(pc.fill_null(pc.equal(t["lang"], "en"), False))
+        k = en.num_rows
+        pre = pa.array(np.full(k, "corrected["), pa.string())
+        post = pa.array(np.full(k, "]"), pa.string())
+        return pa.table({
+            "url": en["url"],
+            "warc_ts": pa.array(np.full(k, _MERGE_TS), pa.timestamp("us")),
+            "seq": pa.array(np.full(k, _MERGE_SEQ, dtype=np.int64)),
+            "text": pc.binary_join_element_wise(pre, en["url"], post, ""),
+            "lang": en["lang"],
+        })
+
+    src = read_lake(lake).map_batches(correction, batch_format="pyarrow")
+    merge_into(lake, src)
+    ds = read_lake(lake)
+    return ds.select_columns(["url", "warc_ts", "seq", "text", "lang"])
+
+
+def _merge_upsert_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """The WAL's LWW live state with the correction folded in via CASE —
+    the correction always wins, so merged == corrected(live)."""
+    sf_tag, n = _cdc_scale(sf_dir)
+    wal, spec = _cdc_spec(sf_tag, n)
+    try:
+        generate_changelog(wal, spec)
+    except OSError:
+        pass  # read-only FS etc.: the Ray query's own generation covers it
+    return f"""
+        WITH ev AS (
+            SELECT seq, op, page.url AS url,
+                   page.fetch.warc_ts AS warc_ts,
+                   page.content.text AS text, page.content.lang AS lang
+            FROM read_parquet('{wal}/events-*.parquet')
+        ), win AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM ev
+        ), live AS (
+            SELECT url, warc_ts, seq, text, lang
+            FROM win WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT url,
+               CASE WHEN lang = 'en' THEN TIMESTAMP '2031-01-01'
+                    ELSE warc_ts END AS warc_ts,
+               CASE WHEN lang = 'en' THEN {_MERGE_SEQ} ELSE seq END AS seq,
+               CASE WHEN lang = 'en' THEN 'corrected[' || url || ']'
+                    ELSE text END AS text,
+               lang
+        FROM live"""
+
+
 # Schema evolution fixture: page.content gains `title` from this epoch on
 # (earlier segments genuinely lack the column in their file schema). Late
 # enough that many urls' LWW winners predate it — the result must carry
@@ -1790,7 +1864,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "top_bigrams": _q_top_bigrams,
         "decontaminate_docs": _q_decontaminate,
-        "quality_filter_median": _q_quality_filter_median,
         "global_sort_events": _q_global_sort_events,
         "ordered_lake": _q_ordered_lake,
         "near_dedup_docs": _q_near_dedup,
@@ -1806,7 +1879,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_view": _q_incremental_view,
         "copartition_join": _q_copartition_join,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "merge_upsert": _q_merge_upsert,
         # -- tail: oracle-backed siblings of in-window surfaces -----------
+        "quality_filter_median": _q_quality_filter_median,
         "window_session": _q_window_session,
         "tokenize_docs": _q_tokenize_docs,
         "unpivot_lineitem": _q_unpivot_lineitem,
@@ -1977,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_view": _incremental_view_oracle_sql(),
         "copartition_join": _copartition_join_oracle_sql(),
         "cdc_schema_evolution": _cdc_schema_evolution_oracle_sql(),
+        "merge_upsert": _merge_upsert_oracle_sql(),
         "host_stats": _host_stats_oracle_sql(),
         "rare_token_filter": r"""
             WITH tok AS (

@@ -211,6 +211,7 @@ def run_bench() -> dict:
         "top_docs_per_source", "quantile_buckets", "weighted_sample_docs",
         "cdc_time_travel", "cdc_changes",
         "incremental_view", "copartition_join", "cdc_schema_evolution",
+        "merge_upsert",
     ]
     # Two passes, per-query MIN: this box has episodic multi-minute
     # slowdown windows (measured 2026-08-17: the same query set ran

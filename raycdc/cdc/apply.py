@@ -421,6 +421,98 @@ def compact_lake(lake_dir: str) -> dict:
     return {"partitions_compacted": len(results), "files_removed": removed}
 
 
+def merge_into(
+    lake_dir: str,
+    source: ray.data.Dataset,
+    *,
+    num_partitions: Optional[int] = None,
+    delete_col: Optional[str] = None,
+) -> dict:
+    """MERGE INTO the lake from an arbitrary flat Dataset (a fresh crawl
+    snapshot, a correction batch, a backfill) — the general upsert surface
+    for sources that are not WAL segments.
+
+    ``source`` rows must carry the LWW key/order columns (``url``,
+    ``warc_ts``, ``seq``); everything else is payload, unified into the
+    lake schema at merge time (new columns evolve the schema, missing ones
+    fill with nulls — the same rule as replay). A row wins against the
+    lake's current row for its url iff its (warc_ts, seq) is greater: a
+    stale source row loses silently, exactly like a late WAL event.
+    ``delete_col`` names an optional boolean column marking deletion rows
+    (tombstones) instead of upserts.
+
+    Idempotent BY VALUE (not by epoch): re-merging the same source
+    converges to the same state because the LWW reduction is idempotent —
+    but unlike `apply_changelog` there is no epoch ledger to skip a repeat,
+    so each call rewrites its touched partitions and bumps the version.
+    ``epochs_applied``/``watermark_seq`` are NOT advanced: they track WAL
+    offsets only, and a merge is not a WAL read.
+    """
+    t0 = time.perf_counter()
+    manifest = read_manifest(lake_dir)
+    if manifest is not None:
+        if num_partitions is not None \
+                and num_partitions != manifest.num_partitions:
+            raise ValueError(
+                f"lake has {manifest.num_partitions} partitions, got "
+                f"{num_partitions} (repartition_lake first)")
+        num_partitions = manifest.num_partitions
+    elif num_partitions is None:
+        num_partitions = 16
+    version = (manifest.version + 1) if manifest else 1
+
+    from raycdc.joins import _pa_schema
+
+    sschema = _pa_schema(source)
+    for col in ("url", "warc_ts", "seq"):
+        if col not in sschema.names:
+            raise ValueError(f"merge_into source must carry {col!r}")
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        if delete_col is not None:
+            deleted = pc.fill_null(pc.cast(t[delete_col], pa.bool_()), False)
+            t = t.drop_columns([delete_col])
+        else:
+            deleted = pa.array(np.zeros(t.num_rows, dtype=bool))
+        return t.append_column(DELETED_COL, deleted)
+
+    combined = source.map_batches(to_rows, batch_format="pyarrow") \
+        .map_batches(LocalLwwCombiner(), batch_format="pyarrow")
+
+    base_files = {}
+    epochs = []
+    if manifest:
+        base_files = {int(pid): manifest.partition_files(pid)
+                      for pid in manifest.partitions}
+        epochs = manifest.epochs_applied
+    merge = MergePartition(lake_dir, version, base_files, epochs)
+    rows, _ = _partitioned_merge(combined, merge, num_partitions)
+
+    partitions = dict(manifest.partitions) if manifest else {}
+    source_rows = 0
+    for r in rows:
+        source_rows += int(r["delta_rows"])
+        partitions[str(r["pid"])] = {
+            "files": [r["file"]],
+            "rows": int(r["rows"]),
+            "live_rows": int(r["live_rows"]),
+            "bytes": int(r["bytes"]),
+            "lineage": {"epochs": epochs, "version": version,
+                        "delta_rows": int(r["delta_rows"]),
+                        "merge": True},
+        }
+    commit_manifest(lake_dir, LakeManifest(
+        version=version,
+        num_partitions=num_partitions,
+        epochs_applied=epochs,
+        watermark_seq=manifest.watermark_seq if manifest else -1,
+        partitions=partitions,
+    ))
+    dt = time.perf_counter() - t0
+    return {"delta_rows": source_rows, "partitions": len(rows),
+            "version": version, "seconds": round(dt, 3)}
+
+
 def repartition_lake(lake_dir: str, num_partitions: int) -> dict:
     """Re-route the lake to a new url-hash partition count (scale the lake
     out/in as it grows/shrinks) — one read task per old partition, the same
