@@ -1071,6 +1071,55 @@ def _q_incremental_view(sf_dir: str):
     return view.select_columns(["lang", "sum_seq", "n"])
 
 
+def _q_lake_lookup(sf_dir: str):
+    """Point lookup — the serving path: the current row for a fixed url
+    set, read by hashing each url straight to its partition (≤ |urls|
+    partitions opened; url-sorted files let parquet row-group stats prune
+    inside each). Requested urls that are absent or tombstoned do not
+    appear, which the oracle's WHERE url IN (...) reproduces exactly. The
+    fixture asks for every 7th generator url, so the set mixes live,
+    deleted, and never-crawled keys."""
+    from raycdc.cdc import lookup_urls
+
+    sf_tag, n = _cdc_scale(sf_dir)
+    lake, _ = run_cdc_replay(n, sf_tag)
+    urls = _lookup_url_set(n)
+    t = lookup_urls(lake, urls,
+                    columns=["url", "warc_ts", "seq", "text", "lang"])
+    return t
+
+
+def _lookup_url_set(n: int) -> list[str]:
+    """Every 7th url of the generator's universe (pure function of the
+    spec — the oracle rebuilds the same list in SQL-free python)."""
+    num_urls = max(200, n // 12)
+    idxs = range(0, num_urls, 7)
+    return [f"https://site-{i % 997}.example.com/page/{i}" for i in idxs]
+
+
+def _lake_lookup_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    sf_tag, n = _cdc_scale(sf_dir)
+    wal, spec = _cdc_spec(sf_tag, n)
+    try:
+        generate_changelog(wal, spec)
+    except OSError:
+        pass  # read-only FS etc.: the Ray query's own generation covers it
+    in_list = ", ".join(f"'{u}'" for u in _lookup_url_set(n))
+    return f"""
+        WITH ev AS (
+            SELECT seq, op, page.url AS url,
+                   page.fetch.warc_ts AS warc_ts,
+                   page.content.text AS text, page.content.lang AS lang
+            FROM read_parquet('{wal}/events-*.parquet')
+        ), win AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM ev
+        )
+        SELECT url, warc_ts, seq, text, lang
+        FROM win WHERE rn = 1 AND op <> 'D' AND url IN ({in_list})"""
+
+
 # MERGE INTO fixture: the correction batch always wins (its warc_ts is far
 # past any WAL event) and is a pure function of the url set, so re-merging
 # on repeated driver calls converges to the same state (LWW idempotence).
@@ -1839,7 +1888,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_customer_region": _q_join_customer_region,
         "join_orders_lineitem": _q_join_orders_lineitem,
         "join_semi": _q_join_semi,
-        "join_anti": _q_join_anti,
         "join_asof": _q_join_asof,
         "join_interval": _q_join_interval,
         "join_full_outer": _q_join_full_outer,
@@ -1880,7 +1928,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copartition_join": _q_copartition_join,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "merge_upsert": _q_merge_upsert,
+        "lake_lookup": _q_lake_lookup,
         # -- tail: oracle-backed siblings of in-window surfaces -----------
+        "join_anti": _q_join_anti,
         "quality_filter_median": _q_quality_filter_median,
         "window_session": _q_window_session,
         "tokenize_docs": _q_tokenize_docs,
@@ -2053,6 +2103,7 @@ def oracle_sql() -> dict[str, str]:
         "copartition_join": _copartition_join_oracle_sql(),
         "cdc_schema_evolution": _cdc_schema_evolution_oracle_sql(),
         "merge_upsert": _merge_upsert_oracle_sql(),
+        "lake_lookup": _lake_lookup_oracle_sql(),
         "host_stats": _host_stats_oracle_sql(),
         "rare_token_filter": r"""
             WITH tok AS (

@@ -47,6 +47,8 @@ def consume(ds) -> int:
     # on one driver thread) costs ~1.5s per million rows and was inflating
     # every per-query number (measured: 14.7s -> 0.05s consuming a 10M-row
     # materialized dataset).
+    if not hasattr(ds, "iter_batches"):
+        return ds.num_rows  # point-lookup queries return a plain Arrow table
     n = 0
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
         n += b.num_rows
@@ -211,7 +213,7 @@ def run_bench() -> dict:
         "top_docs_per_source", "quantile_buckets", "weighted_sample_docs",
         "cdc_time_travel", "cdc_changes",
         "incremental_view", "copartition_join", "cdc_schema_evolution",
-        "merge_upsert",
+        "merge_upsert", "lake_lookup",
     ]
     # Two passes, per-query MIN: this box has episodic multi-minute
     # slowdown windows (measured 2026-08-17: the same query set ran

@@ -11,6 +11,7 @@ from raycdc.cdc.apply import (
     apply_changelog,
     compact_lake,
     lake_changes,
+    lookup_urls,
     merge_into,
     oracle_final_state,
     read_lake,

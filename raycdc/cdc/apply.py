@@ -265,6 +265,12 @@ def _split_block(num_partitions: int, *blocks: pa.Table) -> tuple:
     return object per partition — a manual hash-shuffle map side). Accepting
     several blocks per task amortizes task scheduling when the map phase
     emits many small blocks."""
+    # Ray Data can degrade a typed EMPTY output block to a zero-column block
+    # (same failure family as the repo's union-branch invariant); they carry
+    # no rows, so dropping them is exact.
+    blocks = tuple(b for b in blocks if "url" in b.column_names)
+    if not blocks:
+        return (None,) * num_partitions if num_partitions > 1 else None
     block = blocks[0] if len(blocks) == 1 else pa.concat_tables(
         blocks, promote_options="default")
     pids = _url_pid(block["url"], num_partitions)
@@ -580,6 +586,73 @@ def _read_partition(lake_dir: str, files: list[str],
     from raycdc.cdc.evolve import align_to_schema
 
     return align_to_schema(merged, target)
+
+
+@ray.remote
+def _lookup_partition(lake_dir: str, files: list[str], target: pa.Schema,
+                      urls: list[str], include_deleted: bool) -> pa.Table:
+    """Point-read one partition: parquet row-group pruning does the heavy
+    lifting (partition files are url-SORTED, so a handful of urls touches a
+    handful of row groups), then LWW across the partition's run set.
+    Filtering to the requested urls BEFORE the reduce is sound — the
+    reduction is per-url."""
+    expr = pc.field("url").isin(urls)
+    tables = [pq.read_table(os.path.join(lake_dir, f), filters=expr)
+              for f in files]
+    merged = lww_reduce(concat_evolved(tables)) if len(tables) > 1 \
+        else tables[0]
+    merged = align_to_schema(merged, target)
+    if not include_deleted:
+        merged = merged.filter(
+            pc.invert(pc.fill_null(merged[DELETED_COL], False))
+        ).drop_columns([DELETED_COL])
+    return merged
+
+
+def lookup_urls(lake_dir: str, urls: list[str], *,
+                columns: Optional[list[str]] = None,
+                include_deleted: bool = False,
+                as_of_version: Optional[int] = None,
+                as_of_epoch: Optional[int] = None) -> pa.Table:
+    """Point lookup: the current (or as-of) row for each given url.
+
+    The serving-path read: urls hash straight to their partitions, so the
+    lookup opens ONLY the partitions the keys live in (≤ len(urls) of
+    them), and inside each file the url-sorted layout lets parquet
+    row-group statistics prune the scan. Absent and (by default)
+    tombstoned urls simply do not appear — point-lookup semantics. Returns
+    an url-sorted Arrow table (lookups are small by contract; the result
+    never needs a Dataset)."""
+    manifest = _resolve_manifest(lake_dir, as_of_version, as_of_epoch)
+    uarr = pa.array(list(urls), pa.string())
+    pids = _url_pid(pa.chunked_array([uarr]), manifest.num_partitions)
+    by_pid: dict[int, list[str]] = {}
+    for u, pid in zip(urls, pids):
+        by_pid.setdefault(int(pid), []).append(u)
+    touched = {pid: manifest.partition_files(pid) for pid in sorted(by_pid)}
+    all_files = [os.path.join(lake_dir, f)
+                 for fs in touched.values() for f in fs]
+    if not all_files:
+        # every requested url hashes to a partition with no files: type the
+        # empty result from any committed file (point-lookup miss, not error)
+        any_files = sorted({f for pid in manifest.partitions
+                            for f in manifest.partition_files(pid)})
+        if not any_files:
+            raise FileNotFoundError(f"no committed files in {lake_dir}")
+        all_files = [os.path.join(lake_dir, any_files[0])]
+        touched = {}
+    target = unify([pq.read_schema(f) for f in all_files])
+    if not touched:
+        empty = pa.schema([f for f in target if include_deleted
+                           or f.name != DELETED_COL]).empty_table()
+        return empty.select(columns) if columns is not None else empty
+    refs = [_lookup_partition.remote(lake_dir, fs, target, by_pid[pid],
+                                     include_deleted)
+            for pid, fs in touched.items() if fs]
+    out = pa.concat_tables(ray.get(refs), promote_options="default")
+    if columns is not None:
+        out = out.select(columns)
+    return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
 
 
 def _resolve_manifest(lake_dir: str, as_of_version, as_of_epoch):

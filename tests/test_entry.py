@@ -78,6 +78,7 @@ def test_query_matches_oracle(name, sf_dir):
                     "cdc_schema_evolution":
                         entrymod._cdc_schema_evolution_oracle_sql,
                     "merge_upsert": entrymod._merge_upsert_oracle_sql,
+                    "lake_lookup": entrymod._lake_lookup_oracle_sql,
                     "host_stats": entrymod._host_stats_oracle_sql}
     sql = (sf_dependent[name](sf_dir) if name in sf_dependent
            else ORACLE[name])
