@@ -23,6 +23,8 @@ Subcommands:
   (state-preserving; subsequent applies use the new count)
 - ``expire``   drop time-travel history (keep the newest N snapshots)
 - ``vacuum``   delete data files no retained manifest references
+- ``fsck``     validate manifest/file/snapshot consistency (``--deep``
+  additionally checks url routing, per-partition uniqueness, sortedness)
 """
 
 from __future__ import annotations
@@ -93,6 +95,10 @@ def main(argv=None) -> int:
     vc = sub.add_parser("vacuum", help="GC unreferenced data files")
     vc.add_argument("--lake", required=True)
 
+    fk = sub.add_parser("fsck", help="validate lake consistency")
+    fk.add_argument("--lake", required=True)
+    fk.add_argument("--deep", action="store_true")
+
     args = p.parse_args(argv)
     _ray_init()
     import ray
@@ -158,6 +164,12 @@ def main(argv=None) -> int:
             from raycdc.cdc import vacuum
 
             m = {"deleted": vacuum(args.lake)}
+        elif args.cmd == "fsck":
+            from raycdc.cdc.fsck import check_lake
+
+            m = check_lake(args.lake, deep=args.deep)
+            print(json.dumps(m, default=str))
+            return 0 if m["ok"] else 1
         else:
             from raycdc.cdc.metrics import lake_stats
 
