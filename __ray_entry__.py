@@ -912,8 +912,8 @@ def _cdc_scale(sf_dir: str) -> tuple[str, int]:
 def _q_cdc_replay(sf_dir: str):
     sf_tag, n = _cdc_scale(sf_dir)
     lake, _ = run_cdc_replay(n, sf_tag)
-    ds = read_lake(lake)
-    return ds.select_columns(["url", "warc_ts", "seq", "text", "lang"])
+    # columns= prunes at the parquet scan: the html payload never decodes
+    return read_lake(lake, columns=["url", "warc_ts", "seq", "text", "lang"])
 
 
 def _cdc_replay_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
@@ -969,8 +969,8 @@ def _q_cdc_time_travel(sf_dir: str):
     """Lake time travel: read the per-epoch-committed lake as of
     mid-history. The as-of read must equal a replay of the WAL prefix —
     the oracle is the cdc_replay LWW SQL restricted to epoch <= k."""
-    ds = read_lake(_tt_lake(sf_dir), as_of_epoch=_TT_EPOCH)
-    return ds.select_columns(["url", "warc_ts", "seq", "text", "lang"])
+    return read_lake(_tt_lake(sf_dir), as_of_epoch=_TT_EPOCH,
+                     columns=["url", "warc_ts", "seq", "text", "lang"])
 
 
 def _q_cdc_changes(sf_dir: str):
@@ -1155,10 +1155,10 @@ def _q_merge_upsert(sf_dir: str):
             "lang": en["lang"],
         })
 
-    src = read_lake(lake).map_batches(correction, batch_format="pyarrow")
+    src = read_lake(lake, columns=["url", "lang"]) \
+        .map_batches(correction, batch_format="pyarrow")
     merge_into(lake, src)
-    ds = read_lake(lake)
-    return ds.select_columns(["url", "warc_ts", "seq", "text", "lang"])
+    return read_lake(lake, columns=["url", "warc_ts", "seq", "text", "lang"])
 
 
 def _merge_upsert_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
@@ -1228,9 +1228,8 @@ def _q_cdc_schema_evolution(sf_dir: str):
     struct fields) and replays the same LWW rule."""
     wal, lake = _evo_wal(sf_dir)
     apply_changelog(wal, lake, num_partitions=16)
-    ds = read_lake(lake)
-    return ds.select_columns(["url", "warc_ts", "seq", "text", "lang",
-                              "title"])
+    return read_lake(lake, columns=["url", "warc_ts", "seq", "text", "lang",
+                                    "title"])
 
 
 def _cdc_schema_evolution_oracle_sql(

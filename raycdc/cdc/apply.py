@@ -580,8 +580,14 @@ def repartition_lake(lake_dir: str, num_partitions: int) -> dict:
 def _read_partition(lake_dir: str, files: list[str],
                     target: pa.Schema) -> pa.Table:
     """Read one partition's LSM run set and LWW-merge it (delta files from
-    the streaming engine may supersede base rows)."""
-    tables = [pq.read_table(os.path.join(lake_dir, f)) for f in files]
+    the streaming engine may supersede base rows). Only ``target``'s
+    columns are decoded — a pruned read never touches the other columns'
+    pages."""
+    tables = []
+    for f in files:
+        path = os.path.join(lake_dir, f)
+        names = [n for n in pq.read_schema(path).names if n in target.names]
+        tables.append(pq.read_table(path, columns=names))
     merged = lww_reduce(concat_evolved(tables)) if len(tables) > 1 else tables[0]
     from raycdc.cdc.evolve import align_to_schema
 
@@ -696,11 +702,17 @@ def _resolve_manifest(lake_dir: str, as_of_version, as_of_epoch):
 
 
 def read_lake(lake_dir: str, include_deleted: bool = False, *,
+              columns: Optional[list[str]] = None,
               as_of_version: Optional[int] = None,
               as_of_epoch: Optional[int] = None) -> ray.data.Dataset:
     """Read the committed lake state (manifest-resolved files only), LWW-
     merging per-partition delta runs and unifying evolved schemas (missing
     columns → nulls).
+
+    ``columns`` prunes AT THE SCAN (parquet column projection — a
+    two-column read never decodes the html payload); the LWW order columns
+    are still read internally when a partition has a multi-file run set to
+    merge, but only the requested columns leave the read.
 
     Time travel: ``as_of_epoch=k`` reads the lake as it stood once every
     epoch ≤ k was applied (exactly the state a replay of the WAL prefix
@@ -714,23 +726,51 @@ def read_lake(lake_dir: str, include_deleted: bool = False, *,
                 for pid in sorted(manifest.partitions, key=int)}
     all_files = [os.path.join(lake_dir, f)
                  for files in per_part.values() for f in files]
-    target = unify([pq.read_schema(f) for f in all_files])
-    if all(len(files) == 1 for files in per_part.values()):
-        # fully compacted lake: plain parallel parquet scan
-        ds = ray.data.read_parquet(all_files, schema=target)
+    file_schemas = [pq.read_schema(f) for f in all_files]
+    target = unify(file_schemas)
+    prune = None
+    if columns is not None:
+        unknown = [c for c in columns if c not in target.names]
+        if unknown:
+            raise KeyError(f"columns not in lake schema: {unknown} "
+                           f"(have {target.names})")
+        # the multi-file merge needs the LWW order columns and the
+        # tombstone flag even when the caller did not ask for them
+        prune = list(dict.fromkeys(
+            list(columns) + ["url", "warc_ts", "seq", DELETED_COL]))
+        target = pa.schema([f for f in target if f.name in prune])
+    if all(len(files) == 1 for files in per_part.values()) \
+            and (prune is None
+                 or all(set(prune) <= set(s.names) for s in file_schemas)):
+        # fully compacted lake: plain parallel parquet scan. The pruned
+        # projection is pushed into the read only when every file carries
+        # every requested column (read_parquet's `columns` kwarg rejects
+        # files that predate an evolved column; those lakes take the
+        # per-partition path below, which intersects per file).
+        kw = {"columns": list(target.names)} if prune is not None else {}
+        ds = ray.data.read_parquet(all_files, schema=target, **kw)
     else:
         refs = [_read_partition.remote(lake_dir, files, target)
                 for files in per_part.values() if files]
         ds = ray.data.from_arrow_refs(refs)
-    if not include_deleted:
-        # drop tombstone rows AND the internal tombstone column — readers of
-        # the live view see only the logical pages schema
-        ds = ds.map_batches(
-            lambda t: t.filter(
+
+    sel = None
+    if columns is not None:
+        sel = list(dict.fromkeys(
+            list(columns) + ([DELETED_COL] if include_deleted else [])))
+    if include_deleted and sel is None:
+        return ds
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if not include_deleted:
+            t = t.filter(
                 pc.invert(pc.fill_null(t[DELETED_COL], False))
-            ).drop_columns([DELETED_COL]),
-            batch_format="pyarrow")
-    return ds
+            ).drop_columns([DELETED_COL])
+        if sel is not None:
+            t = t.select(sel)
+        return t
+
+    return ds.map_batches(finalize, batch_format="pyarrow")
 
 
 def _changed_pids(m_old, m_new) -> list[int]:
