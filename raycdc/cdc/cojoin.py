@@ -39,8 +39,13 @@ def _live_partition_table(lake_dir: str, files: list[str],
     """One partition's live rows (LSM runs LWW-merged, tombstones dropped),
     aligned to ``target`` — the plain-function twin of apply._read_partition
     so a co-partitioned join task can read both sides without nesting remote
-    calls."""
-    tables = [pq.read_table(os.path.join(lake_dir, f)) for f in files]
+    calls. Only ``target``'s columns are decoded (``target`` is pre-pruned
+    to the join's projection plus the LWW/tombstone internals)."""
+    tables = []
+    for f in files:
+        path = os.path.join(lake_dir, f)
+        names = [n for n in pq.read_schema(path).names if n in target.names]
+        tables.append(pq.read_table(path, columns=names))
     if not tables:
         merged = target.empty_table()
     elif len(tables) > 1:
@@ -121,6 +126,19 @@ def copartitioned_lake_join(
         [n for n in target_a.names if n not in ("url", DELETED_COL)]
     cols_b = columns_b if columns_b is not None else \
         [n for n in target_b.names if n not in ("url", DELETED_COL)]
+
+    def _prune(target: pa.Schema, cols: list[str]) -> pa.Schema:
+        unknown = [c for c in cols if c not in target.names]
+        if unknown:
+            raise KeyError(f"columns not in lake schema: {unknown} "
+                           f"(have {target.names})")
+        # the join's projection, plus what the per-partition read needs
+        # internally: the key, the LWW order columns (multi-file run sets
+        # re-reduce), and the tombstone flag
+        keep = set(cols) | {"url", "warc_ts", "seq", DELETED_COL}
+        return pa.schema([f for f in target if f.name in keep])
+
+    target_a, target_b = _prune(target_a, cols_a), _prune(target_b, cols_b)
 
     refs = []
     for pid in range(m_a.num_partitions):

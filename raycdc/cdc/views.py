@@ -95,13 +95,15 @@ def view_delta(
         pt, mt = t.filter(plus), t.filter(minus)
 
         def side(src: pa.Table, sign: int, prefix: str) -> pa.Table:
-            n = src.num_rows
+            import numpy as np
+
             cols = {group_col: src[f"{prefix}{group_col}"]}
             for out, col in sums.items():
                 v = pc.fill_null(
                     pc.cast(src[f"{prefix}{col}"], pa.int64()), 0)
                 cols[out] = pc.multiply(v, pa.scalar(sign, pa.int64()))
-            cols["__w"] = pa.array([sign] * n, pa.int64())
+            cols["__w"] = pa.array(
+                np.full(src.num_rows, sign, dtype=np.int64))
             return pa.table(cols)
 
         return pa.concat_tables([side(pt, 1, ""),
