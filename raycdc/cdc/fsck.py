@@ -97,12 +97,17 @@ def check_lake(lake_dir: str, *, deep: bool = False) -> dict:
             got_rows += md.num_rows
             got_bytes += os.path.getsize(path)
             files_checked += 1
-        if expected_rows is not None and got_rows != expected_rows:
-            errors.append(f"partition {pid}: manifest says "
-                          f"{expected_rows} rows, footers say {got_rows}")
-        if info.get("bytes") is not None and got_bytes != info["bytes"]:
-            errors.append(f"partition {pid}: manifest says "
-                          f"{info['bytes']} bytes, disk says {got_bytes}")
+        # rows/bytes equality only holds for single-file partitions: a
+        # streaming L0 run set's manifest records the NEWEST flush's counts
+        # while `files` lists the whole run (actors.py) — the deep check
+        # still validates multi-file partitions via routing/uniqueness.
+        if len(head.partition_files(pid)) == 1:
+            if expected_rows is not None and got_rows != expected_rows:
+                errors.append(f"partition {pid}: manifest says "
+                              f"{expected_rows} rows, footers say {got_rows}")
+            if info.get("bytes") is not None and got_bytes != info["bytes"]:
+                errors.append(f"partition {pid}: manifest says "
+                              f"{info['bytes']} bytes, disk says {got_bytes}")
 
     snapshots = list_snapshots(lake_dir)
     orphans = [v for v in snapshots if v > head.version]

@@ -47,6 +47,23 @@ def test_healthy_lake_passes_shallow_and_deep(lake):
     assert not [w for w in rd["warnings"] if "unreferenced" in w]
 
 
+def test_streaming_lake_passes(tmp_path):
+    """Uncompacted L0 run sets record the newest flush's counts in the
+    manifest while listing the whole run — fsck must not false-error on
+    them (shallow skips the footer-sum check for multi-file partitions;
+    deep still validates routing/uniqueness/sortedness)."""
+    from raycdc.cdc.actors import CdcEngine
+
+    wal = str(tmp_path / "wal")
+    generate_changelog(wal, SPEC)
+    lake = str(tmp_path / "slake")
+    eng = CdcEngine(wal, lake, num_partitions=4)
+    eng.tail(epochs_per_commit=1)
+    eng.shutdown()
+    r = check_lake(lake, deep=True)
+    assert r["ok"], r["errors"]
+
+
 def test_missing_file_is_an_error(lake):
     os.remove(os.path.join(lake, _first_file(lake)))
     r = check_lake(lake)
