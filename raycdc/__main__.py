@@ -19,6 +19,8 @@ Subcommands:
   epoch/version — time travel over retained snapshot manifests)
 - ``changes``  write the I/U/D change feed between two committed versions
   (or epochs) to parquet — the incremental-consumer surface
+- ``merge``    MERGE INTO the lake from a parquet snapshot (rows carry
+  url/warc_ts/seq; ``--delete-col`` marks tombstone rows)
 - ``repartition`` re-route the lake to a new url-hash partition count
   (state-preserving; subsequent applies use the new count)
 - ``expire``   drop time-travel history (keep the newest N snapshots)
@@ -82,6 +84,14 @@ def main(argv=None) -> int:
     ch.add_argument("--from-epoch", type=int, default=None)
     ch.add_argument("--to-version", type=int, default=None)
     ch.add_argument("--to-epoch", type=int, default=None)
+
+    mg = sub.add_parser("merge", help="MERGE INTO lake from parquet")
+    mg.add_argument("--lake", required=True)
+    mg.add_argument("--source", required=True,
+                    help="parquet file/dir of rows to upsert")
+    mg.add_argument("--partitions", type=int, default=None,
+                    help="only for bootstrapping a new lake")
+    mg.add_argument("--delete-col", default=None)
 
     rp = sub.add_parser("repartition",
                         help="re-route the lake to a new partition count")
@@ -151,6 +161,13 @@ def main(argv=None) -> int:
             rows = sum(pq.read_metadata(f).num_rows
                        for f in glob.glob(f"{args.out}/*.parquet"))
             m = {"rows": rows, "out": args.out}
+        elif args.cmd == "merge":
+            from raycdc.cdc import merge_into
+
+            src = ray.data.read_parquet(args.source)
+            m = merge_into(args.lake, src,
+                           num_partitions=args.partitions,
+                           delete_col=args.delete_col)
         elif args.cmd == "repartition":
             from raycdc.cdc import repartition_lake
 
