@@ -1328,7 +1328,7 @@ def _incremental_view_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
                 PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
             FROM ev
         )
-        SELECT lang, SUM(seq) AS sum_seq, COUNT(*) AS n
+        SELECT lang, CAST(SUM(seq) AS BIGINT) AS sum_seq, COUNT(*) AS n
         FROM win WHERE rn = 1 AND op <> 'D'
         GROUP BY lang"""
 
