@@ -592,6 +592,44 @@ def tokenize_explode(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+class _RareTokenProbe:
+    """Per-batch membership filter against a broadcast rare-token set:
+    documents carrying any rare token — or no tokens at all — are dropped.
+    The rare set is fetched from the object store once per actor; each
+    batch pays one flattened ``pc.is_in`` plus a per-doc ``reduceat``."""
+
+    def __init__(self, rare_ref, text_col: str):
+        self._rare = ray.get(rare_ref)
+        self._text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        # Ray Data can degrade typed EMPTY blocks to zero-column blocks at
+        # high parallelism (CLAUDE.md invariant) — pass them through.
+        if t.num_rows == 0 or self._text_col not in t.column_names:
+            return t.slice(0, 0)
+        s = pc.utf8_trim(
+            pc.replace_substring_regex(t[self._text_col], r"\s+", " "), " ")
+        nonempty = pc.fill_null(pc.not_equal(s, ""), False)
+        t = t.filter(nonempty)
+        if t.num_rows == 0:
+            return t
+        toks = pc.split_pattern(pc.filter(s, nonempty), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = pa.concat_arrays(toks.chunks) if toks.num_chunks else (
+                pa.array([], pa.list_(pa.string())))
+        flat = toks.flatten()
+        # Every surviving doc has >= 1 token (whitespace runs collapsed,
+        # blanks trimmed), so segment starts are strictly increasing and
+        # reduceat is well defined.
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        bad = pc.is_in(flat, value_set=self._rare).to_numpy(
+            zero_copy_only=False)
+        doc_bad = np.add.reduceat(bad, starts) > 0
+        return t.filter(pa.array(~doc_bad))
+
+
 def min_token_freq_filter(
     ds: "ray.data.Dataset",
     *,
@@ -599,6 +637,7 @@ def min_token_freq_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 32,
+    broadcast_budget_bytes: int = 256 << 20,
 ) -> "ray.data.Dataset":
     """Corpus-relative gibberish filter: keep only documents whose EVERY
     whitespace token occurs at least ``min_freq`` times in the whole
@@ -608,30 +647,68 @@ def min_token_freq_filter(
     distribution-relative cousin of the absolute quality heuristics.
 
     Exact integer semantics end to end (oracle-safe: no float
-    accumulation). Four keyed steps, all on existing machinery:
-    tokenize-to-rows → token-frequency pre-agg → token join → per-doc
-    grouped MIN frequency → semi join of the corpus against the passing
-    ids. Token-less documents have no minimum and are dropped, matching
-    the SQL ``GROUP BY ... HAVING`` shape.
+    accumulation). Scale shape (round-5 redesign — exchange volume is
+    O(docs), never O(token occurrences)): token frequencies are partially
+    pre-aggregated per batch and combined through ONE partition-only
+    exchange over DISTINCT tokens (vocabulary-sized); then only the RARE
+    side — tokens with ``freq < min_freq``, which Zipf keeps
+    vocabulary-sized even though hapaxes dominate the distinct count — is
+    collected and broadcast via ``ray.put``. Each corpus batch drops docs
+    containing any rare token with an in-task flattened ``pc.is_in``
+    probe, so no token-level row ever crosses an exchange and the corpus
+    is filtered in place (no final semi join at all). Token-less
+    documents (null / all-whitespace text) are dropped, matching the SQL
+    ``GROUP BY ... HAVING`` shape.
+
+    If the rare set exceeds ``broadcast_budget_bytes``, the exact
+    fallback routes only PROBABLY-rare tokens through the keyed machinery
+    (``bloom_semi_join`` of the token stream against the rare set —
+    bitmap misses bypass the exchange), reduces to offending doc ids, and
+    finishes with auto-strategy id joins.
     """
     from raycdc.agg import grouped_aggregate
-    from raycdc.joins import hash_join
+    from raycdc.joins import bloom_semi_join, hash_join
 
     tok = tokenize_explode(ds, text_col=text_col, id_col=id_col)
     freq = grouped_aggregate(
         tok.map_batches(lambda t: t.select(["token"]),
                         batch_format="pyarrow"),
         ["token"], count_name="__rcdc_tf", num_partitions=num_partitions)
-    joined = hash_join(tok, freq, on=["token"],
-                       num_partitions=num_partitions, strategy="shuffle")
-    verdict = grouped_aggregate(
-        joined, [id_col], mins={"__rcdc_minf": "__rcdc_tf"},
-        exchange="partition", num_partitions=num_partitions)
 
-    def passing(t: pa.Table) -> pa.Table:
-        m = pc.fill_null(pc.greater_equal(t["__rcdc_minf"], min_freq), False)
-        return pa.table({id_col: t[id_col].filter(m)})
+    def rare_only(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.less(t["__rcdc_tf"], min_freq), False)
+        return pa.table({"token": t["token"].filter(m)})
 
-    keep = verdict.map_batches(passing, batch_format="pyarrow")
+    rare = freq.map_batches(rare_only, batch_format="pyarrow").materialize()
+
+    if rare.size_bytes() <= broadcast_budget_bytes:
+        chunks: list[pa.Array] = []
+        for b in rare.iter_batches(batch_size=None, batch_format="pyarrow"):
+            chunks.extend(b.column("token").chunks)
+        rare_arr = (pa.concat_arrays(chunks) if chunks
+                    else pa.array([], pa.string()))
+        ref = ray.put(rare_arr)
+        return ds.map_batches(
+            _RareTokenProbe, fn_constructor_args=(ref, text_col),
+            batch_format="pyarrow", concurrency=(1, num_partitions))
+
+    # Fallback: rare set too large to broadcast. Bloom-gated semi join of
+    # the token stream against the rare set (only bitmap-positive tokens
+    # pay the exchange), then id-level set algebra.
+    bad_ids = grouped_aggregate(
+        bloom_semi_join(tok, rare, on=["token"],
+                        num_partitions=num_partitions).map_batches(
+            lambda t: t.select([id_col]), batch_format="pyarrow"),
+        [id_col], count_name="__rcdc_nb",
+        exchange="partition", num_partitions=num_partitions).map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow")
+    tokened = grouped_aggregate(
+        tok.map_batches(lambda t: t.select([id_col]),
+                        batch_format="pyarrow"),
+        [id_col], count_name="__rcdc_nt",
+        exchange="partition", num_partitions=num_partitions).map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow")
+    keep = hash_join(tokened, bad_ids, on=[id_col], join_type="left_anti",
+                     num_partitions=num_partitions, strategy="auto")
     return hash_join(ds, keep, on=[id_col], join_type="left_semi",
-                     num_partitions=num_partitions, strategy="shuffle")
+                     num_partitions=num_partitions, strategy="auto")

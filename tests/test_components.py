@@ -228,6 +228,22 @@ def test_min_token_freq_filter_drops_gibberish():
     assert sorted(out["doc_id"]) == [1, 2, 3]
 
 
+def test_min_token_freq_filter_bloom_fallback_matches_broadcast():
+    from raycdc.ops.text import min_token_freq_filter
+
+    common = "the cat sat on the mat"
+    docs = _docs([
+        (1, common), (2, common), (3, common),
+        (4, common + " qzxv9f8h2k"),
+        (5, None),                      # null text: dropped like empty
+        (6, "   "),                     # whitespace-only: dropped
+    ])
+    # budget 0 forces the bloom-gated exact fallback path
+    out = min_token_freq_filter(docs, min_freq=3, num_partitions=4,
+                                broadcast_budget_bytes=0).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
+
+
 def test_table_diff_classifies_inserts_updates_deletes():
     from raycdc.cdc.diff import table_diff
 
