@@ -156,6 +156,10 @@ class Fingerprinter:
     """
 
     BASE = np.uint64(1000003)
+    # BASE is odd, hence invertible mod 2^64 — the inverse lets the batched
+    # kernel turn every doc's full polynomial hash into two lookups in one
+    # global prefix sum (see __call__).
+    IBASE = np.uint64(pow(1000003, -1, 1 << 64))
 
     @staticmethod
     def _powers(n: int) -> np.ndarray:
@@ -166,6 +170,21 @@ class Fingerprinter:
             p[1:] = np.multiply.accumulate(
                 np.full(n - 1, Fingerprinter.BASE, dtype=np.uint64))
         return p
+
+    @staticmethod
+    def _base_pow(exp: np.ndarray) -> np.ndarray:
+        """BASE**exp (mod 2^64) elementwise, binary exponentiation — O(log
+        max_exp) vector passes instead of a length-N power table."""
+        out = np.ones(len(exp), dtype=np.uint64)
+        b = Fingerprinter.BASE
+        e = exp.astype(np.uint64).copy()
+        with np.errstate(over="ignore"):  # mod-2^64 wraparound is the point
+            while e.any():
+                odd = (e & np.uint64(1)).astype(bool)
+                out[odd] *= b
+                b = b * b
+                e >>= np.uint64(1)
+        return out
 
     def __init__(self, text_col: str = "text", k: int = 8):
         self.text_col = text_col
@@ -190,15 +209,54 @@ class Fingerprinter:
         return int(full.view(np.int64)), int(kh.min().view(np.int64))
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        """Batched kernel (the MinHasher concatenated-buffer + ``reduceat``
+        pattern, dedup.py:181-225): one byte buffer for the whole batch.
+        Full hashes come from a single global prefix sum — with
+        ``S = cumsum(byte[i] * IBASE^i)``, a doc spanning ``[a, b)`` has
+        ``full = BASE^(b-1) * (S[b-1] - S[a-1])`` exactly (mod 2^64,
+        IBASE = BASE^-1) — and k-gram minima from k strided adds plus one
+        ``np.minimum.reduceat``. Values are bit-identical to the per-doc
+        kernel (kept above as the semantic spec for len<k docs)."""
         texts = t[self.text_col].to_pylist()
-        fulls = np.empty(len(texts), dtype=np.int64)
-        mins = np.empty(len(texts), dtype=np.int64)
-        for i, s in enumerate(texts):
-            b = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8)
-            f, m = self._doc_fp(b)
-            fulls[i], mins[i] = f, m
-        t = t.append_column("fp_full", pa.array(fulls))
-        return t.append_column("fp_min_kgram", pa.array(mins))
+        n = len(texts)
+        fulls = np.zeros(n, dtype=np.uint64)
+        mins = np.zeros(n, dtype=np.uint64)
+        enc = [(s or "").encode("utf-8") for s in texts]
+        lens = np.array([len(b) for b in enc], dtype=np.int64)
+        nz = np.flatnonzero(lens > 0)
+        if len(nz):
+            data = np.frombuffer(b"".join(enc[i] for i in nz),
+                                 dtype=np.uint8).astype(np.uint64)
+            dl = lens[nz]
+            offs = np.concatenate([[0], np.cumsum(dl)])
+            total_bytes = int(offs[-1])
+            ipow = np.empty(total_bytes, dtype=np.uint64)
+            ipow[0] = 1
+            if total_bytes > 1:
+                ipow[1:] = np.multiply.accumulate(
+                    np.full(total_bytes - 1, self.IBASE, dtype=np.uint64))
+            prefix = np.cumsum(data * ipow, dtype=np.uint64)
+            starts, ends = offs[:-1], offs[1:] - 1
+            seg = prefix[ends] - np.where(starts > 0, prefix[starts - 1],
+                                          np.uint64(0))
+            fulls[nz] = self._base_pow(ends) * seg
+            long_rel = np.flatnonzero(dl >= self.k)
+            if len(long_rel):
+                n_win = dl[long_rel] - self.k + 1
+                wstarts = np.concatenate([[0], np.cumsum(n_win)])
+                total = int(n_win.sum())
+                glob = (np.arange(total, dtype=np.int64)
+                        - np.repeat(wstarts[:-1], n_win)
+                        + np.repeat(starts[long_rel], n_win))
+                kh = np.zeros(total, dtype=np.uint64)
+                rk = self.kpowers[::-1]
+                for j in range(self.k):
+                    kh += data[glob + j] * rk[j]
+                mins[nz[long_rel]] = np.minimum.reduceat(kh, wstarts[:-1])
+            short_rel = np.flatnonzero(dl < self.k)
+            mins[nz[short_rel]] = fulls[nz[short_rel]]
+        t = t.append_column("fp_full", pa.array(fulls.view(np.int64)))
+        return t.append_column("fp_min_kgram", pa.array(mins.view(np.int64)))
 
 
 def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text", k: int = 8,
