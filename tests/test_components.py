@@ -83,6 +83,18 @@ def test_max_iters_guard_raises():
         _cc(edges, max_iters=2, local_threshold=0)
 
 
+def test_long_chain_converges_in_log_rounds():
+    # A 10^5-node path: diameter 10^5-1, impossible for plain min-label
+    # propagation inside any sane round budget; the pointer-jumping
+    # shortcut covers ~2^(r+1) distance after r rounds, so 20 rounds are
+    # ample (13 + slack). local_threshold=0 forces the distributed path.
+    n = 100_001
+    got = _cc({"id_a": list(range(1, n)), "id_b": list(range(0, n - 1))},
+              num_partitions=8, max_iters=20, local_threshold=0)
+    assert len(got) == n
+    assert set(got.values()) == {0}
+
+
 def _docs(rows):
     return ray.data.from_arrow(pa.table({
         "doc_id": [r[0] for r in rows],
