@@ -1089,6 +1089,38 @@ def _q_lake_lookup(sf_dir: str):
     return t
 
 
+def _q_lake_fsck(sf_dir: str):
+    """Lake-invariant audit, driver-visible (VERDICT r4 #5): run the deep
+    fsck over the replay lake and the per-epoch time-travel lake and
+    return the per-check counters as rows. Any physical-layout regression
+    — missing referenced file, manifest/footer row drift, misrouted key,
+    broken snapshot chain — flips ``ok`` or bumps ``n_errors``, so lake
+    invariants now fail in the external run, not only in pytest
+    (tests/test_fsck.py). Rows-only: the subject is the lake's on-disk
+    layout, which no SQL view of the input tables can express. Read-only
+    over the shared fixtures (CLAUDE.md fixture-sharing rule)."""
+    from raycdc.cdc.fsck import check_lake
+
+    sf_tag, n = _cdc_scale(sf_dir)
+    lake, _ = run_cdc_replay(n, sf_tag)
+    tt = _tt_lake(sf_dir)
+    rows = []
+    for name, rep in (("replay", check_lake(lake, deep=True)),
+                      ("time_travel", check_lake(tt, deep=True))):
+        rows.append({
+            "lake": name,
+            "ok": bool(rep["ok"]),
+            "version": int(rep["version"]),
+            "num_partitions": int(rep["num_partitions"]),
+            "files_checked": int(rep["files_checked"]),
+            "snapshots": int(rep["snapshots"]),
+            "unreferenced_files": int(rep["unreferenced_files"]),
+            "n_errors": len(rep["errors"]),
+            "n_warnings": len(rep["warnings"]),
+        })
+    return pa.Table.from_pylist(rows)
+
+
 def _lookup_url_set(n: int) -> list[str]:
     """Every 7th url of the generator's universe (pure function of the
     spec — the oracle rebuilds the same list in SQL-free python)."""
@@ -1977,6 +2009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
         "multimodal_features": _q_multimodal,
+        "lake_fsck": _q_lake_fsck,
     }
 
 

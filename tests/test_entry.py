@@ -103,6 +103,17 @@ def test_first_50_queries_all_oracle_backed():
     assert not missing, f"no-oracle queries inside the driver window: {missing}"
 
 
+def test_lake_fsck_query_reports_clean(sf_dir):
+    """The fsck driver query must report both shared lake fixtures clean —
+    a lake-invariant regression flips ok/n_errors here AND in the external
+    rows-only check (VERDICT r4 #5)."""
+    df = to_df(QUERIES["lake_fsck"](sf_dir))
+    assert list(df["lake"]) == ["replay", "time_travel"]
+    assert df["ok"].all()
+    assert (df["n_errors"] == 0).to_numpy().all()
+    assert (df["files_checked"] > 0).to_numpy().all()
+
+
 def test_entry_smoke():
     result = entrymod.entry()
     df = to_df(result)
