@@ -473,6 +473,17 @@ def merge_into(
     for col in ("url", "warc_ts", "seq"):
         if col not in sschema.names:
             raise ValueError(f"merge_into source must carry {col!r}")
+    if delete_col is None and DELETED_COL in sschema.names:
+        # e.g. a read_lake(include_deleted=True) export: treat the lake's
+        # own tombstone column as the implicit delete_col instead of
+        # duplicating it and failing opaquely in the LWW combiner
+        delete_col = DELETED_COL
+    elif delete_col is not None and delete_col != DELETED_COL \
+            and DELETED_COL in sschema.names:
+        raise ValueError(
+            f"merge_into source already carries {DELETED_COL!r}; pass it "
+            f"as delete_col or drop it — it would collide with the "
+            f"tombstone column the merge appends")
 
     def to_rows(t: pa.Table) -> pa.Table:
         if delete_col is not None:
@@ -656,9 +667,12 @@ def lookup_urls(lake_dir: str, urls: list[str], *,
                                      include_deleted)
             for pid, fs in touched.items() if fs]
     out = pa.concat_tables(ray.get(refs), promote_options="default")
+    # sort BEFORE projecting: a columns list omitting 'url' must still get
+    # the url-sorted result contract, not an ArrowInvalid from sort_indices
+    out = out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
     if columns is not None:
         out = out.select(columns)
-    return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
+    return out
 
 
 def _resolve_manifest(lake_dir: str, as_of_version, as_of_epoch):

@@ -122,10 +122,28 @@ def copartitioned_lake_join(
             f"{m_b.num_partitions} partitions); use joins.hash_join")
     target_a = _lake_targets(lake_a, m_a)
     target_b = _lake_targets(lake_b, m_b)
-    cols_a = columns_a if columns_a is not None else \
-        [n for n in target_a.names if n not in ("url", DELETED_COL)]
-    cols_b = columns_b if columns_b is not None else \
-        [n for n in target_b.names if n not in ("url", DELETED_COL)]
+    def _default_cols(target: pa.Schema) -> list[str]:
+        # Acero (pa.Table.join) rejects nested non-key fields (the repo's
+        # documented invariant), and merge_into admits arbitrary payloads —
+        # e.g. fixed_size_list embeddings — so defaults skip nested types
+        # rather than crash every partition task.
+        return [f.name for f in target
+                if f.name not in ("url", DELETED_COL)
+                and not pa.types.is_nested(f.type)]
+
+    def _reject_nested(target: pa.Schema, cols: list[str], side: str):
+        nested = [c for c in cols if c in target.names
+                  and pa.types.is_nested(target.field(c).type)]
+        if nested:
+            raise ValueError(
+                f"columns_{side}={nested} are nested-typed; Acero joins "
+                f"reject nested non-key fields — cast them to binary blobs "
+                f"upstream (see raycdc/joins) or drop them")
+
+    cols_a = columns_a if columns_a is not None else _default_cols(target_a)
+    cols_b = columns_b if columns_b is not None else _default_cols(target_b)
+    _reject_nested(target_a, cols_a, "a")
+    _reject_nested(target_b, cols_b, "b")
 
     def _prune(target: pa.Schema, cols: list[str]) -> pa.Schema:
         unknown = [c for c in cols if c not in target.names]

@@ -97,3 +97,31 @@ def test_mismatched_partition_counts_raise(lakes, tmp_path):
 def test_semi_join_rejected(lakes):
     with pytest.raises(ValueError, match="semi/anti"):
         copartitioned_lake_join(lakes[0], lakes[1], join_type="left_semi")
+
+
+def test_nested_payload_excluded_from_defaults(lakes, tmp_path):
+    """merge_into admits nested payloads (e.g. fixed_size_list embeddings);
+    Acero joins reject nested non-key fields, so defaults must skip them
+    and an explicit request must fail upfront with a clear error
+    (ADVICE r4)."""
+    import numpy as np
+    import ray.data
+    from raycdc.cdc import merge_into
+
+    lake_a, _ = lakes
+    lake = str(tmp_path / "nested_lake")
+    src = pa.table({
+        "url": pa.array(["https://n.example/1", "https://n.example/2"]),
+        "warc_ts": pa.array([np.datetime64("2030-01-01", "us")] * 2,
+                            pa.timestamp("us")),
+        "seq": pa.array([1, 2], pa.int64()),
+        "lang": pa.array(["en", "de"]),
+        "emb": pa.FixedSizeListArray.from_arrays(
+            pa.array([0.1, 0.2, 0.3, 0.4], pa.float32()), 2),
+    })
+    merge_into(lake, ray.data.from_arrow(src), num_partitions=4)
+    out = collect(copartitioned_lake_join(lake))  # defaults: no crash
+    assert "emb_a" not in out.column_names and "emb_b" not in out.column_names
+    assert out.num_rows == 2
+    with pytest.raises(ValueError, match="nested"):
+        copartitioned_lake_join(lake, columns_a=["emb"])

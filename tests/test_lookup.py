@@ -86,3 +86,15 @@ def test_all_miss_returns_typed_empty(lake):
     assert "url" in got.column_names
     # may or may not share a partition with real data; 0 rows either way
     assert got.num_rows == 0
+
+
+def test_columns_without_url_still_sorted(lake):
+    """A projection omitting the key must not crash the url-sort (ADVICE
+    r4): sort happens before the projection, so values still arrive in
+    url order."""
+    urls = sorted(lake_state(lake)["url"].to_pylist())[:6]
+    full = lookup_urls(lake, urls, columns=["url", "seq", "text"])
+    got = lookup_urls(lake, list(reversed(urls)), columns=["seq", "text"])
+    assert got.column_names == ["seq", "text"]
+    assert got["seq"].to_pylist() == full["seq"].to_pylist()
+    assert got["text"].to_pylist() == full["text"].to_pylist()

@@ -138,3 +138,24 @@ def test_wrong_partition_count_raises(lake):
     src = _src(["https://a.example/1"], TS_HI, 1).drop_columns([DELETED_COL])
     with pytest.raises(ValueError, match="repartition_lake"):
         merge_into(lake, ray.data.from_arrow(src), num_partitions=8)
+
+
+def test_source_with_deleted_col_is_implicit_delete_col(lake):
+    """A source already carrying _deleted (e.g. a read_lake
+    include_deleted=True export) with delete_col=None must treat it as the
+    tombstone column instead of duplicating it (ADVICE r4)."""
+    live = lake_state(lake)
+    urls = sorted(live["url"].to_pylist())
+    src = concat_evolved([_src(urls[:2], TS_HI, 1, deleted=True),
+                          _src(urls[2:4], TS_HI, 1, deleted=False)])
+    merge_into(lake, ray.data.from_arrow(src))  # no delete_col passed
+    got = lake_state(lake)
+    assert not set(urls[:2]) & set(got["url"].to_pylist())
+    assert set(urls[2:4]) <= set(got["url"].to_pylist())
+
+
+def test_deleted_col_collision_with_other_delete_col_raises(lake):
+    src = _src(["https://a.example/1"], TS_HI, 1)  # carries _deleted
+    src = src.append_column("drop_it", pa.array([False]))
+    with pytest.raises(ValueError, match="_deleted"):
+        merge_into(lake, ray.data.from_arrow(src), delete_col="drop_it")
