@@ -260,26 +260,37 @@ def apply_changelog(
 
 
 @ray.remote
-def _split_block(num_partitions: int, *blocks: pa.Table) -> tuple:
+def _split_block(num_slots: int, *blocks: pa.Table, total: int = 0,
+                 div: int = 1, offset: int = 0) -> tuple:
     """Split a group of combined blocks into their url-hash partitions (one
-    return object per partition — a manual hash-shuffle map side). Accepting
-    several blocks per task amortizes task scheduling when the map phase
-    emits many small blocks."""
+    return object per routing slot — a manual hash-shuffle map side).
+    Accepting several blocks per task amortizes task scheduling when the map
+    phase emits many small blocks. The routing slot is
+    ``(url_hash % total) // div - offset`` (``total`` defaults to
+    ``num_slots``): defaults give the plain single-level split; the
+    two-level exchange (see shuffle.py) routes level 1 with ``div=G`` and
+    level 2 with ``offset=s*G``."""
+    total = total or num_slots
     # Ray Data can degrade a typed EMPTY output block to a zero-column block
     # (same failure family as the repo's union-branch invariant); they carry
     # no rows, so dropping them is exact.
-    blocks = tuple(b for b in blocks if "url" in b.column_names)
+    blocks = tuple(b for b in blocks
+                   if b is not None and "url" in b.column_names)
     if not blocks:
-        return (None,) * num_partitions if num_partitions > 1 else None
+        return (None,) * num_slots if num_slots > 1 else None
     block = blocks[0] if len(blocks) == 1 else pa.concat_tables(
         blocks, promote_options="default")
-    pids = _url_pid(block["url"], num_partitions)
+    pids = _url_pid(block["url"], total)
+    if div != 1:
+        pids = pids // div
+    if offset:
+        pids = pids - offset
     order = np.argsort(pids, kind="stable")
     sorted_block = block.take(pa.array(order))
     pids = pids[order]
     bounds = np.nonzero(np.diff(pids))[0] + 1
     starts = np.concatenate([[0], bounds, [len(pids)]]).astype(np.int64)
-    out: list = [None] * num_partitions
+    out: list = [None] * num_slots
     for i in range(len(starts) - 1):
         lo, hi = int(starts[i]), int(starts[i + 1])
         if hi > lo:
@@ -323,15 +334,27 @@ def _partitioned_merge(combined: ray.data.Dataset, merge: "MergePartition",
     precisely because the semantics (partition, don't order) aren't
     expressible without paying for a sort.
     """
+    from raycdc.shuffle import _TWO_LEVEL_MIN_PARTITIONS
+
     t0 = time.perf_counter()
-    split = _split_block.options(num_returns=num_partitions)
+    two_level = num_partitions > _TWO_LEVEL_MIN_PARTITIONS
+    if two_level:
+        # √P super-partition routing, same plan as shuffle.partition_map:
+        # single-level driver refs grow as chunks × P — ~10^9 at the
+        # north-star's 65,536 partitions × 10^5 blocks.
+        g_size = int(np.ceil(np.sqrt(num_partitions)))
+        n_slots = -(-num_partitions // g_size)
+    else:
+        g_size, n_slots = 1, num_partitions
+    split = _split_block.options(num_returns=n_slots)
     per_block = []
     chunk: list = []
     chunk_size = 4
 
     def flush_chunk():
         if chunk:
-            per_block.append(split.remote(num_partitions, *chunk))
+            per_block.append(split.remote(
+                n_slots, *chunk, total=num_partitions, div=g_size))
             chunk.clear()
 
     try:
@@ -349,16 +372,38 @@ def _partitioned_merge(combined: ray.data.Dataset, merge: "MergePartition",
                 flush_chunk()
     flush_chunk()
     drain_s = time.perf_counter() - t0
+    if two_level:
+        # level 2: each super-group's slices split to its final partitions;
+        # a level-2 task ingests ≤ n_slots slices of ~1/n_slots chunk each
+        columns = [[] for _ in range(num_partitions)]
+        l2_chunk = max(chunk_size, n_slots)
+        for s in range(n_slots):
+            lo = s * g_size
+            gs = min(g_size, num_partitions - lo)
+            slices = [refs[s] for refs in per_block]
+            if gs == 1:
+                # the super-group IS one final partition; no second split
+                # (num_returns=1 would collapse the returned tuple)
+                columns[lo] = slices
+                continue
+            split2 = _split_block.options(num_returns=gs)
+            sub = [split2.remote(gs, *slices[i:i + l2_chunk],
+                                 total=num_partitions, offset=lo)
+                   for i in range(0, len(slices), l2_chunk)]
+            for g in range(gs):
+                columns[lo + g] = [r[g] for r in sub]
+    else:
+        columns = [[refs[pid] for refs in per_block]
+                   for pid in range(num_partitions)]
     # Tree fan-in: one merge task per partition takes one slice argument per
     # split task, which at very large block counts (10^10-event jobs produce
     # tens of thousands of map blocks) would mean tens of thousands of task
     # arguments. Above _FANIN slices per partition, interleave a layer of
     # LWW-combining reduce tasks (exact: the reduction is associative).
-    columns = [[refs[pid] for refs in per_block]
-               for pid in range(num_partitions)]
-    if len(per_block) > _FANIN:
+    if max(map(len, columns), default=0) > _FANIN:
         key, ts, seq = merge.lww_cols
         columns = [
+            col if len(col) <= _FANIN else
             [_combine_slices.remote(key, ts, seq, *col[i:i + _FANIN])
              for i in range(0, len(col), _FANIN)]
             for col in columns

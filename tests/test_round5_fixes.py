@@ -86,3 +86,35 @@ def test_two_level_drops_partition_col_like_single_level():
                                   drop_partition_col=False))
     assert "__p" in kept.column_names
     assert out.num_rows == kept.num_rows == 4_000
+
+
+def test_cdc_apply_two_level_split_matches_oracle(tmp_path):
+    """The flagship merge path above the two-level threshold: replaying a
+    WAL into a 1,200-partition lake must produce the exact LWW oracle
+    state and a clean deep fsck (same plan family as partition_map's
+    √P exchange)."""
+    import pyarrow.compute as pc
+
+    from raycdc.cdc import apply_changelog, generate_changelog
+    from raycdc.cdc.apply import oracle_final_state
+    from raycdc.cdc.changelog import ChangelogSpec, generate_events
+    from raycdc.cdc.fsck import check_lake
+
+    from tests.test_cdc import lake_state, url_text_digest
+
+    spec = ChangelogSpec(num_events=6_000, num_urls=400, num_epochs=2,
+                         seed=17)
+    wal = str(tmp_path / "wal")
+    generate_changelog(wal, spec)
+    lake = str(tmp_path / "lake")
+    apply_changelog(wal, lake, num_partitions=1_200)
+
+    got = lake_state(lake)
+    want = oracle_final_state(generate_events(spec))
+    want = want.take(pc.sort_indices(want,
+                                     sort_keys=[("url", "ascending")]))
+    assert url_text_digest(got) == url_text_digest(want)
+    assert got.num_rows == want.num_rows
+
+    rep = check_lake(lake, deep=True)
+    assert rep["ok"], rep["errors"][:3]
