@@ -696,14 +696,26 @@ def _default_expand_concurrency() -> int:
     return max(2, (cpus * 3) // 8)
 
 
+def _default_num_partitions() -> int:
+    """Dedup-exchange partition count scaled to the cluster: CPUs // 2
+    (min 16).  Each partition is one merge task; half the CPUs keeps merge
+    parallelism while halving the split fan-out overhead vs one-per-CPU
+    (measured 5.12 -> 4.57 s on the sf0.1 DAG flatten at 32 CPUs)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - uninitialized ray
+        cpus = 8
+    return max(16, cpus // 2)
+
+
 def flatten_hierarchy(
     ds: ray.data.Dataset,
     cfg: FlattenConfig,
     *,
     strategy: str = "auto",
-    batch_size: int = 16384,
+    batch_size: int = 32768,
     concurrency=None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     broadcast_max_bytes: int = 4 << 30,
     co_locate_seeds: bool = False,
 ) -> ray.data.Dataset:
@@ -717,6 +729,8 @@ def flatten_hierarchy(
         to hold in one index (reference-equivalent dataflow).
       - "auto": choose by the materialized input size.
     """
+    if num_partitions is None:
+        num_partitions = _default_num_partitions()
     schema = ds.schema()
     pa_schema = pa.schema(
         [pa.field(n, t) for n, t in zip(schema.names, schema.types)])
