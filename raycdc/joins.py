@@ -299,11 +299,15 @@ def hash_join(
 
 
 class BroadcastJoiner:
-    """Actor-pool batch transform probing a broadcast build side.
+    """Probe kernel for a broadcast build side.
 
-    The right (small) table is put in the object store once; each actor
-    fetches it in ``__init__`` and every batch is joined locally with the
+    The right (small) table is put in the object store once; the kernel
+    fetches it on construction and every batch is joined locally with the
     Acero hash join — zero shuffle (SURVEY.md §4 broadcast-variant note).
+    Runs as plain map_batches tasks by default (`_broadcast_probe_fn`):
+    construction is one node-local zero-copy plasma fetch, so an actor
+    pool amortizes nothing and pays spin-up latency; Acero rebuilds the
+    build-side hash table per probe call either way.
     """
 
     def __init__(self, right_ref, on, right_on, verb, left_schema=None):
@@ -325,6 +329,27 @@ class BroadcastJoiner:
                           join_type=self.verb, coalesce_keys=True)
 
 
+_BJ_TASK_CACHE: dict = {}
+
+
+def _broadcast_probe_fn(right_ref, on, right_on, verb, left_schema):
+    """Plain-task wrapper around :class:`BroadcastJoiner` with a per-worker
+    memo, mirroring `_bloom_task_fn` (same cheap-init measurement)."""
+    key = (right_ref.hex() if hasattr(right_ref, "hex") else id(right_ref),
+           tuple(on), tuple(right_on), verb)
+
+    def fn(t: pa.Table) -> pa.Table:
+        joiner = _BJ_TASK_CACHE.get(key)
+        if joiner is None:
+            if len(_BJ_TASK_CACHE) > 16:  # bound per-worker memory
+                _BJ_TASK_CACHE.clear()
+            joiner = _BJ_TASK_CACHE[key] = BroadcastJoiner(
+                right_ref, on, right_on, verb, left_schema)
+        return joiner(t)
+
+    return fn
+
+
 @ray.remote
 def _concat_build_side(schema: "pa.Schema | None", *blocks) -> pa.Table:
     live = [b for b in blocks if b is not None and b.num_rows]
@@ -340,7 +365,7 @@ def broadcast_join(
     on: list[str],
     right_on: list[str] | None = None,
     join_type: str = "inner",
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 65536,
 ) -> ray.data.Dataset:
     """Join a large Dataset against a small in-memory table, no shuffle.
@@ -369,14 +394,22 @@ def broadcast_join(
         left_schema = None
     if isinstance(right, pa.Table):
         schema = right.schema
-    out = left.map_batches(
-        BroadcastJoiner,
-        fn_constructor_args=(right_ref, on, right_on,
-                             _ARROW_VERBS[join_type], left_schema),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    if concurrency is None:
+        out = left.map_batches(
+            _broadcast_probe_fn(right_ref, on, right_on,
+                                _ARROW_VERBS[join_type], left_schema),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        out = left.map_batches(
+            BroadcastJoiner,
+            fn_constructor_args=(right_ref, on, right_on,
+                                 _ARROW_VERBS[join_type], left_schema),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     # Pin the output: an empty probe side yields zero blocks and a None
     # schema downstream (repo invariant). The output schema is derivable
     # from the two input schemas via a zero-row Acero join; skip the pin
@@ -772,10 +805,52 @@ def _bloom_test(bmp: "np.ndarray", h: "np.ndarray", num_bits: int,
     return hit
 
 
+_BLOOM_TASK_CACHE: dict = {}
+
+
+def _bloom_task_fn(cls, bmp_ref, on, num_bits, num_hashes):
+    """Plain-task wrapper around a bloom probe class.
+
+    The probes are cheap-init (one node-local zero-copy plasma fetch of the
+    bitmap), so an actor pool buys no amortization and pays ~2 s of pool
+    spin-up latency per stage (measured on the sf0.1 incremental dedup:
+    2.5 s pool vs 0.55 s tasks per branch). Stateless map_batches tasks
+    resolve the ObjectRef from the local object store per worker process,
+    with the built probe memoized so repeat batches skip re-wrapping."""
+    key = (cls.__name__,
+           bmp_ref.hex() if hasattr(bmp_ref, "hex") else id(bmp_ref),
+           tuple(on), num_bits, num_hashes)
+
+    def fn(t: pa.Table) -> pa.Table:
+        probe = _BLOOM_TASK_CACHE.get(key)
+        if probe is None:
+            if len(_BLOOM_TASK_CACHE) > 16:  # bound per-worker memory
+                _BLOOM_TASK_CACHE.clear()
+            probe = _BLOOM_TASK_CACHE[key] = cls(
+                bmp_ref, on, num_bits, num_hashes)
+        return probe(t)
+
+    return fn
+
+
+def _bloom_stage(ds, cls, bmp_ref, on, num_bits, num_hashes, concurrency):
+    """Bloom probe stage: plain tasks by default; an actor pool only when
+    the caller explicitly asks for one (``concurrency`` not None)."""
+    if concurrency is None:
+        return ds.map_batches(
+            _bloom_task_fn(cls, bmp_ref, on, num_bits, num_hashes),
+            batch_format="pyarrow")
+    return ds.map_batches(
+        cls, batch_format="pyarrow",
+        fn_constructor_args=(bmp_ref, on, num_bits, num_hashes),
+        concurrency=concurrency)
+
+
 class _BloomProbe:
-    """Actor-pool prefilter: fetch the broadcast bitmap once per actor,
-    drop rows whose key tuple cannot be on the build side (null keys are
-    dropped outright — SQL semi join never matches them)."""
+    """Bloom prefilter kernel: fetch the broadcast bitmap once, drop rows
+    whose key tuple cannot be on the build side (null keys are dropped
+    outright — SQL semi join never matches them). Runs as plain tasks via
+    :func:`_bloom_stage` (cheap-init; see `_bloom_task_fn`)."""
 
     def __init__(self, bmp_ref, on, num_bits, num_hashes):
         self.bmp = (ray.get(bmp_ref)
@@ -806,7 +881,7 @@ def bloom_semi_join(
     num_bits: int = 1 << 23,
     num_hashes: int = 4,
     num_partitions: int = 32,
-    concurrency=(1, 8),
+    concurrency=None,
     auto_skip: float | None = 0.95,
     probe_sample: int = 8192,
 ) -> ray.data.Dataset:
@@ -892,10 +967,9 @@ def bloom_semi_join(
     # Pin the survivor lineage: a bitmap that drops EVERY left row (or an
     # empty left) yields zero blocks and no schema, which the exact join
     # below cannot consume.
-    survivors = pin_schema(left.map_batches(
-        _BloomProbe, batch_format="pyarrow",
-        fn_constructor_args=(bmp_ref, on, num_bits, num_hashes),
-        concurrency=concurrency), _pa_schema(left))
+    survivors = pin_schema(
+        _bloom_stage(left, _BloomProbe, bmp_ref, on, num_bits, num_hashes,
+                     concurrency), _pa_schema(left))
     return hash_join(survivors, right, on=on, right_on=right_on,
                      join_type="left_semi", num_partitions=num_partitions)
 
@@ -936,7 +1010,7 @@ def bloom_anti_join(
     num_bits: int = 1 << 23,
     num_hashes: int = 4,
     num_partitions: int = 32,
-    concurrency=(1, 8),
+    concurrency=None,
     auto_skip: float | None = 0.95,
     probe_sample: int = 8192,
 ) -> ray.data.Dataset:
@@ -1014,14 +1088,11 @@ def bloom_anti_join(
     # zero blocks and no schema — pin them with the left schema so the
     # downstream hash_join and consumers always see typed output.
     lschema = _pa_schema(left)
-    keep = left.map_batches(
-        _BloomMissKeep, batch_format="pyarrow",
-        fn_constructor_args=(bmp_ref, on, num_bits, num_hashes),
-        concurrency=concurrency)
-    hits = pin_schema(left.map_batches(
-        _BloomProbe, batch_format="pyarrow",
-        fn_constructor_args=(bmp_ref, on, num_bits, num_hashes),
-        concurrency=concurrency), lschema)
+    keep = _bloom_stage(left, _BloomMissKeep, bmp_ref, on,
+                        num_bits, num_hashes, concurrency)
+    hits = pin_schema(
+        _bloom_stage(left, _BloomProbe, bmp_ref, on, num_bits, num_hashes,
+                     concurrency), lschema)
     anti_hits = hash_join(hits, right, on=on, right_on=right_on,
                           join_type="left_anti",
                           num_partitions=num_partitions)
