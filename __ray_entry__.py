@@ -1375,8 +1375,7 @@ def _q_host_stats(sf_dir: str):
     SQL-visible fixtures have no url column; the WAL does). Nested fields
     are projected with two struct_field kernels before anything else, so
     the html payload never leaves the scan."""
-    from raycdc.agg import grouped_aggregate, grouped_count_distinct
-    from raycdc.joins import hash_join
+    from raycdc.agg import grouped_stats_with_distinct
     from raycdc.ops.text import extract_host
 
     sf_tag, n = _cdc_scale(sf_dir)
@@ -1391,11 +1390,13 @@ def _q_host_stats(sf_dir: str):
             "warc_ts": pc.struct_field(p, ["fetch", "warc_ts"])})
 
     ev = extract_host(ds.map_batches(proj, batch_format="pyarrow"))
-    agg = grouped_aggregate(ev, ["host"], maxs={"latest_ts": "warc_ts"},
-                            count_name="n_events", num_partitions=8)
-    nd = grouped_count_distinct(ev, ["host"], "url", name="n_urls",
-                                num_partitions=8)
-    out = hash_join(agg, nd, on=["host"], num_partitions=8)
+    # ONE scan + ONE exchange: count, count-distinct and max ride the same
+    # (host, url)-granular partial (raycdc.agg.grouped_stats_with_distinct),
+    # replacing the grouped_aggregate + grouped_count_distinct + join shape
+    out = grouped_stats_with_distinct(
+        ev, ["host"], "url", distinct_name="n_urls",
+        maxs={"latest_ts": "warc_ts"}, count_name="n_events",
+        num_partitions=8)
     return out.select_columns(["host", "n_events", "n_urls", "latest_ts"])
 
 

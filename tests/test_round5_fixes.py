@@ -118,3 +118,82 @@ def test_cdc_apply_two_level_split_matches_oracle(tmp_path):
 
     rep = check_lake(lake, deep=True)
     assert rep["ok"], rep["errors"][:3]
+
+
+def test_grouped_stats_with_distinct_matches_composition():
+    """The one-exchange combined aggregate must equal the two-exchange
+    grouped_aggregate + grouped_count_distinct + join composition,
+    including null distinct values (not counted, group still present)
+    and null group keys."""
+    from raycdc.agg import (grouped_aggregate, grouped_count_distinct,
+                            grouped_stats_with_distinct)
+    from raycdc.joins import hash_join
+
+    rng = np.random.default_rng(11)
+    n = 30_000
+    host = pd.Series(rng.integers(0, 40, n)).map(
+        lambda i: None if i == 39 else f"h{i}")
+    url = pd.Series(rng.integers(0, 500, n)).map(
+        lambda i: None if i % 97 == 0 else f"u{i}")
+    ts = rng.integers(1_000, 9_999, n).astype(np.int64)
+    t = pa.table({"host": pa.array(host, pa.string()),
+                  "url": pa.array(url, pa.string()),
+                  "warc_ts": pa.array(ts)})
+    step = n // 16
+    ds = ray.data.from_arrow([t.slice(i, step) for i in range(0, n, step)])
+    ds = ds.map_batches(lambda x: x, batch_format="pyarrow")
+
+    got = to_table(grouped_stats_with_distinct(
+        ds, ["host"], "url", distinct_name="n_urls",
+        maxs={"latest_ts": "warc_ts"}, count_name="n_events",
+        num_partitions=8))
+
+    # independent pandas oracle (the engine composition's sort-based
+    # groupby leg cannot order null keys, so it is not usable here)
+    df = t.to_pandas()
+    g = df.groupby("host", dropna=False)
+    want = pd.DataFrame({
+        "n_events": g.size(),
+        "n_urls": g["url"].nunique(dropna=True),
+        "latest_ts": g["warc_ts"].max(),
+    }).reset_index()
+
+    gdf = got.to_pandas().sort_values("host", na_position="last") \
+        .reset_index(drop=True)
+    wdf = want.sort_values("host", na_position="last") \
+        .reset_index(drop=True)
+    cols = ["host", "n_events", "n_urls", "latest_ts"]
+    casts = {"n_urls": "int64", "n_events": "int64", "latest_ts": "int64"}
+    pd.testing.assert_frame_equal(gdf[cols].astype(casts),
+                                  wdf[cols].astype(casts))
+
+    # and against the engine composition on the null-free key subset
+    nn = ds.map_batches(
+        lambda x: x.filter(x["host"].is_valid()), batch_format="pyarrow")
+    agg = grouped_aggregate(nn, ["host"], maxs={"latest_ts": "warc_ts"},
+                            count_name="n_events", num_partitions=8)
+    nd = grouped_count_distinct(nn, ["host"], "url", name="n_urls",
+                                num_partitions=8)
+    comp = to_table(hash_join(agg, nd, on=["host"], num_partitions=8)) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    gnn = gdf[gdf["host"].notna()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(gnn[cols].astype(casts),
+                                  comp[cols].astype(casts))
+
+
+def test_grouped_stats_with_distinct_all_null_group():
+    """A group whose distinct values are ALL null appears with count 0."""
+    from raycdc.agg import grouped_stats_with_distinct
+
+    t = pa.table({"k": ["a", "a", "b"],
+                  "v": pa.array([None, None, "x"], pa.string()),
+                  "m": pa.array([1, 2, 3], pa.int64())})
+    ds = ray.data.from_arrow(t).map_batches(lambda x: x,
+                                            batch_format="pyarrow")
+    out = to_table(grouped_stats_with_distinct(
+        ds, ["k"], "v", distinct_name="nd", maxs={"mx": "m"},
+        count_name="n", num_partitions=4)).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out["nd"].tolist() == [0, 1]
+    assert out["n"].tolist() == [2, 1]
+    assert out["mx"].tolist() == [2, 3]
