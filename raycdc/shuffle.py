@@ -71,6 +71,58 @@ def block_refs_of(ds: ray.data.Dataset):
         yield from ds.to_arrow_refs()
 
 
+_STATELESS_CACHE: dict = {}
+
+
+def stateless_stage(cls, *args):
+    """Wrap a CHEAP-INIT callable class (init = one node-local plasma fetch
+    plus small prep) as a plain ``map_batches`` task function with a
+    per-worker-process memo.
+
+    Actor pools only pay off when ``__init__`` is expensive (index builds,
+    model loads — keep those as fixed-size pools, see flatten.ExpandPaths);
+    for cheap-init stages an autoscaling pool costs ~2 s of spin-up latency
+    per stage with nothing to amortize (measured: bloom branches 2.5 s pool
+    vs 0.55 s tasks). ObjectRef args stay refs in the closure — each worker
+    process resolves them zero-copy from its local object store once."""
+    def _k(a):
+        if hasattr(a, "hex"):
+            try:
+                return a.hex()
+            except Exception:  # pragma: no cover
+                return id(a)
+        try:
+            hash(a)
+            return a
+        except TypeError:
+            return id(a)
+
+    key = (cls.__module__, cls.__qualname__) + tuple(_k(a) for a in args)
+
+    def fn(t):
+        inst = _STATELESS_CACHE.get(key)
+        if inst is None:
+            if len(_STATELESS_CACHE) > 16:  # bound per-worker memory
+                _STATELESS_CACHE.clear()
+            inst = _STATELESS_CACHE[key] = cls(*args)
+        return inst(t)
+
+    return fn
+
+
+def _block_refs_sized(ds: ray.data.Dataset):
+    """Yield (block_ref, size_bytes_or_None) pairs — same execution
+    semantics as :func:`block_refs_of`, plus the per-block byte size from
+    Ray Data's block metadata when available."""
+    try:
+        for bundle in ds.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                yield ref, getattr(meta, "size_bytes", None)
+    except AttributeError:  # pragma: no cover - older Ray
+        for ref in ds.to_arrow_refs():
+            yield ref, None
+
+
 def lazy_schema(ds: ray.data.Dataset):
     """Zero-arg callable deriving a pa.Schema from ``ds`` — for
     partition_map's ``empty_schema``: evaluated only when every partition
@@ -91,6 +143,17 @@ def lazy_schema(ds: ray.data.Dataset):
 # blocks/CHUNK × P instead of blocks × P (same chunking as
 # cdc/apply._partitioned_merge) while each split stays one vectorized pass.
 _SPLIT_CHUNK = 4
+
+# Below this total input size the whole exchange collapses to ONE task that
+# splits locally and applies fn per partition — identical per-partition
+# inputs (stable pid sort preserves block row order), but no split stage and
+# no P-task scheduling round. Small keyed exchanges are pure fixed latency
+# at sf0.1 scale (a P=16 exchange over 2 MB pays ~20 task round-trips for
+# microseconds of work); at real scale the threshold never triggers.
+# Sizes come from Ray Data's block metadata and are summed WHILE streaming:
+# the standard paths start routing as soon as the running total crosses the
+# threshold, so no materialization barrier is introduced for large inputs.
+_SMALL_EXCHANGE_BYTES = 32 << 20
 
 # Above this partition count the exchange goes two-level (√P super-partition
 # routing): single-level driver refs grow as (blocks/CHUNK) × P, which at the
@@ -176,6 +239,41 @@ def tree_reduce(ds: ray.data.Dataset,
 
 
 @ray.remote(num_returns=2)
+def _partition_all_task(fn: Callable[[pa.Table], pa.Table], col: str,
+                        drop_col: bool, *blocks):
+    """Small-exchange fast path: split by the partition column locally and
+    apply ``fn`` once per non-empty partition — the exact per-partition
+    inputs of the split + per-pid-task plan (stable sort keeps block row
+    order within a pid), in one task."""
+    live = [b for b in blocks
+            if b is not None and b.num_rows and col in b.column_names]
+    if not live:
+        return None, 0
+    t = live[0] if len(live) == 1 else \
+        pa.concat_tables(live, promote_options="default")
+    pids = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pids, kind="stable")
+    st = t.take(pa.array(order))
+    if drop_col:
+        st = st.drop_columns([col])
+    spids = pids[order]
+    bounds = np.nonzero(np.diff(spids))[0] + 1
+    starts = np.concatenate([[0], bounds, [len(spids)]]).astype(np.int64)
+    outs = []
+    for i in range(len(starts) - 1):
+        lo, hi = int(starts[i]), int(starts[i + 1])
+        if hi > lo:
+            r = fn(st.slice(lo, hi - lo))
+            if r is not None and r.num_rows:
+                outs.append(r)
+    if not outs:
+        return None, 0
+    out = outs[0] if len(outs) == 1 else \
+        pa.concat_tables(outs, promote_options="default")
+    return out, out.num_rows
+
+
+@ray.remote(num_returns=2)
 def _partition_task(fn: Callable[[pa.Table], pa.Table], pid: int, *slices):
     """Returns (output_table, row_count): the driver reads only the cheap
     count to decide which table refs feed the result Dataset."""
@@ -203,6 +301,8 @@ def partition_map(
     super-partitions first (blocks → super-group slices → final slots), so
     the driver's split-output ref count grows as blocks × √P, not
     blocks × P."""
+    import itertools
+
     table_refs, count_refs = [], []
     last_exchange_stats.clear()
 
@@ -211,15 +311,45 @@ def partition_map(
             t = t.drop_columns([partition_col])
         return fn(t)
 
+    # Streaming size probe: accumulate refs while the metadata byte total
+    # stays under the small-exchange threshold. Crossing it (or missing
+    # metadata) commits to the standard split plan with zero added barrier —
+    # the backlog flushes into the first split chunks and the rest streams.
+    sized = _block_refs_sized(ds)
+    pending: list = []
+    total = 0
+    small = True
+    for ref, size in sized:
+        pending.append(ref)
+        if size is None:
+            small = False
+            break
+        total += size
+        if total > _SMALL_EXCHANGE_BYTES:
+            small = False
+            break
+    blocks_iter = iter(pending) if small else \
+        itertools.chain(pending, (r for r, _ in sized))
+
     if num_partitions == 1:
         # degenerate single partition: with num_returns=1 Ray would hand
         # back one ref to the whole 1-tuple, so skip the split stage and
         # route every block straight to the one partition task
-        blocks = list(block_refs_of(ds))
+        blocks = list(blocks_iter)
         tref, cref = _partition_task.remote(fn_dropping, 0, *blocks)
         table_refs.append(tref)
         count_refs.append(cref)
         last_exchange_stats.update(level="direct", split_refs=0)
+    elif small:
+        # whole input fits the small-exchange budget: one task splits
+        # locally and applies fn per partition — same per-partition inputs,
+        # no split stage, no P-task scheduling round
+        tref, cref = _partition_all_task.remote(
+            fn, partition_col, drop_partition_col, *pending)
+        table_refs.append(tref)
+        count_refs.append(cref)
+        last_exchange_stats.update(level="small", split_refs=0,
+                                   small_bytes=total)
     elif num_partitions > _TWO_LEVEL_MIN_PARTITIONS:
         # two-level exchange: level 1 routes each chunk of blocks to
         # ceil(√P) super-groups (pid // G); level 2 splits a super-group's
@@ -238,7 +368,7 @@ def partition_map(
                     partition_col, n_supers, False, *chunk, div=g_size))
                 chunk.clear()
 
-        for block_ref in block_refs_of(ds):
+        for block_ref in blocks_iter:
             chunk.append(block_ref)
             if len(chunk) >= _SPLIT_CHUNK:
                 flush1()
@@ -279,7 +409,7 @@ def partition_map(
                     *chunk))
                 chunk.clear()
 
-        for block_ref in block_refs_of(ds):
+        for block_ref in blocks_iter:
             chunk.append(block_ref)
             if len(chunk) >= _SPLIT_CHUNK:
                 flush()

@@ -41,6 +41,8 @@ def _canon(t: pa.Table) -> pd.DataFrame:
 
 @pytest.mark.parametrize("P", [1536, 1057])  # 1057: ragged tail, gs == 1
 def test_two_level_exchange_matches_single_level(P, monkeypatch):
+    # plan-shape test: force the full exchange even on this tiny fixture
+    monkeypatch.setattr(shuffle, "_SMALL_EXCHANGE_BYTES", 0)
     ds, t = _mk_ds(P)
     got2 = _grouped_sum(ds, P)
     stats2 = dict(last_exchange_stats)
@@ -60,11 +62,12 @@ def test_two_level_exchange_matches_single_level(P, monkeypatch):
     assert stats2["split_refs"] * 4 < stats1["split_refs"]
 
 
-def test_two_level_ref_growth_is_sqrt_p():
+def test_two_level_ref_growth_is_sqrt_p(monkeypatch):
     """At a synthetic high P with many blocks, the two-level footprint is
     chunks×√P (level 1) + P×ceil(chunks/√P) (level 2) ≈ 2×chunks×√P —
     a √P/2 reduction over single-level's chunks×P (the VERDICT r4 #7
     10^9-ref scenario scaled down)."""
+    monkeypatch.setattr(shuffle, "_SMALL_EXCHANGE_BYTES", 0)
     P = 4096  # S = 64
     ds, _ = _mk_ds(P, n=8_192, blocks=512)  # 512 blocks → 128 split chunks
     _grouped_sum(ds, P)
@@ -197,3 +200,32 @@ def test_grouped_stats_with_distinct_all_null_group():
     assert out["nd"].tolist() == [0, 1]
     assert out["n"].tolist() == [2, 1]
     assert out["mx"].tolist() == [2, 3]
+
+
+def test_small_exchange_fast_path_matches_full_plan(monkeypatch):
+    """Under the size threshold the exchange collapses to one task; the
+    per-partition results must be identical to the full split plan
+    (including empty partitions skipped, stable within-pid row order,
+    and drop_partition_col handling)."""
+    P = 16
+    ds, t = _mk_ds(P, n=5_000, blocks=8)
+    got_small = _grouped_sum(ds, P)
+    assert dict(last_exchange_stats)["level"] == "small"
+
+    monkeypatch.setattr(shuffle, "_SMALL_EXCHANGE_BYTES", 0)
+    got_full = _grouped_sum(ds, P)
+    assert dict(last_exchange_stats)["level"] == "one"
+    pd.testing.assert_frame_equal(_canon(got_small), _canon(got_full))
+
+    # order-sensitive fn: first row per partition in arrival order
+    def first_row(tab: pa.Table) -> pa.Table:
+        return tab.slice(0, 1)
+
+    small_first = to_table(partition_map(ds, "__p", P, first_row))
+    monkeypatch.setattr(shuffle, "_SMALL_EXCHANGE_BYTES", 32 << 20)
+    # note: monkeypatch above set 0 for the current context; re-set high
+    full_first = to_table(partition_map(ds, "__p", P, first_row))
+    assert dict(last_exchange_stats)["level"] == "small"
+    a = small_first.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    b = full_first.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
