@@ -329,25 +329,13 @@ class BroadcastJoiner:
                           join_type=self.verb, coalesce_keys=True)
 
 
-_BJ_TASK_CACHE: dict = {}
-
-
 def _broadcast_probe_fn(right_ref, on, right_on, verb, left_schema):
-    """Plain-task wrapper around :class:`BroadcastJoiner` with a per-worker
-    memo, mirroring `_bloom_task_fn` (same cheap-init measurement)."""
-    key = (right_ref.hex() if hasattr(right_ref, "hex") else id(right_ref),
-           tuple(on), tuple(right_on), verb)
+    """Plain-task wrapper around :class:`BroadcastJoiner` — cheap-init, so
+    it rides shuffle.stateless_stage's per-worker memo."""
+    from raycdc.shuffle import stateless_stage
 
-    def fn(t: pa.Table) -> pa.Table:
-        joiner = _BJ_TASK_CACHE.get(key)
-        if joiner is None:
-            if len(_BJ_TASK_CACHE) > 16:  # bound per-worker memory
-                _BJ_TASK_CACHE.clear()
-            joiner = _BJ_TASK_CACHE[key] = BroadcastJoiner(
-                right_ref, on, right_on, verb, left_schema)
-        return joiner(t)
-
-    return fn
+    return stateless_stage(BroadcastJoiner, right_ref, list(on),
+                           list(right_on), verb, left_schema)
 
 
 @ray.remote
@@ -805,32 +793,17 @@ def _bloom_test(bmp: "np.ndarray", h: "np.ndarray", num_bits: int,
     return hit
 
 
-_BLOOM_TASK_CACHE: dict = {}
-
-
 def _bloom_task_fn(cls, bmp_ref, on, num_bits, num_hashes):
     """Plain-task wrapper around a bloom probe class.
 
     The probes are cheap-init (one node-local zero-copy plasma fetch of the
     bitmap), so an actor pool buys no amortization and pays ~2 s of pool
     spin-up latency per stage (measured on the sf0.1 incremental dedup:
-    2.5 s pool vs 0.55 s tasks per branch). Stateless map_batches tasks
-    resolve the ObjectRef from the local object store per worker process,
-    with the built probe memoized so repeat batches skip re-wrapping."""
-    key = (cls.__name__,
-           bmp_ref.hex() if hasattr(bmp_ref, "hex") else id(bmp_ref),
-           tuple(on), num_bits, num_hashes)
+    2.5 s pool vs 0.55 s tasks per branch) — shuffle.stateless_stage's
+    per-worker memo."""
+    from raycdc.shuffle import stateless_stage
 
-    def fn(t: pa.Table) -> pa.Table:
-        probe = _BLOOM_TASK_CACHE.get(key)
-        if probe is None:
-            if len(_BLOOM_TASK_CACHE) > 16:  # bound per-worker memory
-                _BLOOM_TASK_CACHE.clear()
-            probe = _BLOOM_TASK_CACHE[key] = cls(
-                bmp_ref, on, num_bits, num_hashes)
-        return probe(t)
-
-    return fn
+    return stateless_stage(cls, bmp_ref, list(on), num_bits, num_hashes)
 
 
 def _bloom_stage(ds, cls, bmp_ref, on, num_bits, num_hashes, concurrency):

@@ -132,6 +132,20 @@ def _final_query_topk(cand: ray.data.Dataset, id_col: str,
                          empty_schema=empty)
 
 
+def _scorer_stage(ds, cls, args, batch_size, concurrency):
+    """Scorer stage: plain tasks by default (cheap init — one plasma fetch
+    of the broadcast query state; see shuffle.stateless_stage), an actor
+    pool only when the caller asks for one."""
+    if concurrency is None:
+        from raycdc.shuffle import stateless_stage
+
+        return ds.map_batches(stateless_stage(cls, *args),
+                              batch_format="pyarrow", batch_size=batch_size)
+    return ds.map_batches(cls, fn_constructor_args=args,
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
 def brute_force_topk(
     ds: ray.data.Dataset,
     queries: tuple[np.ndarray, np.ndarray],
@@ -140,7 +154,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     k: int = 10,
     round_to: int | None = None,
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 8192,
 ) -> ray.data.Dataset:
     """Exact cosine top-k. ``queries`` = (query_ids, query_matrix).
@@ -150,9 +164,9 @@ def brute_force_topk(
     cross-engine comparisons).
     """
     q_ref = ray.put(queries)
-    cand = ds.map_batches(
-        BatchTopK, fn_constructor_args=(q_ref, vec_col, id_col, k, round_to),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+    cand = _scorer_stage(ds, BatchTopK,
+                         (q_ref, vec_col, id_col, k, round_to),
+                         batch_size, concurrency)
     return _final_query_topk(cand, id_col, k)
 
 
@@ -228,7 +242,7 @@ def ivf_topk(
     train_size: int = 10_000,
     seed: int = 41,
     round_to: int | None = None,
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 8192,
 ) -> ray.data.Dataset:
     """IVF approximate top-k: k-means cells trained on a corpus sample, each
@@ -247,9 +261,9 @@ def ivf_topk(
     probe = np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe]
     state_ref = ray.put((centroids, qids.astype(np.int64), qunit, probe))
 
-    cand = ds.map_batches(
-        IvfScorer, fn_constructor_args=(state_ref, vec_col, id_col, k, round_to),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+    cand = _scorer_stage(ds, IvfScorer,
+                         (state_ref, vec_col, id_col, k, round_to),
+                         batch_size, concurrency)
     return _final_query_topk(cand, id_col, k)
 
 
@@ -314,7 +328,7 @@ def lsh_topk(
     k: int = 10,
     num_planes: int = 6,
     seed: int = 23,
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 8192,
 ) -> ray.data.Dataset:
     """Approximate top-k: only corpus vectors sharing the query's LSH bucket
@@ -323,8 +337,7 @@ def lsh_topk(
     qids, qmat = queries
     q_ref = ray.put((np.asarray(qids, dtype=np.int64),
                      np.asarray(qmat, dtype=np.float64)))
-    cand = ds.map_batches(
-        LshScorer,
-        fn_constructor_args=(q_ref, vec_col, id_col, k, num_planes, seed),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+    cand = _scorer_stage(ds, LshScorer,
+                         (q_ref, vec_col, id_col, k, num_planes, seed),
+                         batch_size, concurrency)
     return _final_query_topk(cand, id_col, k)

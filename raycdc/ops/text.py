@@ -746,9 +746,12 @@ def min_token_freq_filter(
         rare_arr = (pa.concat_arrays(chunks) if chunks
                     else pa.array([], pa.string()))
         ref = ray.put(rare_arr)
-        return ds.map_batches(
-            _RareTokenProbe, fn_constructor_args=(ref, text_col),
-            batch_format="pyarrow", concurrency=(1, num_partitions))
+        from raycdc.shuffle import stateless_stage
+
+        # plain tasks: the probe's init is one plasma fetch of the rare
+        # set (cheap-init rule — see shuffle.stateless_stage)
+        return ds.map_batches(stateless_stage(_RareTokenProbe, ref, text_col),
+                              batch_format="pyarrow")
 
     # Fallback: rare set too large to broadcast. Bloom-gated semi join of
     # the token stream against the rare set (only bitmap-positive tokens
