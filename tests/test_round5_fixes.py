@@ -229,3 +229,24 @@ def test_small_exchange_fast_path_matches_full_plan(monkeypatch):
     a = small_first.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
     b = full_first.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_small_exchange_tolerates_schema_less_empty_blocks():
+    """Ray Data can degrade typed EMPTY blocks to zero-column blocks
+    (CLAUDE.md invariant); the small-path task must skip them like
+    _split_by_column does, and a fully-empty input must fall back to
+    empty_schema."""
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "__p": pa.array([0, 1, 0], pa.int64())})
+    empty = ray.data.from_arrow(pa.table({}))
+    ds = ray.data.from_arrow(t).union(empty)
+    out = to_table(partition_map(ds, "__p", 4, lambda x: x,
+                                 empty_schema=t.schema))
+    assert dict(last_exchange_stats)["level"] == "small"
+    assert sorted(out["k"].to_pylist()) == [1, 2, 3]
+
+    all_empty = ray.data.from_arrow(t.schema.empty_table()).union(empty)
+    out2 = partition_map(all_empty, "__p", 4, lambda x: x,
+                         empty_schema=t.schema)
+    got = to_table(out2)
+    assert got.num_rows == 0
