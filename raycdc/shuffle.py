@@ -153,7 +153,10 @@ _SPLIT_CHUNK = 4
 # Sizes come from Ray Data's block metadata and are summed WHILE streaming:
 # the standard paths start routing as soon as the running total crosses the
 # threshold, so no materialization barrier is introduced for large inputs.
-_SMALL_EXCHANGE_BYTES = 32 << 20
+# 8 MB, not bigger: the one task also SERIALIZES fn — a 16-way distinct
+# over a 14 MB input measured ~0.5 s slower serialized than exchanged,
+# while the fixed-latency win on truly tiny exchanges is already captured.
+_SMALL_EXCHANGE_BYTES = 8 << 20
 
 # Above this partition count the exchange goes two-level (√P super-partition
 # routing): single-level driver refs grow as (blocks/CHUNK) × P, which at the
@@ -238,17 +241,27 @@ def tree_reduce(ds: ray.data.Dataset,
     return ray.get(refs[0])
 
 
-@ray.remote(num_returns=2)
+# Output blocks emitted by the small-path task: ONE output block would
+# serialize every downstream map stage into a single task (measured: the
+# sf0.1 DAG flatten regressed 4.8 -> 9.2 s when its distinct's output
+# collapsed to one block); spreading the per-partition outputs over up to
+# this many blocks keeps downstream parallelism.
+_SMALL_PATH_OUT_BLOCKS = 8
+
+
+@ray.remote
 def _partition_all_task(fn: Callable[[pa.Table], pa.Table], col: str,
-                        drop_col: bool, *blocks):
+                        drop_col: bool, out_slots: int, *blocks):
     """Small-exchange fast path: split by the partition column locally and
     apply ``fn`` once per non-empty partition — the exact per-partition
     inputs of the split + per-pid-task plan (stable sort keeps block row
-    order within a pid), in one task."""
+    order within a pid), in one task. Returns ``out_slots`` output tables
+    (per-partition outputs round-robined over the slots) followed by their
+    ``out_slots`` row counts."""
     live = [b for b in blocks
             if b is not None and b.num_rows and col in b.column_names]
     if not live:
-        return None, 0
+        return (None,) * out_slots + (0,) * out_slots
     t = live[0] if len(live) == 1 else \
         pa.concat_tables(live, promote_options="default")
     pids = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -259,18 +272,21 @@ def _partition_all_task(fn: Callable[[pa.Table], pa.Table], col: str,
     spids = pids[order]
     bounds = np.nonzero(np.diff(spids))[0] + 1
     starts = np.concatenate([[0], bounds, [len(spids)]]).astype(np.int64)
-    outs = []
+    slots: list = [[] for _ in range(out_slots)]
+    j = 0
     for i in range(len(starts) - 1):
         lo, hi = int(starts[i]), int(starts[i + 1])
         if hi > lo:
             r = fn(st.slice(lo, hi - lo))
             if r is not None and r.num_rows:
-                outs.append(r)
-    if not outs:
-        return None, 0
-    out = outs[0] if len(outs) == 1 else \
-        pa.concat_tables(outs, promote_options="default")
-    return out, out.num_rows
+                slots[j % out_slots].append(r)
+                j += 1
+    tables = [
+        (s[0] if len(s) == 1
+         else pa.concat_tables(s, promote_options="default")) if s else None
+        for s in slots]
+    return tuple(tables) + tuple(
+        tb.num_rows if tb is not None else 0 for tb in tables)
 
 
 @ray.remote(num_returns=2)
@@ -343,11 +359,13 @@ def partition_map(
     elif small:
         # whole input fits the small-exchange budget: one task splits
         # locally and applies fn per partition — same per-partition inputs,
-        # no split stage, no P-task scheduling round
-        tref, cref = _partition_all_task.remote(
-            fn, partition_col, drop_partition_col, *pending)
-        table_refs.append(tref)
-        count_refs.append(cref)
+        # no split stage, no P-task scheduling round. Output spreads over
+        # up to _SMALL_PATH_OUT_BLOCKS blocks for downstream parallelism.
+        k = max(1, min(num_partitions, _SMALL_PATH_OUT_BLOCKS))
+        refs = _partition_all_task.options(num_returns=2 * k).remote(
+            fn, partition_col, drop_partition_col, k, *pending)
+        table_refs.extend(refs[:k])
+        count_refs.extend(refs[k:])
         last_exchange_stats.update(level="small", split_refs=0,
                                    small_bytes=total)
     elif num_partitions > _TWO_LEVEL_MIN_PARTITIONS:
