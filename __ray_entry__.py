@@ -1107,14 +1107,17 @@ def _q_lake_fsck(sf_dir: str):
     rows = []
     for name, rep in (("replay", check_lake(lake, deep=True)),
                       ("time_travel", check_lake(tt, deep=True))):
+        # check_lake's early "no committed manifest" return carries only
+        # {ok, errors, warnings}: default the counters so a broken lake
+        # surfaces as an ok=False ROW, not a KeyError crash
         rows.append({
             "lake": name,
             "ok": bool(rep["ok"]),
-            "version": int(rep["version"]),
-            "num_partitions": int(rep["num_partitions"]),
-            "files_checked": int(rep["files_checked"]),
-            "snapshots": int(rep["snapshots"]),
-            "unreferenced_files": int(rep["unreferenced_files"]),
+            "version": int(rep.get("version", -1)),
+            "num_partitions": int(rep.get("num_partitions", 0)),
+            "files_checked": int(rep.get("files_checked", 0)),
+            "snapshots": int(rep.get("snapshots", 0)),
+            "unreferenced_files": int(rep.get("unreferenced_files", 0)),
             "n_errors": len(rep["errors"]),
             "n_warnings": len(rep["warnings"]),
         })

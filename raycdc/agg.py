@@ -787,6 +787,10 @@ def grouped_stats_with_distinct(
         return _hash_bucket(t, keys, bcol, num_partitions)
 
     def bucket_combine(t: pa.Table) -> pa.Table:
+        # merge + FINALIZE in the partition task: Ray 2.49 map stages skip
+        # zero-row blocks entirely, so a post-exchange map_batches could
+        # never reshape the all-empty fallback — the exchange output must
+        # already be final-shaped
         df = t.to_pandas(types_mapper=_stm)
         # merge partials of the same (keys, value) pair across batches,
         # then collapse values to groups
@@ -808,29 +812,58 @@ def grouped_stats_with_distinct(
             parts[out] = g[out].min()
         for out in maxs:
             parts[out] = g[out].max()
+        # non-null distinct (SQL COUNT(DISTINCT) semantics)
+        parts[distinct_name] = g[distinct_col].count().astype("int64")
         if need_count:
-            parts[cnt_col] = g[cnt_col].sum()
-        parts[distinct_name] = g[distinct_col].count()  # non-null distinct
+            parts[count_name] = g[cnt_col].sum().astype("int64")
         out_df = pd.DataFrame(parts).reset_index()
         return _restore_key_types(
             pa.Table.from_pandas(out_df, preserve_index=False),
             t.schema, keys)
 
+    # All-empty corner: the fallback must carry the FINAL schema (a later
+    # reshape stage is impossible — zero-row blocks are skipped by map
+    # stages). Key/agg types come from the partials schema when any block
+    # survived with one, else from the input plan's schema; a fully-empty
+    # MAPPED pipeline may know neither (documented schema-less degrade).
+    lazy_partials = lazy_schema(partials)
+
+    def empty_fallback_schema():
+        base = lazy_partials()
+        if base is None:
+            s = ds.schema(fetch_if_missing=False) or ds.schema()
+            if s is None:
+                return None
+            in_schema = pa.schema([pa.field(n, t) for n, t in
+                                   zip(s.names, s.types)])
+
+            def agg_type(col, summed):
+                # pandas widens integer sums to int64; floats keep width
+                ft = in_schema.field(col).type
+                if summed and pa.types.is_integer(ft):
+                    return pa.int64()
+                return ft
+
+            fields = [in_schema.field(k) for k in keys]
+            fields += [pa.field(o, agg_type(c, True))
+                       for o, c in sums.items()]
+            fields += [pa.field(o, agg_type(c, False))
+                       for o, c in mins.items()]
+            fields += [pa.field(o, agg_type(c, False))
+                       for o, c in maxs.items()]
+        else:
+            fields = [base.field(k) for k in keys]
+            fields += [base.field(o) for o in
+                       list(sums) + list(mins) + list(maxs)]
+        fields.append(pa.field(distinct_name, pa.int64()))
+        if need_count:
+            fields.append(pa.field(count_name, pa.int64()))
+        return pa.schema(fields)
+
     bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
                                     batch_size=None)
-    merged = partition_map(bucketed, bcol, num_partitions, bucket_combine,
-                           empty_schema=lazy_schema(partials))
-
-    def finalize(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        t = t.set_column(t.column_names.index(distinct_name), distinct_name,
-                         pc.cast(t[distinct_name], pa.int64()))
-        if count_name is not None:
-            t = t.append_column(count_name, pc.cast(t[cnt_col], pa.int64()))
-            t = t.drop_columns([cnt_col])
-        return t
-
-    return merged.map_batches(finalize, batch_format="pyarrow")
+    return partition_map(bucketed, bcol, num_partitions, bucket_combine,
+                         empty_schema=empty_fallback_schema)
 
 
 def grouped_mode(

@@ -102,9 +102,17 @@ def stateless_stage(cls, *args):
     def fn(t):
         inst = _STATELESS_CACHE.get(key)
         if inst is None:
-            if len(_STATELESS_CACHE) > 16:  # bound per-worker memory
-                _STATELESS_CACHE.clear()
+            # LRU bound: evict the single OLDEST entry, never clear-all —
+            # a clear wipes hot instances mid-stage and re-pays every init,
+            # and each retained instance can pin plasma-backed state
+            # (broadcast build tables, bloom bitmaps) in the worker
+            while len(_STATELESS_CACHE) >= 8:
+                _STATELESS_CACHE.pop(next(iter(_STATELESS_CACHE)))
             inst = _STATELESS_CACHE[key] = cls(*args)
+        else:
+            # refresh recency (dict preserves insertion order)
+            _STATELESS_CACHE.pop(key, None)
+            _STATELESS_CACHE[key] = inst
         return inst(t)
 
     return fn

@@ -80,10 +80,15 @@ def test_two_level_ref_growth_is_sqrt_p(monkeypatch):
     assert stats["split_refs"] * (s // 2) == single_level
 
 
-def test_two_level_drops_partition_col_like_single_level():
+def test_two_level_drops_partition_col_like_single_level(monkeypatch):
+    # force past the small-exchange fast path: this ~96 KB fixture would
+    # otherwise collapse to one task and never exercise the two-level
+    # invariant (level 1 RETAINS the partition column, level 2 drops it)
+    monkeypatch.setattr(shuffle, "_SMALL_EXCHANGE_BYTES", 0)
     P = 2048
     ds, _ = _mk_ds(P, n=4_000, blocks=8)
     out = to_table(partition_map(ds, "__p", P, lambda t: t))
+    assert dict(last_exchange_stats)["level"] == "two"
     assert "__p" not in out.column_names
     kept = to_table(partition_map(ds, "__p", P, lambda t: t,
                                   drop_partition_col=False))
@@ -200,6 +205,73 @@ def test_grouped_stats_with_distinct_all_null_group():
     assert out["nd"].tolist() == [0, 1]
     assert out["n"].tolist() == [2, 1]
     assert out["mx"].tolist() == [2, 3]
+
+
+def test_grouped_stats_with_distinct_empty_input():
+    """Empty input with a plan-known schema (from_arrow source): the output
+    is an EMPTY table with the full final schema (keys, aggs, distinct,
+    count) — not a ValueError from finalize over the partials fallback.
+    A fully-empty MAPPED pipeline loses its runtime schema in Ray 2.49
+    (schema() -> None, the CLAUDE.md empty-block degrade), so that shape
+    degrades to a schema-less empty result but must still not crash."""
+    from raycdc.agg import grouped_stats_with_distinct
+
+    t = pa.table({"k": pa.array([], pa.string()),
+                  "v": pa.array([], pa.string()),
+                  "m": pa.array([], pa.int64())})
+    out_ds = grouped_stats_with_distinct(
+        ray.data.from_arrow(t), ["k"], "v", distinct_name="nd",
+        maxs={"mx": "m"}, count_name="n", num_partitions=4)
+    # iter_batches drops zero-row blocks in Ray 2.49, so assert through the
+    # surfaces that DO see the typed empty: block refs (what joins consume)
+    # and the dataset schema
+    blocks = ray.get(list(out_ds.to_arrow_refs()))
+    out = pa.concat_tables(blocks, promote_options="default")
+    assert out.num_rows == 0
+    assert set(out.column_names) == {"k", "mx", "nd", "n"}
+    assert out.schema.field("k").type == pa.string()
+    assert out.schema.field("mx").type == pa.int64()
+    assert out.schema.field("nd").type == pa.int64()
+    assert out.schema.field("n").type == pa.int64()
+
+    mapped = ray.data.from_arrow(t).map_batches(lambda x: x,
+                                                batch_format="pyarrow")
+    out2 = to_table(grouped_stats_with_distinct(
+        mapped, ["k"], "v", distinct_name="nd", maxs={"mx": "m"},
+        count_name="n", num_partitions=4))
+    assert out2.num_rows == 0  # schema-less degrade tolerated, no crash
+
+
+def test_stateless_stage_memo_evicts_one_not_all():
+    """The per-worker memo is a bounded LRU: inserting past the cap evicts
+    the single oldest instance; a hot key refreshed by use survives."""
+    from raycdc.shuffle import _STATELESS_CACHE, stateless_stage
+
+    _STATELESS_CACHE.clear()
+    inits = []
+
+    class Probe:
+        def __init__(self, tag):
+            self.tag = tag
+            inits.append(tag)
+
+        def __call__(self, t):
+            return t
+
+    t = pa.table({"x": [1]})
+    fns = {i: stateless_stage(Probe, i) for i in range(9)}
+    fns[0](t)
+    for i in range(1, 8):        # fill to the cap of 8
+        fns[i](t)
+    fns[0](t)                    # refresh key 0 (now most recent)
+    assert inits == list(range(8))
+    fns[8](t)                    # 9th distinct key: evict ONE (oldest = 1)
+    assert len(_STATELESS_CACHE) == 8
+    fns[0](t)                    # still cached — no re-init
+    assert inits == list(range(9))
+    fns[1](t)                    # evicted one: re-init expected
+    assert inits == list(range(9)) + [1]
+    _STATELESS_CACHE.clear()
 
 
 def test_small_exchange_fast_path_matches_full_plan(monkeypatch):
