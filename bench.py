@@ -42,6 +42,24 @@ def wait_for_idle(bar: float = 2.5, max_wait: int = 150) -> float:
     return os.getloadavg()[0]
 
 
+def host_probe() -> float:
+    """Single-thread fixed-work CPU probe (seconds; lower = healthier).
+
+    The host has EPISODIC multi-minute slowdown windows INVISIBLE to
+    loadavg (whole benches uniformly 2-4x slower at loadavg < 0.5 —
+    likely hypervisor clock throttling; BASELINE.md methodology), so the
+    artifact records absolute single-core speed at start: compare probes
+    across runs before comparing query times. np.sort is single-threaded
+    in numpy regardless of the BLAS pool, so the number is comparable
+    across processes and hosts."""
+    import numpy as np
+    a = np.random.default_rng(7).random(8_000_000)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.sort(a, kind="stable")
+    return round(time.perf_counter() - t0, 3)
+
+
 def consume(ds) -> int:
     # batch_size=None yields whole blocks: the default (1024-row re-slicing
     # on one driver thread) costs ~1.5s per million rows and was inflating
@@ -129,6 +147,7 @@ def run_bench() -> dict:
         load_at_start = os.getloadavg()[0]
     else:
         load_at_start = wait_for_idle()
+    probe_at_start = host_probe()
     one_apply("warmup")
     t1, t2, t3 = one_apply("t1"), one_apply("t2"), one_apply("t3")
     headline = min(t1, t2, t3)
@@ -251,6 +270,11 @@ def run_bench() -> dict:
         # start is gated (wait_for_idle), end includes the bench's own load.
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "loadavg_1m_start": round(load_at_start, 2),
+        # absolute single-core speed at start/end (see host_probe): the
+        # episodic hypervisor throttle is invisible to loadavg — compare
+        # probe values across artifacts before comparing query times
+        "host_probe_sec_start": probe_at_start,
+        "host_probe_sec_end": host_probe(),
     }
     if stream_stats:
         out["cdc_stream"] = stream_stats
@@ -295,6 +319,11 @@ def run_scaling() -> dict:
                                "8cpu": r8["cdc_events_per_sec"]},
             "sec": {"2cpu": r2["value"], "8cpu": r8["value"]},
             "loadavg_1m_start": round(load0, 2),
+            # per-leg single-core speed (host_probe): a pair whose two legs
+            # show very different probes straddled a throttle transition
+            # and its efficiency is not leg-comparable
+            "host_probe_sec": {"2cpu": r2.get("host_probe_sec_start"),
+                               "8cpu": r8.get("host_probe_sec_start")},
         })
     effs = sorted(r["eff_2cpu_to_8cpu"] for r in runs)
     mid = len(effs) // 2
@@ -321,6 +350,7 @@ def run_scaling() -> dict:
         "runs": runs,
         "events_per_sec_32cpu": r32["cdc_events_per_sec"],
         "sec_32cpu": r32["value"],
+        "host_probe_sec_32cpu": r32.get("host_probe_sec_start"),
         "cdc_events": r32["cdc_events"],
         "loadavg_1m_end": round(os.getloadavg()[0], 2),
     }
