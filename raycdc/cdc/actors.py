@@ -50,7 +50,7 @@ from raycdc.cdc.apply import (
 from raycdc.cdc.evolve import concat_evolved
 from raycdc.cdc.lww import DELETED_COL, lww_reduce, to_versioned_rows
 from raycdc.cdc.sink import LakeManifest, atomic_write_parquet, commit_manifest, \
-    read_manifest
+    read_manifest, writer_lock
 from raycdc.record_flatten import RecordFlattener
 
 
@@ -98,9 +98,13 @@ class MergeActor:
                     "live_rows": None, "bytes": 0, "delta_rows": 0}
         delta_rows = self.ingested
         if not self.fragments:
-            # nothing new this epoch; keep the existing run set
+            # nothing new this epoch: keep the existing run set AND tell the
+            # driver to leave the manifest entry alone — overwriting it with
+            # rows=0/bytes=0 and this epoch's lineage would corrupt lake
+            # stats and fail fsck's footer check on a healthy partition
             return {"pid": self.pid, "files": list(self.files), "rows": 0,
-                    "live_rows": None, "bytes": 0, "delta_rows": 0}
+                    "live_rows": None, "bytes": 0, "delta_rows": 0,
+                    "unchanged": True}
         if len(self.files) + 1 > self.compact_threshold:
             # full compaction: merge base + deltas + memtable into one run
             tables = [pq.read_table(os.path.join(self.lake_dir, f))
@@ -162,8 +166,12 @@ class PartitionRouter:
             self.pending.append(
                 self.actors[pid].ingest.remote(flat.slice(lo, hi - lo)))
             if len(self.pending) >= self.max_in_flight:
-                _, self.pending = ray.wait(
+                done, self.pending = ray.wait(
                     self.pending, num_returns=len(self.pending) // 2)
+                # fetch, don't just drop: a discarded errored ref would be
+                # treated as an ack and its events silently lost (epoch-skip
+                # means the segment is never replayed)
+                ray.get(done)
         # Drain ALL acks before this batch returns: actor messages from
         # different senders are unordered, so the driver's flush() could
         # otherwise overtake in-flight ingests and miss (or even lose, at
@@ -229,7 +237,18 @@ class CdcEngine:
         measured per-commit fixed cost (BASELINE.md cadence table). The
         driver bounds in-flight routing tasks (backpressure); each task
         additionally bounds its in-flight actor-ingest acks.
+
+        Holds the lake's writer lock per commit; the commit itself CASes on
+        the head version — if a batch apply_changelog (or another engine)
+        advanced the lake between this engine's commits, its cached base
+        files are stale and committing would clobber that writer's state,
+        so the commit raises loudly instead.
         """
+        with writer_lock(self.lake_dir):
+            return self._advance_locked(max_epochs, max_in_flight_tasks)
+
+    def _advance_locked(self, max_epochs: int,
+                        max_in_flight_tasks: int) -> dict:
         todo = self._unapplied()[:max_epochs]
         if not todo:
             return {"events": 0, "epochs": []}
@@ -261,8 +280,8 @@ class CdcEngine:
         flush_rows = ray.get([a.flush.remote(version) for a in self.actors])
         partitions = dict(self.manifest.partitions) if self.manifest else {}
         for r in flush_rows:
-            if not r["files"]:
-                continue
+            if not r["files"] or r.get("unchanged"):
+                continue  # quiet partition: its committed entry stays truth
             partitions[str(r["pid"])] = {
                 "files": r["files"], "rows": int(r["rows"]),
                 "live_rows": r["live_rows"], "bytes": int(r["bytes"]),
@@ -270,13 +289,15 @@ class CdcEngine:
                             "delta_rows": int(r["delta_rows"])},
             }
         applied = set(self.manifest.epochs_applied) if self.manifest else set()
-        self.manifest = LakeManifest(
+        new_manifest = LakeManifest(
             version=version, num_partitions=self.p,
             epochs_applied=sorted(applied | set(epochs)),
             watermark_seq=max(watermark,
                               self.manifest.watermark_seq if self.manifest else -1),
             partitions=partitions)
-        commit_manifest(self.lake_dir, self.manifest)
+        commit_manifest(self.lake_dir, new_manifest,
+                        expect_base=version - 1)
+        self.manifest = new_manifest
         return {"events": int(raw_events), "routed_rows": int(total),
                 "epochs": epochs}
 

@@ -6,9 +6,10 @@ Dataflow (streaming end-to-end; the full log is never materialized)::
       → flatten_records (recursive schema walk, zero-copy map_batches)
       → to_versioned_rows (op → _deleted tombstone flag)
       → LocalLwwCombiner (per-batch winner per url — combiner/skew cap)
-      → add _pid = hash(url) % P
-      → groupby(_pid).map_groups(merge)             # the ONE shuffle
-           merge: base partition file ∪ delta → LWW → atomic file write
+      → _partitioned_merge                          # the ONE shuffle
+           split tasks route blocks by hash(url) % P (partition-only, no
+           sort barrier); one merge task per partition consumes its slices:
+           base partition file ∪ delta → LWW → atomic file write
       → driver commits the manifest atomically (exactly-once)
 
 Idempotence & resume: segments are the atomic replay unit; the manifest
@@ -42,6 +43,7 @@ from raycdc.cdc.sink import (
     atomic_write_parquet,
     commit_manifest,
     read_manifest,
+    writer_lock,
 )
 from raycdc.record_flatten import flatten_records
 
@@ -52,10 +54,13 @@ _FANIN = 64
 
 
 def _url_pid(urls: pa.ChunkedArray, num_partitions: int) -> np.ndarray:
-    import pandas as pd
+    """Routing function every lake exchange / lookup / fsck shares. Rides
+    shuffle.stable_hash (the engine-wide exchange hash) — identical values
+    for string urls as the former inline pandas hash, so existing lakes'
+    routing invariant is unchanged."""
+    from raycdc.shuffle import stable_hash
 
-    h = pd.util.hash_pandas_object(urls.to_pandas(), index=False).to_numpy()
-    return (h % num_partitions).astype(np.int64)
+    return (stable_hash(urls) % num_partitions).astype(np.int64)
 
 
 def _segment_epoch(path: str) -> int:
@@ -149,7 +154,26 @@ def apply_changelog(
     Returns metrics: events applied, partitions touched, wall seconds,
     events/sec. Safe to re-run after any crash: uncommitted work is invisible
     and re-converges; committed epochs are skipped by manifest lookup.
+    Holds the lake's writer lock for the whole job (version allocation →
+    file writes → commit): concurrent writers would reuse a (partition,
+    version) file name for different content — see sink.writer_lock.
     """
+    with writer_lock(lake_dir):
+        return _apply_changelog_locked(
+            changelog_dir, lake_dir, num_partitions=num_partitions,
+            epochs=epochs, batch_size=batch_size,
+            crash_before_commit=crash_before_commit)
+
+
+def _apply_changelog_locked(
+    changelog_dir: str,
+    lake_dir: str,
+    *,
+    num_partitions: int,
+    epochs: Optional[list[int]],
+    batch_size: int,
+    crash_before_commit: bool,
+) -> dict:
     t0 = time.perf_counter()
     timings: dict[str, float] = {}
     manifest = read_manifest(lake_dir)
@@ -213,10 +237,6 @@ def apply_changelog(
     combined = versioned.map_batches(
         LocalLwwCombiner(), batch_format="pyarrow", batch_size=batch_size)
 
-    def add_pid(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            PID_COL, pa.array(_url_pid(t["url"], num_partitions)))
-
     base_files = {}
     if manifest:
         base_files = {int(pid): manifest.partition_files(pid)
@@ -246,7 +266,7 @@ def apply_changelog(
         partitions=partitions,
     )
     if not crash_before_commit:
-        commit_manifest(lake_dir, new_manifest)
+        commit_manifest(lake_dir, new_manifest, expect_base=version - 1)
     dt = time.perf_counter() - t0
     timings["commit"] = dt - sum(timings.values())
     return {
@@ -346,15 +366,21 @@ def _partitioned_merge(combined: ray.data.Dataset, merge: "MergePartition",
         n_slots = -(-num_partitions // g_size)
     else:
         g_size, n_slots = 1, num_partitions
-    split = _split_block.options(num_returns=n_slots)
+    # degenerate single partition: with num_returns=1 Ray would hand back
+    # one ref to the whole 1-tuple (same guard as shuffle.partition_map) —
+    # and no split is needed anyway: every block IS partition 0's slice
+    split = _split_block.options(num_returns=n_slots) if n_slots > 1 else None
     per_block = []
     chunk: list = []
     chunk_size = 4
 
     def flush_chunk():
         if chunk:
-            per_block.append(split.remote(
-                n_slots, *chunk, total=num_partitions, div=g_size))
+            if split is None:
+                per_block.extend(chunk)
+            else:
+                per_block.append(split.remote(
+                    n_slots, *chunk, total=num_partitions, div=g_size))
             chunk.clear()
 
     try:
@@ -392,6 +418,8 @@ def _partitioned_merge(combined: ray.data.Dataset, merge: "MergePartition",
                    for i in range(0, len(slices), l2_chunk)]
             for g in range(gs):
                 columns[lo + g] = [r[g] for r in sub]
+    elif n_slots == 1:
+        columns = [list(per_block)]  # raw block refs are the slices
     else:
         columns = [[refs[pid] for refs in per_block]
                    for pid in range(num_partitions)]
@@ -438,7 +466,13 @@ def compact_lake(lake_dir: str) -> dict:
     untouched. Readers are never blocked: until the commit, the old manifest
     (and its files) stay the visible truth; the commit is the usual atomic
     manifest replace. Returns {partitions_compacted, files_removed}.
+    Holds the lake's writer lock (see sink.writer_lock).
     """
+    with writer_lock(lake_dir):
+        return _compact_lake_locked(lake_dir)
+
+
+def _compact_lake_locked(lake_dir: str) -> dict:
     manifest = read_manifest(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed manifest in {lake_dir}")
@@ -468,7 +502,8 @@ def compact_lake(lake_dir: str) -> dict:
     commit_manifest(lake_dir, LakeManifest(
         version=version, num_partitions=manifest.num_partitions,
         epochs_applied=manifest.epochs_applied,
-        watermark_seq=manifest.watermark_seq, partitions=partitions))
+        watermark_seq=manifest.watermark_seq, partitions=partitions),
+        expect_base=version - 1)
     return {"partitions_compacted": len(results), "files_removed": removed}
 
 
@@ -498,7 +533,21 @@ def merge_into(
     so each call rewrites its touched partitions and bumps the version.
     ``epochs_applied``/``watermark_seq`` are NOT advanced: they track WAL
     offsets only, and a merge is not a WAL read.
+    Holds the lake's writer lock (see sink.writer_lock).
     """
+    with writer_lock(lake_dir):
+        return _merge_into_locked(lake_dir, source,
+                                  num_partitions=num_partitions,
+                                  delete_col=delete_col)
+
+
+def _merge_into_locked(
+    lake_dir: str,
+    source: ray.data.Dataset,
+    *,
+    num_partitions: Optional[int],
+    delete_col: Optional[str],
+) -> dict:
     t0 = time.perf_counter()
     manifest = read_manifest(lake_dir)
     if manifest is not None:
@@ -569,7 +618,7 @@ def merge_into(
         epochs_applied=epochs,
         watermark_seq=manifest.watermark_seq if manifest else -1,
         partitions=partitions,
-    ))
+    ), expect_base=version - 1)
     dt = time.perf_counter() - t0
     return {"delta_rows": source_rows, "partitions": len(rows),
             "version": version, "seconds": round(dt, 3)}
@@ -589,8 +638,14 @@ def repartition_lake(lake_dir: str, num_partitions: int) -> dict:
     still works; ``lake_changes`` across the boundary raises (by design:
     partition pruning compares like-for-like layouts only). A crash before
     the commit leaves the head untouched; re-running converges (writes are
-    atomic and deterministic).
+    atomic and deterministic). Holds the lake's writer lock (see
+    sink.writer_lock).
     """
+    with writer_lock(lake_dir):
+        return _repartition_lake_locked(lake_dir, num_partitions)
+
+
+def _repartition_lake_locked(lake_dir: str, num_partitions: int) -> dict:
     head = read_manifest(lake_dir)
     if head is None:
         raise FileNotFoundError(f"no committed manifest in {lake_dir}")
@@ -626,7 +681,7 @@ def repartition_lake(lake_dir: str, num_partitions: int) -> dict:
         epochs_applied=head.epochs_applied,
         watermark_seq=head.watermark_seq,
         partitions=partitions,
-    ))
+    ), expect_base=version - 1)
     return {"noop": False, "version": version,
             "num_partitions": num_partitions, "partitions": len(rows),
             "seconds": round(time.perf_counter() - t0, 3)}

@@ -57,9 +57,19 @@ def _deep_check_partition(lake_dir: str, pid: int, files: list[str],
         if wrong:
             errors.append(f"{f}: {wrong} rows hash to another partition")
         tables.append(t)
-    merged = lww_reduce(concat_evolved(
-        [pq.read_table(os.path.join(lake_dir, f)) for f in files])) \
-        if len(tables) > 1 else tables[0]
+    if len(tables) > 1:
+        # the LWW-uniqueness check only needs the order/tombstone columns —
+        # re-reading the wide payload (html/text) for a metadata check would
+        # multiply deep-fsck runtime and memory by the payload width
+        need = ("url", "warc_ts", "seq", "_deleted")
+        lww = []
+        for f in files:
+            path = os.path.join(lake_dir, f)
+            names = [n for n in pq.read_schema(path).names if n in need]
+            lww.append(pq.read_table(path, columns=names))
+        merged = lww_reduce(concat_evolved(lww))
+    else:
+        merged = tables[0]
     n_urls = pc.count_distinct(merged["url"]).as_py()
     if n_urls != merged.num_rows:
         errors.append(

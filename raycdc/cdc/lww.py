@@ -89,15 +89,17 @@ def lww_dataset(ds, key: str = "url", ts: str = "warc_ts", seq: str = "seq",
     exchange (``raycdc.shuffle.partition_map`` — no sort barrier) with one
     vectorized reduce per bucket. The generic 'latest row per key' operator
     (CDC apply uses the same kernels fused with the base merge)."""
-    import pandas as pd
-
-    from raycdc.shuffle import partition_map
+    from raycdc.shuffle import partition_map, stable_hash
 
     bcol = "__rcdc_lb"
 
     def local(t: pa.Table) -> pa.Table:
         r = lww_reduce(t, key, ts, seq)
-        h = pd.util.hash_pandas_object(r[key].to_pandas(), index=False).to_numpy()
+        # stable_hash, not a plain .to_pandas() hash: `key` is generic, and
+        # one null in a nullable-int key batch would flip the dtype and
+        # re-hash EVERY key in that batch (repo invariant — two winners for
+        # one key would survive the per-bucket reduce)
+        h = stable_hash(r[key])
         return r.append_column(bcol, pa.array((h % num_partitions).astype("int64")))
 
     def bucket(t: pa.Table) -> pa.Table:
@@ -143,9 +145,16 @@ class LocalLwwCombiner:
         if self._seen is None:
             self._seen = cur
             return out
-        prev = self._seen.reindex(cur.index)
+        # reindex with an int64 sentinel, NOT the NaN default: NaN would
+        # degrade the whole column to float64, which quantizes ns-scale
+        # timestamps (~1.7e18 > 2^53) at ~256 ns — two close events could
+        # compare ts-equal and the seq tiebreak drop the genuinely newer
+        # row. The sentinel (int64 min) always LOSES: _int_view floors real
+        # values at int64 min + 1, so an unseen key can never read beaten.
+        sentinel = np.iinfo(np.int64).min
+        prev = self._seen.reindex(cur.index, fill_value=sentinel)
         pts, pseq = prev["ts"].to_numpy(), prev["seq"].to_numpy()
-        # exact (ts, seq) order; NaN (unseen key) compares False → keep
+        # exact integer (ts, seq) order; sentinel (unseen) compares False
         beaten = (pts > cur["ts"].to_numpy()) | (
             (pts == cur["ts"].to_numpy()) & (pseq >= cur["seq"].to_numpy()))
         keep = ~beaten

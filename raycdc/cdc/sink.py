@@ -24,6 +24,7 @@ sources/sinks note) plus the north star's per-partition lineage requirement.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import json
 import os
@@ -31,6 +32,43 @@ from typing import Any, Optional
 
 MANIFEST_NAME = "_manifest.json"
 SNAPSHOT_DIR = "_manifests"
+LOCK_NAME = ".writer.lock"
+
+
+@contextlib.contextmanager
+def writer_lock(lake_dir: str):
+    """Single-writer guard for a lake: an exclusive, non-blocking flock on
+    ``lake_dir/.writer.lock`` held for the whole job (version allocation →
+    file writes → manifest commit). Two concurrent writers would both read
+    head vN, both write ``part-X/v{N+1}.parquet`` with DIFFERENT bytes (last
+    ``os.replace`` wins) and the committed manifest could reference the
+    loser's bytes — silently losing an epoch and breaking the
+    (partition, version)-content-addressing invariant vacuum and CDF pruning
+    rely on. The lock is released automatically if the holder crashes.
+
+    Contention raises immediately (retry after the holder commits — the
+    retry re-reads the head and converges). Works on any POSIX filesystem
+    the coordinating drivers share; on shared object storage, replace with
+    a conditional put — ``commit_manifest(expect_base=...)`` is the
+    commit-time CAS backstop either way.
+    """
+    import fcntl
+
+    os.makedirs(lake_dir, exist_ok=True)
+    f = open(os.path.join(lake_dir, LOCK_NAME), "w")
+    try:
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            raise RuntimeError(
+                f"another writer holds the lake lock on {lake_dir}; "
+                f"retry after it commits") from None
+        yield
+    finally:
+        try:
+            fcntl.flock(f, fcntl.LOCK_UN)
+        finally:
+            f.close()
 
 
 @dataclasses.dataclass
@@ -124,7 +162,8 @@ def _atomic_write_text(path: str, text: str) -> None:
     os.replace(tmp, path)
 
 
-def commit_manifest(lake_dir: str, manifest: LakeManifest) -> None:
+def commit_manifest(lake_dir: str, manifest: LakeManifest, *,
+                    expect_base: Optional[int] = None) -> None:
     """Atomic publish: write tmp, fsync, rename over the live manifest.
 
     An immutable per-version snapshot copy is retained under
@@ -133,7 +172,25 @@ def commit_manifest(lake_dir: str, manifest: LakeManifest) -> None:
     two writes leaves an orphan snapshot with ``version > head.version``;
     readers treat only versions ≤ head as committed, and a re-run of the
     same epoch rewrites the orphan with identical content (deterministic
-    merge), so convergence is unaffected."""
+    merge), so convergence is unaffected.
+
+    ``expect_base`` (engine writers pass ``manifest.version - 1``; 0 means
+    "expect an uncommitted lake") is a commit-time CAS: if another writer
+    advanced the head since this job allocated its version, raise instead
+    of silently clobbering their commit. The loser's already-written data
+    files stay unreferenced (vacuum candidates); a retry re-reads the head
+    and converges. The real exclusion is :func:`writer_lock` — this is the
+    backstop for writers that bypassed it."""
+    head_v = None
+    if expect_base is not None:
+        head = read_manifest(lake_dir)
+        head_v = head.version if head else 0
+        if head_v != expect_base:
+            raise RuntimeError(
+                f"concurrent writer detected on {lake_dir}: head moved to "
+                f"v{head_v} (expected v{expect_base}) while this job was "
+                f"writing v{manifest.version}; its commit was NOT applied — "
+                f"retry from the new head")
     os.makedirs(os.path.join(lake_dir, SNAPSHOT_DIR), exist_ok=True)
     text = manifest.to_json()
     _atomic_write_text(snapshot_path(lake_dir, manifest.version), text)
@@ -144,9 +201,17 @@ def expire_snapshots(lake_dir: str, keep_last: int = 2) -> list[int]:
     """Drop time-travel history: delete all but the newest ``keep_last``
     committed snapshot manifests (the head's version is always kept). The
     data files they referenced become vacuum-able afterwards. Returns the
-    expired versions."""
+    expired versions. Holds the lake's :func:`writer_lock`: a concurrent
+    vacuum enumerates the snapshot set while deciding which data files are
+    live, so unlinking snapshots under it would let vacuum read a manifest
+    file mid-delete."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    with writer_lock(lake_dir):
+        return _expire_snapshots_locked(lake_dir, keep_last)
+
+
+def _expire_snapshots_locked(lake_dir: str, keep_last: int) -> list[int]:
     head = read_manifest(lake_dir)
     if head is None:
         return []
@@ -166,14 +231,22 @@ def vacuum(lake_dir: str, stale_tmp_seconds: float = 600.0) -> list[str]:
     snapshots, so their files stay live until ``expire_snapshots``).
 
     Safe at any time: readers resolve files only through manifests, and
-    writers never reuse an (partition, version) file name for different
-    content. Orphaned ``*.tmp.<pid>`` files from crashed writers are also
-    removed, but only once older than ``stale_tmp_seconds`` so an in-flight
-    writer's tmp is never unlinked mid-write. Returns the deleted relative
-    paths.
+    vacuum runs under the lake's :func:`writer_lock`, so it can never race a
+    writer whose freshly-written final-name files are not yet referenced by
+    a committed manifest (they would otherwise look unreferenced and be
+    deleted out from under the pending commit). Orphaned ``*.tmp.<pid>``
+    files from crashed writers are also removed, but only once older than
+    ``stale_tmp_seconds`` so an in-flight writer's tmp is never unlinked
+    mid-write. Returns the deleted relative paths.
     """
     import time
 
+    with writer_lock(lake_dir):
+        return _vacuum_locked(lake_dir, stale_tmp_seconds, time)
+
+
+def _vacuum_locked(lake_dir: str, stale_tmp_seconds: float,
+                   time) -> list[str]:
     manifests = [read_manifest(lake_dir)]
     manifests += [read_manifest(lake_dir, version=v)
                   for v in list_snapshots(lake_dir)]
