@@ -16,7 +16,10 @@ deep (adds one Ray task per partition — reads data):
   - every row's url actually hashes to the partition that holds it (the
     routing invariant all exchanges, lookups, and co-partitioned joins
     assume)
-  - urls are unique per partition run set after LWW (the reduce contract)
+  - urls are unique and non-null within EACH file (every lake file is
+    written post-``lww_reduce``, so an in-file duplicate means a broken
+    writer; across files of an LSM run set duplicates are legitimate —
+    newer deltas supersede the base at read time)
   - each file is url-sorted (the point-lookup row-group-pruning contract)
 
 Returns a report dict; ``ok`` is True iff there are no errors (warnings —
@@ -39,11 +42,8 @@ from raycdc.cdc.sink import list_snapshots, read_manifest
 def _deep_check_partition(lake_dir: str, pid: int, files: list[str],
                           num_partitions: int) -> list[str]:
     from raycdc.cdc.apply import _url_pid
-    from raycdc.cdc.evolve import concat_evolved
-    from raycdc.cdc.lww import lww_reduce
 
     errors = []
-    tables = []
     for f in files:
         t = pq.read_table(os.path.join(lake_dir, f), columns=["url"])
         urls = t["url"]
@@ -56,25 +56,19 @@ def _deep_check_partition(lake_dir: str, pid: int, files: list[str],
         wrong = int((pids != pid).sum())
         if wrong:
             errors.append(f"{f}: {wrong} rows hash to another partition")
-        tables.append(t)
-    if len(tables) > 1:
-        # the LWW-uniqueness check only needs the order/tombstone columns —
-        # re-reading the wide payload (html/text) for a metadata check would
-        # multiply deep-fsck runtime and memory by the payload width
-        need = ("url", "warc_ts", "seq", "_deleted")
-        lww = []
-        for f in files:
-            path = os.path.join(lake_dir, f)
-            names = [n for n in pq.read_schema(path).names if n in need]
-            lww.append(pq.read_table(path, columns=names))
-        merged = lww_reduce(concat_evolved(lww))
-    else:
-        merged = tables[0]
-    n_urls = pc.count_distinct(merged["url"]).as_py()
-    if n_urls != merged.num_rows:
-        errors.append(
-            f"partition {pid}: {merged.num_rows - n_urls} duplicate urls "
-            f"after LWW")
+        # per-FILE uniqueness is the writer contract (every file is written
+        # post-lww_reduce); the former whole-run-set check re-reduced the
+        # concatenated files first, so it could never fire on a multi-file
+        # run (lww_reduce emits one row per key by construction) AND paid
+        # extra column reads for it. Across files, duplicates are the
+        # normal LSM shape.
+        nulls = urls.null_count
+        if nulls:
+            errors.append(f"{f}: {nulls} null urls")
+        dup = t.num_rows - nulls - pc.count_distinct(
+            urls, mode="only_valid").as_py()
+        if dup:
+            errors.append(f"{f}: {dup} duplicate urls within one file")
     return errors
 
 

@@ -235,3 +235,17 @@ def test_fsck_deep_green_on_multi_file_run_sets(changelog, tmp_path,
     assert any(len(m.partition_files(pid)) > 1 for pid in m.partitions)
     r = check_lake(lake, deep=True)
     assert r["ok"], r
+
+    # the per-file uniqueness check must actually FIRE: duplicate one row
+    # inside a delta file of a multi-file run set (the former whole-run-set
+    # check re-reduced first, so it could never detect this)
+    import os
+
+    pid = next(p for p in m.partitions if len(m.partition_files(p)) > 1)
+    rel = m.partition_files(pid)[-1]
+    path = os.path.join(lake, rel)
+    t = pq.read_table(path)
+    pq.write_table(pa.concat_tables([t.slice(0, 1), t]), path)
+    bad = check_lake(lake, deep=True)
+    assert not bad["ok"]
+    assert any("duplicate urls within one file" in e for e in bad["errors"])
