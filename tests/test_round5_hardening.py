@@ -4,6 +4,8 @@ exact integer (never float-degraded) LWW ordering across combiner batches,
 stable_hash in every key exchange, and the degenerate single-partition
 merge path."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -57,6 +59,45 @@ def test_vacuum_and_expire_blocked_while_writer_holds_lock(tmp_path):
             vacuum(d)
         with pytest.raises(RuntimeError, match="another writer"):
             expire_snapshots(d, keep_last=1)
+
+
+def test_writer_lock_excludes_across_processes(tmp_path):
+    # the deployment scenario: a second driver PROCESS must be excluded
+    # while the first holds the lake (flock is per open-file-description,
+    # so the in-process test above alone would not prove this)
+    import subprocess
+    import sys
+    import time
+
+    d = str(tmp_path / "lake")
+    m1, m2 = str(tmp_path / "locked"), str(tmp_path / "release")
+    script = (
+        "import sys, time, os\n"
+        f"sys.path.insert(0, {repr('/root/repo')})\n"
+        "from raycdc.cdc.sink import writer_lock\n"
+        "d, m1, m2 = sys.argv[1:4]\n"
+        "with writer_lock(d):\n"
+        "    open(m1, 'w').close()\n"
+        "    t0 = time.time()\n"
+        "    while not os.path.exists(m2) and time.time() - t0 < 30:\n"
+        "        time.sleep(0.02)\n"
+    )
+    proc = subprocess.Popen([sys.executable, "-c", script, d, m1, m2])
+    try:
+        t0 = time.time()
+        while not os.path.exists(m1):
+            assert time.time() - t0 < 30, "subprocess never took the lock"
+            assert proc.poll() is None, "subprocess died before locking"
+            time.sleep(0.02)
+        with pytest.raises(RuntimeError, match="another writer"):
+            with writer_lock(d):
+                pass
+    finally:
+        open(m2, "w").close()
+        proc.wait(timeout=30)
+    assert proc.returncode == 0
+    with writer_lock(d):  # released with the other process
+        pass
 
 
 def test_commit_manifest_cas_rejects_moved_head(tmp_path):
@@ -239,8 +280,6 @@ def test_fsck_deep_green_on_multi_file_run_sets(changelog, tmp_path,
     # the per-file uniqueness check must actually FIRE: duplicate one row
     # inside a delta file of a multi-file run set (the former whole-run-set
     # check re-reduced first, so it could never detect this)
-    import os
-
     pid = next(p for p in m.partitions if len(m.partition_files(p)) > 1)
     rel = m.partition_files(pid)[-1]
     path = os.path.join(lake, rel)
