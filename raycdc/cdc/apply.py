@@ -935,7 +935,8 @@ def lake_changes(
     """Change data feed between two committed lake states: one ``I``/``U``/
     ``D`` row per url whose live value differs (the ``cdc/diff.table_diff``
     contract — new values for I/U, nulls for D, ``IS DISTINCT FROM``
-    comparison over ``compare_cols``, default every non-key column;
+    comparison over ``compare_cols``, default every non-nested non-key
+    column;
     ``include_old`` adds ``old_<c>`` columns carrying the previous values
     for U/D rows — what an incremental view maintainer consumes).
 
@@ -961,8 +962,15 @@ def lake_changes(
     target = unify([pq.read_schema(os.path.join(lake_dir, f))
                     for f in files])
     if compare_cols is None:
+        # nested payloads (merge_into admits e.g. fixed_size_list
+        # embeddings) are excluded from the default compare set — the same
+        # Acero/not_equal limitation cojoin's defaults honor; a row whose
+        # ONLY change is a nested column emits no feed row under the
+        # default (compare it via a binary-blob column upstream instead).
+        # Passing such a column explicitly raises upfront in table_diff.
         compare_cols = [n for n in target.names
-                        if n not in ("url", DELETED_COL)]
+                        if n not in ("url", DELETED_COL)
+                        and not pa.types.is_nested(target.field(n).type)]
     return table_diff(
         _live_view(lake_dir, m_old, changed, target),
         _live_view(lake_dir, m_new, changed, target),

@@ -41,11 +41,33 @@ def table_diff(
     add the new one).
     Deterministic; both inputs stream into one co-partition exchange.
     """
-    from raycdc.joins import _pa_schema, hash_join, pin_schema
+    from raycdc.joins import (
+        _common_key_type, _pa_schema, hash_join, pin_schema)
 
     key_cols = list(key_cols)
     compare_cols = list(compare_cols)
     oschema, nschema = _pa_schema(old), _pa_schema(new)
+    # fail fast on nested compare columns (same contract as cojoin): the
+    # tagged tables carry them as non-key join fields, which Acero rejects,
+    # and pc.not_equal has no nested kernel — the error would otherwise
+    # surface deep inside the exchange
+    nested = [c for c in compare_cols
+              if (c in nschema.names and
+                  pa.types.is_nested(nschema.field(c).type))
+              or (c in oschema.names and
+                  pa.types.is_nested(oschema.field(c).type))]
+    if nested:
+        raise ValueError(
+            f"compare_cols={nested} are nested-typed; joins and not_equal "
+            f"reject nested fields — cast them to binary blobs upstream "
+            f"(see raycdc/joins) or exclude them")
+
+    def _key_type(k: str) -> pa.DataType:
+        # hash_join widens mismatched key dtypes to a common type (int32 vs
+        # int64 → int64); the pinned output schema must declare what the
+        # data blocks actually carry, or the typed-empty union diverges
+        lt, rt = oschema.field(k).type, nschema.field(k).type
+        return rt if lt == rt else _common_key_type(lt, rt)
 
     def tagged_schema(s: pa.Schema, side: str) -> pa.Schema:
         return pa.schema(
@@ -56,8 +78,14 @@ def table_diff(
 
     def tag(side: str):
         old_names = {c: f"__rcdc_{side}_{c}" for c in compare_cols}
+        empty = tagged_schema(nschema if side == "n" else oschema,
+                              side).empty_table()
 
         def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 and key_cols[0] not in t.column_names:
+                # repo invariant: Ray can degrade typed EMPTY upstream
+                # blocks to zero-column blocks (CLAUDE.md)
+                return empty
             cols = {k: t[k] for k in key_cols}
             for c in compare_cols:
                 cols[old_names[c]] = t[c]
@@ -79,12 +107,14 @@ def table_diff(
 
     out_schema = pa.schema(
         [pa.field("op", pa.string())]
-        + [pa.field(k, nschema.field(k).type) for k in key_cols]
+        + [pa.field(k, _key_type(k)) for k in key_cols]
         + [pa.field(c, nschema.field(c).type) for c in compare_cols]
         + ([pa.field(f"{old_prefix}{c}", oschema.field(c).type)
             for c in compare_cols] if include_old else []))
 
     def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and "__rcdc_o" not in t.column_names:
+            return out_schema.empty_table()  # zero-column empty (see tag)
         in_old = pc.fill_null(pc.is_valid(t["__rcdc_o"]), False) \
             .to_numpy(zero_copy_only=False)
         in_new = pc.is_valid(t["__rcdc_n"]).to_numpy(zero_copy_only=False)

@@ -34,11 +34,18 @@ import ray.data
 _COUNT = "n"
 
 
-def _sum_specs(sums: Optional[dict[str, str]]) -> dict[str, str]:
+def _sum_specs(sums: Optional[dict[str, str]], group_col: str,
+               count_name: str) -> dict[str, str]:
     sums = dict(sums or {})
-    if _COUNT in sums:
-        raise ValueError(f"sum output name {_COUNT!r} is reserved for the "
-                         "view's row count")
+    if count_name in sums:
+        raise ValueError(f"sum output name {count_name!r} is reserved for "
+                         "the view's row count")
+    # a colliding name would silently overwrite the grouping column in the
+    # pa.table dict (the view would group by the summed values) — raise
+    bad = [n for n in list(sums) + [count_name] if n in (group_col, "__w")]
+    if bad:
+        raise ValueError(f"output names {bad} collide with the group "
+                         f"column {group_col!r} or an internal column")
     return sums
 
 
@@ -48,24 +55,35 @@ def count_view(
     *,
     sums: Optional[dict[str, str]] = None,  # out_name -> source col (int)
     count_name: str = _COUNT,
+    num_partitions: int = 8,
 ) -> ray.data.Dataset:
     """Full recompute of the view: count (and integer sums) per group over
     the live rows — the bootstrap for :func:`maintain_count_view` and the
     equality oracle for its tests."""
     from raycdc.agg import grouped_aggregate
+    from raycdc.joins import _pa_schema
 
-    sums = _sum_specs(sums)
-    src = live.map_batches(
-        lambda t: pa.table(
+    sums = _sum_specs(sums, group_col, count_name)
+    in_schema = _pa_schema(live)
+    empty = pa.schema(
+        [in_schema.field(group_col)]
+        + [pa.field(out, pa.int64()) for out in sums]).empty_table()
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and group_col not in t.column_names:
+            return empty  # zero-column degraded empty (CLAUDE.md)
+        return pa.table(
             {group_col: t[group_col],
-             **{out: pc.cast(t[col], pa.int64()) for out, col in sums.items()}}),
-        batch_format="pyarrow")
+             **{out: pc.cast(t[col], pa.int64())
+                for out, col in sums.items()}})
+
+    src = live.map_batches(project, batch_format="pyarrow")
     # exchange="partition": group values may be NULL, which Ray's
     # sort-based groupby cannot order (None < str raises).
     return grouped_aggregate(src, [group_col],
                              sums={out: out for out in sums},
                              count_name=count_name, exchange="partition",
-                             num_partitions=8)
+                             num_partitions=num_partitions)
 
 
 def view_delta(
@@ -75,6 +93,7 @@ def view_delta(
     sums: Optional[dict[str, str]] = None,
     count_name: str = _COUNT,
     old_prefix: str = "old_",
+    num_partitions: int = 8,
 ) -> ray.data.Dataset:
     """Per-group view delta from an ``include_old=True`` change feed.
 
@@ -85,10 +104,18 @@ def view_delta(
     only when their merged count reaches zero).
     """
     from raycdc.agg import grouped_aggregate
+    from raycdc.joins import _pa_schema
 
-    sums = _sum_specs(sums)
+    sums = _sum_specs(sums, group_col, count_name)
+    in_schema = _pa_schema(changes)
+    contrib_empty = pa.schema(
+        [in_schema.field(group_col)]
+        + [pa.field(out, pa.int64()) for out in sums]
+        + [pa.field("__w", pa.int64())]).empty_table()
 
     def contributions(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and "op" not in t.column_names:
+            return contrib_empty  # zero-column degraded empty (CLAUDE.md)
         op = t["op"]
         plus = pc.fill_null(pc.not_equal(op, "D"), False)   # I, U
         minus = pc.fill_null(pc.not_equal(op, "I"), False)  # U, D
@@ -113,17 +140,18 @@ def view_delta(
     agg = grouped_aggregate(contrib, [group_col],
                             sums={**{out: out for out in sums},
                                   count_name: "__w"},
-                            exchange="partition", num_partitions=8)
+                            exchange="partition",
+                            num_partitions=num_partitions)
     # grouped_aggregate emits count_name via its sums path here (the signed
     # weight IS the count delta); cast every delta to int64 for a stable
     # schema even when a batch's pandas hop widened an empty column.
-    from raycdc.joins import _pa_schema
-
-    target = pa.schema([_pa_schema(changes).field(group_col)]
+    target = pa.schema([in_schema.field(group_col)]
                        + [pa.field(out, pa.int64()) for out in sums]
                        + [pa.field(count_name, pa.int64())])
     return agg.map_batches(
-        lambda t: t.select(target.names).cast(target),
+        lambda t: target.empty_table()
+        if t.num_rows == 0 and group_col not in t.column_names
+        else t.select(target.names).cast(target),
         batch_format="pyarrow")
 
 
@@ -134,6 +162,7 @@ def merge_view(
     *,
     value_cols: Optional[list[str]] = None,
     count_name: str = _COUNT,
+    num_partitions: int = 8,
 ) -> ray.data.Dataset:
     """Fold a view delta into the prior view: groups are summed, and a
     group whose merged count reaches zero disappears (exactly the recompute
@@ -149,9 +178,10 @@ def merge_view(
     merged = grouped_aggregate(
         both, [group_col],
         sums={c: c for c in list(value_cols) + [count_name]},
-        exchange="partition", num_partitions=8)
+        exchange="partition", num_partitions=num_partitions)
     return merged.map_batches(
-        lambda t: t.filter(pc.not_equal(t[count_name], 0)),
+        lambda t: t if t.num_rows == 0
+        else t.filter(pc.not_equal(t[count_name], 0)),
         batch_format="pyarrow")
 
 
@@ -175,18 +205,21 @@ def maintain_count_view(
     pass the maintained view back in and pay only for the churn."""
     from raycdc.cdc.apply import lake_changes, read_lake
 
-    sums = _sum_specs(sums)
+    sums = _sum_specs(sums, group_col, count_name)
     if prior_view is None:
         prior_view = count_view(
             read_lake(lake_dir, as_of_version=from_version,
                       as_of_epoch=from_epoch),
-            group_col, sums=sums, count_name=count_name)
+            group_col, sums=sums, count_name=count_name,
+            num_partitions=num_partitions)
     compare = sorted({group_col, *sums.values()})
     feed = lake_changes(lake_dir,
                         from_version=from_version, from_epoch=from_epoch,
                         to_version=to_version, to_epoch=to_epoch,
                         compare_cols=compare, include_old=True,
                         num_partitions=num_partitions)
-    delta = view_delta(feed, group_col, sums=sums, count_name=count_name)
+    delta = view_delta(feed, group_col, sums=sums, count_name=count_name,
+                       num_partitions=num_partitions)
     return merge_view(prior_view, delta, group_col,
-                      value_cols=list(sums), count_name=count_name)
+                      value_cols=list(sums), count_name=count_name,
+                      num_partitions=num_partitions)

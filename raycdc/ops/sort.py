@@ -68,11 +68,20 @@ def _key_to_numpy(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.nda
     null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
     if (pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type)
             or pa.types.is_time(arr.type)):
+        if pa.types.is_date32(arr.type) or pa.types.is_time32(arr.type):
+            # Arrow has no direct date32/time32 → int64 cast kernel
+            arr = arr.cast(pa.int32())
         arr = arr.cast(pa.int64())
     arr = pc.fill_null(arr, _null_filler(arr.type))
     vals = arr.to_numpy(zero_copy_only=False)
-    if vals.dtype == object:
+    if vals.dtype == object and (pa.types.is_string(arr.type)
+                                 or pa.types.is_large_string(arr.type)):
         vals = vals.astype("U")
+    # other object-dtype keys (binary → bytes, decimal → Decimal) stay
+    # object: their Python compare order matches Arrow's sort order, so
+    # routing agrees with the in-partition pc.sort_indices. astype("U")
+    # here would route by str() — Decimal('9') > Decimal('100') as text —
+    # silently breaking the global order.
     return vals, null_mask
 
 
@@ -80,6 +89,10 @@ def _null_filler(t: pa.DataType):
     """Placeholder for null key slots (masked out of routing anyway)."""
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return ""
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) \
+            or pa.types.is_fixed_size_binary(t):
+        return b"" if not pa.types.is_fixed_size_binary(t) \
+            else b"\x00" * t.byte_width
     return 0
 
 
@@ -309,6 +322,12 @@ def read_sorted_parquet(in_dir: str, key: str, *, lo=None, hi=None,
     the two boundary parts. This is WHY the ordered layout exists — a
     point/range lookup over 100 TB touches O(range) files, not O(lake).
 
+    The returned Dataset's BLOCK order is not the key order: Ray's
+    streaming executor emits blocks in completion order
+    (``preserve_order=False`` default). The ordered layout is a pruning
+    contract; a consumer that needs a totally ordered STREAM must set
+    ``DataContext.execution_options.preserve_order`` or re-sort.
+
     ``lo``/``hi`` are inclusive; ``None`` leaves that side unbounded.
     Nulls never match a bounded range (SQL comparison semantics).
     """
@@ -389,4 +408,16 @@ def write_sorted_parquet(sorted_ds: SortedDataset, out_dir: str) -> list:
     for i, (ref, n) in enumerate(zip(blocks, rows)):
         path = os.path.join(out_dir, f"part-{i:05d}.parquet")
         refs.append(_write_part.remote(ref, path, n))
-    return ray.get(refs)
+    out = ray.get(refs)
+    # remove stale parts beyond this run's count: a prior write with MORE
+    # partitions would otherwise leave part-0000N files that
+    # read_sorted_parquet globs in, silently breaking the file-order-IS-
+    # row-order contract (previous runs always wrote contiguously from 0)
+    i = len(rows)
+    while True:
+        stale = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        if not os.path.exists(stale):
+            break
+        os.unlink(stale)
+        i += 1
+    return out
