@@ -687,22 +687,38 @@ def _repartition_lake_locked(lake_dir: str, num_partitions: int) -> dict:
             "seconds": round(time.perf_counter() - t0, 3)}
 
 
-@ray.remote
-def _read_partition(lake_dir: str, files: list[str],
-                    target: pa.Schema) -> pa.Table:
+def read_partition_table(lake_dir: str, files: list[str],
+                         target: pa.Schema) -> pa.Table:
     """Read one partition's LSM run set and LWW-merge it (delta files from
     the streaming engine may supersede base rows). Only ``target``'s
     columns are decoded — a pruned read never touches the other columns'
-    pages."""
+    pages. The single-file path skips the reduce — sound ONLY while every
+    lake file is url-unique (the writer contract deep fsck polices).
+
+    Plain function (not a Ray task) so a task that must read several
+    partitions — the co-partitioned join — can call it without nesting
+    remote calls; :func:`_read_partition` is the one-partition task
+    wrapper. THE one read path: fixes here reach every reader."""
     tables = []
     for f in files:
         path = os.path.join(lake_dir, f)
         names = [n for n in pq.read_schema(path).names if n in target.names]
         tables.append(pq.read_table(path, columns=names))
-    merged = lww_reduce(concat_evolved(tables)) if len(tables) > 1 else tables[0]
+    if not tables:
+        merged = target.empty_table()
+    elif len(tables) > 1:
+        merged = lww_reduce(concat_evolved(tables))
+    else:
+        merged = tables[0]
     from raycdc.cdc.evolve import align_to_schema
 
     return align_to_schema(merged, target)
+
+
+@ray.remote
+def _read_partition(lake_dir: str, files: list[str],
+                    target: pa.Schema) -> pa.Table:
+    return read_partition_table(lake_dir, files, target)
 
 
 @ray.remote

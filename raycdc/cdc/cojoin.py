@@ -30,29 +30,19 @@ import ray.data
 
 from raycdc.cdc.apply import _resolve_manifest
 from raycdc.cdc.lww import DELETED_COL
-from raycdc.cdc.evolve import align_to_schema, concat_evolved, unify
-from raycdc.cdc.lww import lww_reduce
+from raycdc.cdc.evolve import unify
 
 
 def _live_partition_table(lake_dir: str, files: list[str],
                           target: pa.Schema) -> pa.Table:
-    """One partition's live rows (LSM runs LWW-merged, tombstones dropped),
-    aligned to ``target`` — the plain-function twin of apply._read_partition
-    so a co-partitioned join task can read both sides without nesting remote
-    calls. Only ``target``'s columns are decoded (``target`` is pre-pruned
-    to the join's projection plus the LWW/tombstone internals)."""
-    tables = []
-    for f in files:
-        path = os.path.join(lake_dir, f)
-        names = [n for n in pq.read_schema(path).names if n in target.names]
-        tables.append(pq.read_table(path, columns=names))
-    if not tables:
-        merged = target.empty_table()
-    elif len(tables) > 1:
-        merged = lww_reduce(concat_evolved(tables))
-    else:
-        merged = tables[0]
-    merged = align_to_schema(merged, target)
+    """One partition's live rows: apply.read_partition_table (THE shared
+    read-project-LWW-align path — plain function, so both sides read inside
+    one join task without nested remote calls) with tombstones dropped.
+    ``target`` is pre-pruned to the join's projection plus the
+    LWW/tombstone internals."""
+    from raycdc.cdc.apply import read_partition_table
+
+    merged = read_partition_table(lake_dir, files, target)
     live = merged.filter(
         pc.invert(pc.fill_null(merged[DELETED_COL], False)))
     return live.drop_columns([DELETED_COL])
