@@ -157,44 +157,6 @@ def grouped_aggregate(
                   .groupby(keys + [salt_col]).aggregate(*make_aggs()))
         partials = salted.map_batches(
             lambda t: t.drop_columns([salt_col]), batch_format="pyarrow")
-    if exchange == "partition":
-        from raycdc.ops.ordered import _hash_bucket
-        from raycdc.shuffle import partition_map
-
-        bcol = "__rcdc_gab"
-
-        def add_bucket(t: pa.Table) -> pa.Table:
-            return _hash_bucket(t, keys, bcol, num_partitions)
-
-        def bucket_combine(t: pa.Table) -> pa.Table:
-            df = t.to_pandas(types_mapper=_stm)
-            g = df.groupby(keys, sort=False, dropna=False)
-            parts = {}
-            for out in sums:
-                parts[out] = g[out].sum()
-            for tmp in mean_sum_cols:
-                parts[tmp] = g[tmp].sum()
-            for out in mins:
-                parts[out] = g[out].min()
-            for out in maxs:
-                parts[out] = g[out].max()
-            if need_count:
-                parts[cnt_col] = g[cnt_col].sum()
-            return _restore_key_types(
-                pa.Table.from_pandas(pd.DataFrame(parts).reset_index(),
-                                     preserve_index=False),
-                t.schema, keys)
-
-        bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
-                                        batch_size=None)
-        from raycdc.shuffle import lazy_schema
-
-        merged = partition_map(bucketed, bcol, num_partitions,
-                               bucket_combine,
-                               empty_schema=lazy_schema(partials))
-    else:
-        merged = partials.groupby(keys).aggregate(*make_aggs())
-
     def finalize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         for out in means:
@@ -209,6 +171,87 @@ def grouped_aggregate(
             drop.append(cnt_col)
         return t.drop_columns(drop)
 
+    if exchange == "partition":
+        from raycdc.ops.ordered import _hash_bucket
+        from raycdc.shuffle import lazy_schema, partition_map
+
+        bcol = "__rcdc_gab"
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            return _hash_bucket(t, keys, bcol, num_partitions)
+
+        def bucket_combine(t: pa.Table) -> pa.Table:
+            # merge + FINALIZE inside the partition task (the
+            # grouped_stats_with_distinct rule): Ray 2.49 map stages skip
+            # zero-row blocks, so a post-exchange finalize would drop the
+            # all-empty fallback and the result would lose its schema
+            df = t.to_pandas(types_mapper=_stm)
+            g = df.groupby(keys, sort=False, dropna=False)
+            parts = {}
+            for out in sums:
+                parts[out] = g[out].sum()
+            for tmp in mean_sum_cols:
+                parts[tmp] = g[tmp].sum()
+            for out in mins:
+                parts[out] = g[out].min()
+            for out in maxs:
+                parts[out] = g[out].max()
+            if need_count:
+                parts[cnt_col] = g[cnt_col].sum()
+            merged = _restore_key_types(
+                pa.Table.from_pandas(pd.DataFrame(parts).reset_index(),
+                                     preserve_index=False),
+                t.schema, keys)
+            return finalize(merged)
+
+        lazy_partials = lazy_schema(partials)
+
+        def final_empty_schema():
+            # all-empty corner: the fallback must carry the FINAL shape —
+            # partial types when any block had a schema, else input-plan
+            # types (pandas widens integer sums to int64; fully schema-less
+            # upstream stays None, the documented degrade)
+            base = lazy_partials()
+            if base is None:
+                s = ds.schema(fetch_if_missing=False) or ds.schema()
+                if s is None:
+                    return None
+                in_schema = pa.schema([pa.field(n, t) for n, t in
+                                       zip(s.names, s.types)])
+
+                def agg_type(col, summed):
+                    ft = in_schema.field(col).type
+                    if summed and pa.types.is_integer(ft):
+                        return pa.int64()
+                    return ft
+
+                fields = [in_schema.field(k) for k in keys]
+                fields += [pa.field(o, agg_type(c, True))
+                           for o, c in sums.items()]
+                fields += [pa.field(o, agg_type(c, False))
+                           for o, c in mins.items()]
+                fields += [pa.field(o, agg_type(c, False))
+                           for o, c in maxs.items()]
+            else:
+                fields = [base.field(k) for k in keys]
+                fields += [base.field(o) for o in
+                           list(sums) + list(mins) + list(maxs)]
+            fields += [pa.field(o, pa.float64()) for o in means]
+            if count_name is not None:
+                fields.append(pa.field(count_name, pa.int64()))
+            return pa.schema(fields)
+
+        bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
+                                        batch_size=None)
+        return partition_map(bucketed, bcol, num_partitions,
+                             bucket_combine,
+                             empty_schema=final_empty_schema)
+
+    # sort path: an all-empty input degrades to a schema-less zero-block
+    # result (Ray's groupby emits no blocks and the finalize map has
+    # nothing to carry a pin through) — callers whose input can be empty
+    # at runtime should pass exchange="partition"
+    merged = partials.groupby(keys).aggregate(*make_aggs())
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
@@ -916,9 +959,31 @@ def grouped_mode(
         win[count_name] = win[count_name].astype("int64")
         return pa.Table.from_pandas(win, preserve_index=False)
 
+    lazy_counted = lazy_schema(counted)
+
+    def mode_empty_schema():
+        # the fallback must carry PICK's output columns (keys, name,
+        # count_name) — the pre-rename counted schema (col, __rcdc_gmc)
+        # would crash any consumer selecting 'mode'; an all-null-values
+        # input leaves counted with zero blocks, so fall back to input
+        # types for the key/value fields
+        base = lazy_counted()
+        if base is not None:
+            fields = [base.field(k) for k in keys]
+            fields.append(pa.field(name, base.field(col).type))
+        else:
+            s = ds.schema(fetch_if_missing=False) or ds.schema()
+            if s is None:
+                return None
+            types = dict(zip(s.names, s.types))
+            fields = [pa.field(k, types[k]) for k in keys]
+            fields.append(pa.field(name, types[col]))
+        fields.append(pa.field(count_name, pa.int64()))
+        return pa.schema(fields)
+
     bucketed = counted.map_batches(add_bucket, batch_format="pyarrow")
     return partition_map(bucketed, b, num_partitions, pick,
-                         empty_schema=lazy_schema(counted))
+                         empty_schema=mode_empty_schema)
 
 
 def grouped_arg_extreme(
@@ -1024,9 +1089,25 @@ def grouped_string_agg(
                             (name, pa.string())])
         return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
 
+    lazy_pruned = lazy_schema(pruned)
+
+    def agg_empty_schema():
+        # the fallback must carry CONCAT's output columns (keys, name) —
+        # the pruned input schema (keys, order_by, col) has no 'agg'
+        base = lazy_pruned()
+        if base is not None:
+            key_fields = [base.field(k) for k in keys]
+        else:
+            s = ds.schema(fetch_if_missing=False) or ds.schema()
+            if s is None:
+                return None
+            types = dict(zip(s.names, s.types))
+            key_fields = [pa.field(k, types[k]) for k in keys]
+        return pa.schema(key_fields + [pa.field(name, pa.string())])
+
     bucketed = pruned.map_batches(add_bucket, batch_format="pyarrow")
     return partition_map(bucketed, b, num_partitions, concat,
-                         empty_schema=lazy_schema(pruned))
+                         empty_schema=agg_empty_schema)
 
 
 def grouped_top_n(
@@ -1058,18 +1139,16 @@ def grouped_top_n(
     ascending = [not descending] + ([True] if tiebreak else [])
 
     def local_top(t: pa.Table) -> pa.Table:
+        # ONE pick used as both the per-batch combiner and the per-bucket
+        # final pass — they must stay byte-identical for the combiner to be
+        # sound (top-n of top-ns), so there is deliberately no second copy
         df = t.to_pandas(types_mapper=_stm)
         df = df.sort_values(sort_cols, ascending=ascending, kind="stable",
                             na_position="last")
         df = df.groupby(keys, sort=False, dropna=False).head(n)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def bucket_top(t: pa.Table) -> pa.Table:
-        df = t.to_pandas(types_mapper=_stm)
-        df = df.sort_values(sort_cols, ascending=ascending, kind="stable",
-                            na_position="last")
-        df = df.groupby(keys, sort=False, dropna=False).head(n)
-        return pa.Table.from_pandas(df, preserve_index=False)
+    bucket_top = local_top
 
     pre = ds.map_batches(
         lambda t: _hash_bucket(local_top(t), keys, b, num_partitions),

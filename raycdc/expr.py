@@ -286,19 +286,20 @@ def _eval(node: _Node, table: pa.Table) -> pa.ChunkedArray:
         col = table[node.ident]
         vals = pa.array([_coerce_literal(v, col.type).as_py()
                          for v in node.values], col.type)
+        # SQL three-valued logic: NULL [NOT] IN (...) is NULL. Keep the
+        # null (is_in maps null → false, so re-null it) instead of coercing
+        # to False here: an enclosing NOT must see NULL and keep it NULL —
+        # eager False would resurrect null rows under "NOT x IN (...)".
+        # The filter boundary drops nulls (Arrow filter default / flatten's
+        # fill_null), matching SQL WHERE.
         res = pc.is_in(col, value_set=vals)
-        if node.negate:
-            res = pc.invert(res)
-        # SQL: NULL [NOT] IN (...) is NULL → row dropped either way.
-        return pc.and_(res, pc.is_valid(col))
+        res = pc.if_else(pc.is_valid(col), res, pa.scalar(None, pa.bool_()))
+        return pc.invert(res) if node.negate else res
     if isinstance(node, _Like):
         col = table[node.ident]
+        # match_like propagates nulls; keep them (same reasoning as _In)
         res = pc.match_like(col, node.pattern)
-        # Negate BEFORE filling nulls: NULL NOT LIKE 'x' is NULL → dropped,
-        # not kept (fill-then-invert would resurrect null rows).
-        if node.negate:
-            res = pc.invert(res)
-        return pc.fill_null(res, False)
+        return pc.invert(res) if node.negate else res
     if isinstance(node, _Between):
         col = table[node.ident]
         lo = _coerce_literal(node.lo, col.type)

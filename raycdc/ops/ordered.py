@@ -306,7 +306,13 @@ def grouped_quantile(
         else:
             import pandas as pd
 
-            kdf = t.select(keys).to_pandas()
+            from raycdc.shuffle import stable_types_mapper
+
+            # masked-dtype hop (repo invariant): a null in any nullable-int
+            # key column would flip the frame to float64 and distinct int64
+            # keys >= 2^53 would factorize to ONE code — merged quantiles
+            kdf = t.select(keys).to_pandas(
+                types_mapper=stable_types_mapper)
             codes = pd.MultiIndex.from_frame(kdf).factorize()[0].astype(
                 np.int64)
         vals = t[col]

@@ -22,9 +22,16 @@ def _registers(values: "pa.Array | pa.ChunkedArray", p: int) -> np.ndarray:
     """Fold one batch of values into 2^p HLL registers. Hashing is
     batch-layout-invariant (shuffle.stable_hash): a nullable int column
     must hash a value identically whether its batch has nulls or not, or
-    the register merge double-counts."""
+    the register merge double-counts. Nulls are dropped FIRST: SQL
+    COUNT(DISTINCT) never counts NULL, and stable_hash otherwise gives
+    nulls a fixed hash that lands in a register like a real value —
+    a systematic +1 in the small-cardinality linear-counting regime
+    (and a divergence from approx_distinct_by, which masks nulls)."""
     from raycdc.shuffle import stable_hash
 
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    values = values.drop_null()
     m = 1 << p
     h = stable_hash(values)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
@@ -101,7 +108,14 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, *,
     k = max(8, int(np.ceil(2.0 / threshold_frac)))
 
     def batch_summary(t: pa.Table) -> pa.Table:
-        s = t[col].to_pandas()
+        # masked-dtype pandas hop (repo invariant): a null in a plain
+        # to_pandas flips int64 → float64 and candidate values above 2^53
+        # would round to the wrong integer — the exact recount then counts
+        # the wrong candidate and the true heavy item silently disappears
+        from raycdc.shuffle import stable_types_mapper
+
+        s = t.select([col]).to_pandas(
+            types_mapper=stable_types_mapper)[col]
         # Arrow-level null count: pandas isna() would also swallow float
         # NaN VALUES, which SQL groups separately from NULL. (Float NaN
         # keys remain unsupported through the pandas value_counts leg —
@@ -164,7 +178,13 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, *,
     # fan-in tree: driver holds object refs only; the one table it ever
     # fetches is the final merged summary (<= k items + one marker row)
     merged = tree_reduce(summaries, mg_combine)
-    col_type = dict(zip(ds.schema().names, ds.schema().types))[col]
+    s = ds.schema()
+    try:
+        col_type = dict(zip(s.names, s.types))[col]
+    except (AttributeError, KeyError):
+        # fully-empty mapped upstream: schema() is None (documented Ray
+        # degrade) — merged is None too, so the type only shapes the empty
+        col_type = pa.string()
     out_schema = pa.schema([(col, col_type), ("n", pa.int64())])
     if merged is None:
         return ray.data.from_arrow(out_schema.empty_table())

@@ -33,10 +33,25 @@ def _pin_us(out: "ray.data.Dataset", window_col: str) -> "ray.data.Dataset":
 
 
 def _ts_us(col) -> np.ndarray:
+    """Timestamp column → int64 MICROSECOND ticks, whatever the storage
+    unit (the repo's temporal invariant: never use native-unit ticks).
+    s/ms scale up exactly; ns floors — safe for windowing, since window
+    boundaries sit on whole microseconds, so flooring never moves an
+    event across one. Plain int columns pass through as given (callers
+    define their unit)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    scale_up, scale_down = 1, 1
     if pa.types.is_timestamp(arr.type):
+        scale_up, scale_down = {
+            "s": (1_000_000, 1), "ms": (1_000, 1),
+            "us": (1, 1), "ns": (1, 1_000)}[arr.type.unit]
         arr = arr.cast(pa.int64())
-    return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    ticks = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    if scale_up != 1:
+        return ticks * scale_up
+    if scale_down != 1:
+        return np.floor_divide(ticks, scale_down)
+    return ticks
 
 
 def tumbling_window(
