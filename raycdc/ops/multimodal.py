@@ -116,8 +116,13 @@ class BinaryFeatureExtractor:
 def extract_features(ds: ray.data.Dataset, payload_col: str = "payload",
                      *, dim: int = 64, decoder: str = "fake",
                      batch_size: int = 256,
-                     concurrency=(1, 4)) -> ray.data.Dataset:
-    """Feature-extract a binary column with an actor pool (small batches)."""
+                     concurrency: int = 4) -> ray.data.Dataset:
+    """Feature-extract a binary column with an actor pool (small batches).
+
+    FIXED concurrency int, never an autoscaling range (repo invariant):
+    __init__ is the model-load site, and an autoscaling pool ramps actors
+    lazily so each late actor pays its init serially while batches queue.
+    """
     return ds.map_batches(
         BinaryFeatureExtractor,
         fn_constructor_args=(payload_col, dim, decoder),
@@ -243,9 +248,10 @@ def resize_images(ds: ray.data.Dataset, *, payload_col: str = "payload",
                   width_col: str = "width", height_col: str = "height",
                   target_w: int = 32, target_h: int = 32,
                   decoder: str = "fake", batch_size: int = 64,
-                  concurrency=(1, 4)) -> ray.data.Dataset:
+                  concurrency: int = 4) -> ray.data.Dataset:
     """Resize an image column with an actor pool (small batches: wide
-    binary payloads × concurrency must fit the worker heap)."""
+    binary payloads × concurrency must fit the worker heap). FIXED
+    concurrency int — see :func:`extract_features`."""
     return ds.map_batches(
         ImageResizer,
         fn_constructor_args=(payload_col, width_col, height_col,

@@ -94,13 +94,13 @@ class RecordFlattenStep:
         self.rename_strategy = rename_strategy
 
     def schema_out(self, schema_in: pa.Schema) -> pa.Schema:
-        from raycdc.record_flatten import derive_flat_schema
+        from raycdc.record_flatten import derive_flat_schema, leaf_renamed
 
         out = derive_flat_schema(schema_in, self.separator)
         if self.rename_strategy == "leaf":
-            names = [f.name.split(self.separator)[-1] for f in out]
-            if len(set(names)) != len(names):
-                raise ValueError("leaf rename collision")
+            # the runtime flattener's own rename helper — static schema and
+            # produced table can never diverge
+            names = leaf_renamed(out.names, self.separator)
             out = pa.schema([pa.field(n, f.type) for n, f in zip(names, out)])
         return out
 
@@ -153,6 +153,13 @@ class Pipeline:
 
     def run(self, ds: ray.data.Dataset) -> ray.data.Dataset:
         s = ds.schema()
+        if s is None:
+            # zero-block input (the documented Ray schema degrade): the
+            # pipeline cannot derive or validate step schemas from nothing
+            raise ValueError(
+                "input dataset has no schema (zero blocks — e.g. an "
+                "upstream filter dropped every row); pin it with a typed "
+                "empty (raycdc.joins.pin_schema) before Pipeline.run")
         self.configure(pa.schema(
             [pa.field(n, t) for n, t in zip(s.names, s.types)]))
         for step in self.steps:

@@ -101,6 +101,20 @@ def curate_documents_v2(
                        num_partitions=num_partitions)
 
 
+def _fetch_thresholds(ds, col: str, qs: list, names: list,
+                      m: int) -> list:
+    """Phase-1 sketch → driver scalars, the one shared idiom behind every
+    distribution-relative operator here: approx_quantile's one-row summary
+    fetched with ``batch_size=None`` (the repo's iter_batches rule) and
+    unpacked per name."""
+    from raycdc.ops.sketch import approx_quantile
+
+    summary = next(iter(
+        approx_quantile(ds, col, list(qs), names=list(names), m=m)
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    return [summary[n][0].as_py() for n in names]
+
+
 def filter_above_global_quantile(
     ds,
     col: str,
@@ -124,17 +138,12 @@ def filter_above_global_quantile(
     configuration; at scale callers drop ``m`` to the compressed sketch
     and accept the documented ~2·n/m rank error on the cut line.
     """
-    from raycdc.ops.sketch import approx_quantile
-
-    summary = next(iter(
-        approx_quantile(ds, col, [q], names=["thr"], m=m)
-        .iter_batches(batch_size=None, batch_format="pyarrow")))
-    thr = summary["thr"][0].as_py()
-
     import pyarrow.compute as pc
 
+    # validate BEFORE phase 1 — the sketch pass streams the whole corpus
     if keep not in ("ge", "le"):
         raise ValueError(f"keep must be 'ge' or 'le', got {keep!r}")
+    (thr,) = _fetch_thresholds(ds, col, [q], ["thr"], m)
     cmp = pc.greater_equal if keep == "ge" else pc.less_equal
 
     def flt(t):
@@ -192,8 +201,16 @@ def curate_documents_v3(
                              text_col=text_col, id_col=id_col)
 
     def add_row_id(t: pa.Table) -> pa.Table:
-        rid = pc.add(pc.multiply(t[id_col], 1_000_000), t["chunk_id"])
-        return t.append_column("__rid", pc.cast(rid, pa.int64()))
+        # composite (doc_id, chunk_id) row id for the deterministic
+        # "first wins" dedup: 2^32 slots per doc (a doc would need 4B
+        # chunks to collide — the old 10^6 multiplier collided at a ~32M
+        # token doc), CHECKED arithmetic so an out-of-range doc_id raises
+        # instead of wrapping into another doc's id space
+        rid = pc.add_checked(
+            pc.multiply_checked(pc.cast(t[id_col], pa.int64()),
+                                pa.scalar(1 << 32, pa.int64())),
+            pc.cast(t["chunk_id"], pa.int64()))
+        return t.append_column("__rid", rid)
 
     deduped = exact_dedup(
         chunks.map_batches(add_row_id, batch_format="pyarrow"),
@@ -269,16 +286,11 @@ def quantile_bucket(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from raycdc.ops.sketch import approx_quantile
-
     qs = list(qs or (0.25, 0.5, 0.75))
     if sorted(qs) != qs:
         raise ValueError("qs must be ascending")
     names = [f"t{i}" for i in range(len(qs))]
-    summary = next(iter(
-        approx_quantile(ds, col, qs, names=names, m=m)
-        .iter_batches(batch_size=None, batch_format="pyarrow")))
-    thresholds = np.array([summary[n][0].as_py() for n in names],
+    thresholds = np.array(_fetch_thresholds(ds, col, qs, names, m),
                           dtype=np.float64)
 
     def label(t: pa.Table) -> pa.Table:

@@ -35,6 +35,17 @@ def derive_flat_schema(schema: pa.Schema, separator: str = ".",
     return pa.schema(fields)
 
 
+def leaf_renamed(names: list, separator: str = ".") -> list:
+    """Leaf-rename with collision check — THE one implementation shared by
+    the runtime flattener and the Pipeline step's static schema derivation
+    (two copies would silently diverge the schema contract from the data)."""
+    out = [c.split(separator)[-1] for c in names]
+    dupes = {n for n in out if out.count(n) > 1}
+    if dupes:
+        raise ValueError(f"leaf rename collision: {sorted(dupes)}")
+    return out
+
+
 def _walk_field(f: pa.Field, path: str, sep: str) -> list[pa.Field]:
     if pa.types.is_struct(f.type):
         out: list[pa.Field] = []
@@ -134,10 +145,7 @@ class RecordFlattener:
         flat = flatten_record_table(batch, self.separator, self.prefix_top_level)
         names = flat.column_names
         if self.rename_strategy == "leaf":
-            names = [c.split(self.separator)[-1] for c in names]
-            dupes = {n for n in names if names.count(n) > 1}
-            if dupes:
-                raise ValueError(f"leaf rename collision: {sorted(dupes)}")
+            names = leaf_renamed(names, self.separator)
         if self.rename:
             names = [self.rename.get(c, c) for c in names]
         if names != flat.column_names:

@@ -189,6 +189,24 @@ def validate_config(cfg: FlattenConfig, input_schema: pa.Schema) -> list[str]:
     for src in roots:
         if src not in names:
             failures.append(f"Field {src} not found in the input schema.")
+
+    # generated output names must not collide with input columns or each
+    # other — derive_output_schema would otherwise emit duplicate fields
+    # that pass validation but crash any downstream name lookup
+    generated = [cfg.level_field, cfg.bottom_field]
+    if cfg.path_alias_field:
+        generated.append(cfg.path_alias_field)
+    generated += list(roots.values())
+    seen: set = set()
+    for g in generated:
+        if not g:
+            continue
+        if g in names:
+            failures.append(
+                f"Output field {g!r} already exists in the input schema.")
+        if g in seen:
+            failures.append(f"Output field {g!r} is generated twice.")
+        seen.add(g)
     return failures
 
 

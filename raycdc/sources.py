@@ -24,10 +24,16 @@ def read_parquet(paths, *, columns: Optional[list[str]] = None, filter=None,
 
 def read_csv(paths, *, schema: Optional[pa.Schema] = None,
              delimiter: str = ",", skip_header_only: bool = False,
-             **kwargs) -> ray.data.Dataset:
+             has_header: bool = True, **kwargs) -> ray.data.Dataset:
     """CSV read with an explicit declared schema (the reference's File-source
     pattern: declared Avro schema + delimiter + skipHeader —
-    example/hirerachy_to_relational_pipeline_macro-cdap-data-pipeline.json)."""
+    example/hirerachy_to_relational_pipeline_macro-cdap-data-pipeline.json).
+
+    ``has_header=False`` reads a HEADERLESS file: the declared schema names
+    the columns (required — without it the first data row would silently
+    become the header and one record would be lost). ``skip_header_only``
+    keeps the file's header row out of the data while taking names/types
+    from the schema."""
     from pyarrow import csv as pacsv
 
     parse_options = pacsv.ParseOptions(delimiter=delimiter)
@@ -36,7 +42,12 @@ def read_csv(paths, *, schema: Optional[pa.Schema] = None,
         convert_options = pacsv.ConvertOptions(
             column_types={f.name: f.type for f in schema})
     read_options = None
-    if schema is not None and skip_header_only:
+    if not has_header:
+        if schema is None:
+            raise ValueError("has_header=False requires a declared schema "
+                             "to name the columns")
+        read_options = pacsv.ReadOptions(column_names=schema.names)
+    elif schema is not None and skip_header_only:
         read_options = pacsv.ReadOptions(column_names=schema.names,
                                          skip_rows=1)
     return ray.data.read_csv(paths, parse_options=parse_options,
