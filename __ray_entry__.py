@@ -63,12 +63,7 @@ def _rp(sf_dir: str, table: str, columns=None,
 def _tree_edges(sf_dir: str) -> ray.data.Dataset:
     """region→nation→customer→orders forest; disjoint key spaces via R/N/C/O
     prefixes; ``label`` is the path/data field."""
-    region = pa.concat_tables(list(_rp(sf_dir, "region").iter_batches(
-        batch_format="pyarrow")))
-
     def nation_edges(t: pa.Table) -> pa.Table:
-        r = {row["r_regionkey"]: row["r_name"]
-             for row in region.to_pylist()}  # tiny (5 rows)
         parent = pc.binary_join_element_wise(
             pa.array(["R"] * t.num_rows),
             pc.cast(t["n_regionkey"], pa.string()), "")
@@ -654,16 +649,12 @@ def _q_simhash(sf_dir: str):
     return simhash_pairs(docs, max_hamming=3)
 
 
-def _q_embed_dups(sf_dir: str):
-    """Embedding near-dup pairs over the corpus plus deterministic planted
-    duplicates (exact copies of vec_id < 50 under id + 10_000_000).
-
-    The raw embeddings fixture has NO near-dup pairs at any sane threshold
-    (max off-diagonal cosine ≈ 0.5–0.6), so the un-planted query validated
-    nothing. With planted exact copies the decision boundary is huge (planted
-    cosine ≈ 1.0 vs background ≤ 0.6), the LSH always co-buckets identical
-    vectors, and the whole pair set is SQL-expressible — the DuckDB oracle
-    recomputes it with an exact cross-join cosine."""
+def _planted_embeddings(sf_dir: str):
+    """Embeddings corpus plus deterministic planted duplicates: exact
+    copies of vec_id < 50 re-published under id + 10_000_000. The ONE
+    fixture behind both embed_dup_pairs and embed_dedup_ids — their
+    oracles assume the identical planted corpus, so the constants (50,
+    10_000_000, the int64 cast) must never diverge between them."""
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def base(t: pa.Table) -> pa.Table:
@@ -676,9 +667,21 @@ def _q_embed_dups(sf_dir: str):
             "vec_id": pc.add(pc.cast(c["vec_id"], pa.int64()), 10_000_000),
             "embedding": c["embedding"]})
 
-    both = emb.map_batches(base, batch_format="pyarrow").union(
+    return emb.map_batches(base, batch_format="pyarrow").union(
         emb.map_batches(plant, batch_format="pyarrow"))
-    out = embedding_dup_pairs(both, threshold=0.9)
+
+
+def _q_embed_dups(sf_dir: str):
+    """Embedding near-dup pairs over the corpus plus deterministic planted
+    duplicates (exact copies of vec_id < 50 under id + 10_000_000).
+
+    The raw embeddings fixture has NO near-dup pairs at any sane threshold
+    (max off-diagonal cosine ≈ 0.5–0.6), so the un-planted query validated
+    nothing. With planted exact copies the decision boundary is huge (planted
+    cosine ≈ 1.0 vs background ≤ 0.6), the LSH always co-buckets identical
+    vectors, and the whole pair set is SQL-expressible — the DuckDB oracle
+    recomputes it with an exact cross-join cosine."""
+    out = embedding_dup_pairs(_planted_embeddings(sf_dir), threshold=0.9)
     return out.select_columns(["id_a", "id_b"])
 
 
@@ -777,21 +780,8 @@ def _q_embed_dedup(sf_dir: str):
     nested Arrow payloads that never enter a join (repo invariant)."""
     from raycdc.ops.dedup import embedding_dedup_keep_one
 
-    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def base(t: pa.Table) -> pa.Table:
-        return pa.table({"vec_id": pc.cast(t["vec_id"], pa.int64()),
-                         "embedding": t["embedding"]})
-
-    def plant(t: pa.Table) -> pa.Table:
-        c = t.filter(pc.less(t["vec_id"], 50))
-        return pa.table({
-            "vec_id": pc.add(pc.cast(c["vec_id"], pa.int64()), 10_000_000),
-            "embedding": c["embedding"]})
-
-    both = emb.map_batches(base, batch_format="pyarrow").union(
-        emb.map_batches(plant, batch_format="pyarrow"))
-    return embedding_dedup_keep_one(both, threshold=0.9, num_partitions=16)
+    return embedding_dedup_keep_one(_planted_embeddings(sf_dir),
+                                    threshold=0.9, num_partitions=16)
 
 
 def _q_ann_ivf_full(sf_dir: str):
@@ -1249,7 +1239,11 @@ def _evo_wal(sf_dir: str) -> tuple[str, str]:
     try:
         generate_changelog(wal, spec)
     except OSError:
-        pass  # read-only FS etc.: whichever of query/oracle runs first wins
+        # benign only when a COMPLETE cached WAL already exists (e.g. a
+        # read-only FS after another process generated it); a PARTIAL wal
+        # must fail loudly, or the replay silently returns a wrong lake
+        if not os.path.exists(os.path.join(wal, "_COMPLETE")):
+            raise
     return wal, f"/tmp/raycdc/lake-evo{_EVO_FROM}-{sf_tag}-{n}"
 
 

@@ -178,15 +178,15 @@ def run_bench() -> dict:
         generate_changelog(swal, sspec)
         slake = f"/tmp/raycdc/bench-stream-lake-{os.getpid()}"
         eng = CdcEngine(swal, slake, num_partitions=16)
+        epochs_per_commit = 4
         t0 = time.perf_counter()
-        m = eng.tail(epochs_per_commit=4)
+        m = eng.tail(epochs_per_commit=epochs_per_commit)
         dt = time.perf_counter() - t0
         eng.shutdown()
-        import shutil as _sh
-        _sh.rmtree(slake, ignore_errors=True)
+        shutil.rmtree(slake, ignore_errors=True)
         assert m["events"] == stream_events
         stream_stats = {"seconds": round(dt, 3), "events": stream_events,
-                        "commits": -(-32 // 4),
+                        "commits": -(-sspec.num_epochs // epochs_per_commit),
                         "events_per_sec": round(stream_events / dt, 1)}
 
     # --- per-pipeline timings over the sf dir
@@ -201,6 +201,7 @@ def run_bench() -> dict:
             "cdc_events": metrics["events"],
             "cdc_events_per_sec": round(eps, 1),
             "loadavg_1m_start": round(load_at_start, 2),
+            "host_probe_sec_start": probe_at_start,
         }
         ray.shutdown()
         return out

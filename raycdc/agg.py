@@ -103,9 +103,12 @@ def grouped_aggregate(
     means = dict(means or {})
     mins = dict(mins or {})
     maxs = dict(maxs or {})
-    # means need their sum and the group count
+    # means need their sum and their NON-NULL count (SQL AVG =
+    # sum / count(col), never sum / count(*): one null row must not
+    # deflate the mean)
     mean_sum_cols = {f"__msum_{out}": col for out, col in means.items()}
-    need_count = count_name is not None or bool(means)
+    mean_cnt_cols = {f"__mcnt_{out}": col for out, col in means.items()}
+    need_count = count_name is not None
     cnt_col = "__cnt"
 
     def partial(t: pa.Table) -> pa.Table:
@@ -113,9 +116,14 @@ def grouped_aggregate(
         g = df.groupby(keys, sort=False, dropna=False)
         parts = {}
         for out, col in sums.items():
-            parts[out] = g[col].sum()
+            # min_count=1: SQL SUM over an all-null group is NULL, not 0;
+            # the null partial survives the merge (Ray Sum skips nulls and
+            # returns null only when every partial is null)
+            parts[out] = g[col].sum(min_count=1)
         for tmp, col in mean_sum_cols.items():
-            parts[tmp] = g[col].sum()
+            parts[tmp] = g[col].sum(min_count=1)
+        for tmp, col in mean_cnt_cols.items():
+            parts[tmp] = g[col].count()
         for out, col in mins.items():
             parts[out] = g[col].min()
         for out, col in maxs.items():
@@ -134,6 +142,8 @@ def grouped_aggregate(
         for out in sums:
             aggs.append(Sum(out, alias_name=out))
         for tmp in mean_sum_cols:
+            aggs.append(Sum(tmp, alias_name=tmp))
+        for tmp in mean_cnt_cols:
             aggs.append(Sum(tmp, alias_name=tmp))
         for out in mins:
             aggs.append(Min(out, alias_name=out))
@@ -160,11 +170,14 @@ def grouped_aggregate(
     def finalize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         for out in means:
-            tmp = f"__msum_{out}"
-            t = t.append_column(out, pc.divide(
-                pc.cast(t[tmp], pa.float64()),
-                pc.cast(t[cnt_col], pa.float64())))
-        drop = list(mean_sum_cols)
+            tmp, tcnt = f"__msum_{out}", f"__mcnt_{out}"
+            den = pc.cast(t[tcnt], pa.float64())
+            avg = pc.if_else(
+                pc.equal(den, 0.0), pa.scalar(None, pa.float64()),
+                pc.divide(pc.cast(t[tmp], pa.float64()),
+                          pc.max_element_wise(den, pa.scalar(1.0))))
+            t = t.append_column(out, avg)
+        drop = list(mean_sum_cols) + list(mean_cnt_cols)
         if count_name is not None:
             t = t.append_column(count_name, pc.cast(t[cnt_col], pa.int64()))
         if need_count:
@@ -189,8 +202,10 @@ def grouped_aggregate(
             g = df.groupby(keys, sort=False, dropna=False)
             parts = {}
             for out in sums:
-                parts[out] = g[out].sum()
+                parts[out] = g[out].sum(min_count=1)
             for tmp in mean_sum_cols:
+                parts[tmp] = g[tmp].sum(min_count=1)
+            for tmp in mean_cnt_cols:
                 parts[tmp] = g[tmp].sum()
             for out in mins:
                 parts[out] = g[out].min()
@@ -322,7 +337,17 @@ def _grouping_sets(
         schema_map = dict(zip(s.names, s.types))
     except AttributeError:
         pass
-    agg_fields = ([(out, pa.int64()) for out in sums]
+    def _sum_type(col):
+        # mirror grouped_aggregate's agg_type: integer sums widen to int64
+        # (pandas/Ray Sum behavior); float sums keep their input type —
+        # an unconditional int64 would give the empty fallback a different
+        # schema than any non-empty run
+        ft = schema_map.get(col)
+        if ft is None or pa.types.is_integer(ft):
+            return pa.int64()
+        return ft
+
+    agg_fields = ([(out, _sum_type(col)) for out, col in sums.items()]
                   + [(out, schema_map.get(col, pa.int64()))
                      for out, col in mins.items()]
                   + [(out, schema_map.get(col, pa.int64()))
@@ -1187,6 +1212,13 @@ def weighted_sample(
         if t.num_rows == 0:
             return t
         ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) and (ids.min() < 0 or
+                         (ids.dtype.kind == "f" and np.isnan(ids).any())):
+            # same rule as hash_sample/mixture_sample: SQL % keeps the
+            # dividend's sign while numpy wraps through uint64 — the
+            # documented SQL equivalence only holds for non-negative ids
+            raise ValueError(
+                f"weighted_sample requires non-negative ids in {id_col!r}")
         w = pc.cast(t[weight_col], pa.float64()) \
             .to_numpy(zero_copy_only=False)
         rate = np.clip(scale * w, 0.0, 1.0)

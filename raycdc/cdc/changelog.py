@@ -184,15 +184,38 @@ def generate_events(spec: ChangelogSpec) -> pa.Table:
 def generate_changelog(out_dir: str, spec: ChangelogSpec) -> list[str]:
     """Write the changelog as one Parquet segment per epoch; return paths.
 
-    Skips segments that already exist (generation is deterministic, so an
-    existing file is already correct) — safe to call from tests and bench.
+    A completed generation is recorded in a ``_COMPLETE`` marker holding the
+    spec repr; a later call with the SAME spec returns the cached segments
+    (generation is deterministic). A call with a DIFFERENT spec on the same
+    out_dir clears the stale cache and regenerates — serving another spec's
+    segments would silently break the byte-identical contract.
     """
+    import glob as _glob
+
     os.makedirs(out_dir, exist_ok=True)
     done = os.path.join(out_dir, "_COMPLETE")
     paths = [os.path.join(out_dir, f"events-{e:05d}.parquet")
              for e in range(spec.num_epochs)]
     if os.path.exists(done):
-        return paths
+        try:
+            with open(done) as f:
+                recorded = f.read().strip()
+        except OSError:  # pragma: no cover
+            recorded = None
+        if recorded == f"{spec}":
+            return paths
+        # stale cache from a different spec (or a generator change): drop
+        # the marker first, then every old segment — a fewer-epoch respec
+        # must not leave higher-numbered segments for globbing readers
+        try:
+            os.remove(done)
+        except FileNotFoundError:  # pragma: no cover - lost a race
+            pass
+        for p in _glob.glob(os.path.join(out_dir, "events-*.parquet")):
+            try:
+                os.remove(p)
+            except FileNotFoundError:  # pragma: no cover
+                pass
     frame = _frame(spec)
     for e, path in enumerate(paths):
         seg = build_segment(spec, frame, np.nonzero(frame["epoch"] == e)[0])
@@ -207,8 +230,12 @@ def generate_changelog(out_dir: str, spec: ChangelogSpec) -> list[str]:
         tmp = f"{path}.tmp.{os.getpid()}"
         pq.write_table(seg, tmp, row_group_size=spec.row_group_size)
         os.replace(tmp, path)
-    with open(done, "w") as f:
+    # atomic marker publish (pid-unique temp, like the segments): a reader
+    # must never see a half-written spec line
+    tmp = f"{done}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         f.write(f"{spec}\n")
+    os.replace(tmp, done)
     return paths
 
 

@@ -222,6 +222,9 @@ class ExpandPaths:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg, idx = self.cfg, self.idx
+        if batch.num_rows == 0 and cfg.parent_field not in batch.column_names:
+            # zero-column EMPTY block degrade (CLAUDE.md invariant)
+            return self.emit_schema.empty_table()
         batch = batch.filter(_seed_mask(batch, cfg))
         if batch.num_rows == 0:
             return self.emit_schema.empty_table()
@@ -504,7 +507,7 @@ def _dedup_coded(ds: ray.data.Dataset, cfg: FlattenConfig,
         return _dedup_partition_coded(t, cfg, out_schema, idx.node_values)
 
     return partition_map(ds, _BUCKET_COL, num_partitions, dedup_group,
-                         drop_partition_col=False)
+                         drop_partition_col=False, empty_schema=out_schema)
 
 
 def _dedup_partition(t: pa.Table, cfg: FlattenConfig, out_schema: pa.Schema) -> pa.Table:
@@ -517,21 +520,33 @@ def _dedup_partition(t: pa.Table, cfg: FlattenConfig, out_schema: pa.Schema) -> 
     """
     if t.num_rows == 0:
         return out_schema.empty_table()
-    df = t.to_pandas()
-    if _BUCKET_COL in df.columns:
-        df = df.drop(columns=[_BUCKET_COL])
+    if _BUCKET_COL in t.column_names:
+        t = t.drop_columns([_BUCKET_COL])
     keys = [cfg.parent_field, cfg.child_field, cfg.level_field]
     sort_cols = [cfg.path_alias_field] if cfg.has_path else [
-        c for c in df.columns if c not in keys and c != cfg.bottom_field
+        c for c in t.column_names if c not in keys and c != cfg.bottom_field
     ]
-    # dropna=False: a null child (edge with a null child value) is still a
-    # legitimate group key under SQL GROUP BY semantics.
-    bottom_max = df.groupby(keys, sort=False, dropna=False)[cfg.bottom_field].transform("max")
-    df[cfg.bottom_field] = bottom_max
-    if sort_cols:
-        df = df.sort_values(sort_cols, kind="stable")
-    df = df.drop_duplicates(subset=keys, keep="first")
-    return pa.Table.from_pandas(df, preserve_index=False).cast(out_schema)
+    # bottom := max over the group. Null group keys are legitimate keys
+    # (SQL GROUP BY semantics — polars .over() groups nulls together, as
+    # does the pandas dropna=False fallback).
+    try:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        df = df.with_columns(pl.col(cfg.bottom_field).max().over(keys))
+        t = df.to_arrow().select(t.column_names).cast(t.schema)
+    except ImportError:  # pragma: no cover
+        from raycdc.shuffle import stable_types_mapper
+
+        df = t.to_pandas(types_mapper=stable_types_mapper)
+        df[cfg.bottom_field] = df.groupby(
+            keys, sort=False, dropna=False)[cfg.bottom_field].transform("max")
+        t = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+    # Winner selection rides the SAME kernel as the broadcast path
+    # (_sorted_unique: polars nulls-first sort, schema-preserving) so both
+    # strategies emit identical payload rows for duplicate groups — a plain
+    # pandas sort here ordered nulls LAST and degraded nullable ints.
+    return _sorted_unique(t, sort_cols, keys).cast(out_schema)
 
 
 def _dedup(ds: ray.data.Dataset, cfg: FlattenConfig, out_schema: pa.Schema,

@@ -888,6 +888,10 @@ def bloom_semi_join(
     1 MiB broadcast."""
     right_on = list(right_on or on)
     on = list(on)
+    # round up to whole uint64 words: a non-multiple-of-64 num_bits yields
+    # bit positions in a word past the allocated bitmap (IndexError in
+    # np.bitwise_or.at / _bloom_test)
+    num_bits = (num_bits + 63) & ~63
     words = num_bits >> 6
 
     def partial_bloom(t: pa.Table) -> pa.Table:
@@ -1014,6 +1018,10 @@ def bloom_anti_join(
     """
     right_on = list(right_on or on)
     on = list(on)
+    # round up to whole uint64 words: a non-multiple-of-64 num_bits yields
+    # bit positions in a word past the allocated bitmap (IndexError in
+    # np.bitwise_or.at / _bloom_test)
+    num_bits = (num_bits + 63) & ~63
     words = num_bits >> 6
 
     def partial_bloom(t: pa.Table) -> pa.Table:

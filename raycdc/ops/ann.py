@@ -252,8 +252,16 @@ def ivf_topk(
     """
     qids, qmat = queries
     sample = ds.limit(train_size)
-    sample_vecs = _stack(pa.concat_tables(
-        list(sample.iter_batches(batch_format="pyarrow")))[vec_col])
+    # batch_size=None: consume whole blocks (CLAUDE.md — the default
+    # re-slices into 1024-row batches on one driver thread)
+    batches = list(sample.iter_batches(batch_format="pyarrow",
+                                       batch_size=None))
+    if not batches or sum(b.num_rows for b in batches) == 0:
+        return brute_force_topk(ds, queries, vec_col=vec_col, id_col=id_col,
+                                k=k, round_to=round_to,
+                                concurrency=concurrency,
+                                batch_size=batch_size)
+    sample_vecs = _stack(pa.concat_tables(batches)[vec_col])
     centroids = _kmeans(sample_vecs, nlist, seed)
     qunit = _unit(qmat.astype(np.float64))
     qsims = qunit @ centroids.T

@@ -67,11 +67,16 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
         return t.append_column(_B, pa.array((h % num_partitions).astype(np.int64)))
 
     def dedup_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
+        from raycdc.shuffle import stable_types_mapper
+
+        # stable_types_mapper + cast back: a plain to_pandas flips a
+        # null-containing int64 payload column to float64 in THAT partition
+        # only — mixed block schemas downstream and >2^53 quantization
+        df = t.to_pandas(types_mapper=stable_types_mapper)
         df = df.sort_values(id_col, kind="stable",
                             ascending=(keep == "min"))
         df = df.drop_duplicates(subset=[text_col], keep="first")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
 
     from raycdc.shuffle import lazy_schema
 
@@ -403,7 +408,7 @@ class SimHasher:
     Values are identical to the per-document kernel (same token strings,
     same element-wise hash, same vote arithmetic)."""
 
-    def __init__(self, text_col: str, id_col: str, seed: int = 29):
+    def __init__(self, text_col: str, id_col: str):
         import re
 
         self.text_col, self.id_col = text_col, id_col

@@ -113,20 +113,36 @@ class BinaryFeatureExtractor:
         return t.append_column("features", col)
 
 
+def _default_pool_size(cap: int = 4) -> int:
+    """Fixed actor-pool size: 3/8 of the cluster's CPUs (flatten's rule),
+    capped. NEVER the whole cluster: a fixed pool that reserves every CPU
+    starves the upstream read tasks and DEADLOCKS the pipeline (seen at
+    ray.init(num_cpus=4) with concurrency=4 — the pool held all 4 slots
+    while the parquet read waited forever for one)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - uninitialized ray
+        cpus = 8
+    return max(1, min(cap, (cpus * 3) // 8))
+
+
 def extract_features(ds: ray.data.Dataset, payload_col: str = "payload",
                      *, dim: int = 64, decoder: str = "fake",
                      batch_size: int = 256,
-                     concurrency: int = 4) -> ray.data.Dataset:
+                     concurrency: int | None = None) -> ray.data.Dataset:
     """Feature-extract a binary column with an actor pool (small batches).
 
     FIXED concurrency int, never an autoscaling range (repo invariant):
     __init__ is the model-load site, and an autoscaling pool ramps actors
     lazily so each late actor pays its init serially while batches queue.
+    Default: :func:`_default_pool_size` (a fraction of the cluster, so the
+    read stage always keeps a CPU).
     """
     return ds.map_batches(
         BinaryFeatureExtractor,
         fn_constructor_args=(payload_col, dim, decoder),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or _default_pool_size())
 
 
 def frame_sample(ds: ray.data.Dataset, payload_col: str = "payload",
@@ -248,13 +264,14 @@ def resize_images(ds: ray.data.Dataset, *, payload_col: str = "payload",
                   width_col: str = "width", height_col: str = "height",
                   target_w: int = 32, target_h: int = 32,
                   decoder: str = "fake", batch_size: int = 64,
-                  concurrency: int = 4) -> ray.data.Dataset:
+                  concurrency: int | None = None) -> ray.data.Dataset:
     """Resize an image column with an actor pool (small batches: wide
     binary payloads × concurrency must fit the worker heap). FIXED
-    concurrency int — see :func:`extract_features`."""
+    concurrency int sized by :func:`_default_pool_size` — see
+    :func:`extract_features`."""
     return ds.map_batches(
         ImageResizer,
         fn_constructor_args=(payload_col, width_col, height_col,
                              target_w, target_h, decoder),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=concurrency or _default_pool_size())

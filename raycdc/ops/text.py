@@ -13,6 +13,14 @@ TOKEN_RE = r"\S+"
 # BPE-ish word/number/punct splitter (GPT-2-style coarse classes).
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
+
+def degraded_empty(t: pa.Table, *cols: str) -> bool:
+    """True for Ray Data's zero-column EMPTY block degrade (CLAUDE.md
+    invariant: a typed empty block can lose its schema at high parallelism).
+    Kernels must pass such blocks through as ``t.slice(0, 0)`` instead of
+    raising KeyError on a missing input column."""
+    return t.num_rows == 0 and any(c not in t.column_names for c in cols)
+
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
@@ -27,6 +35,8 @@ def add_token_count(ds: ray.data.Dataset, text_col: str = "text",
                     out_col: str = "n_tokens") -> ray.data.Dataset:
     """Whitespace token count (oracle-checkable: regexp \\S+ matches)."""
     def fn(t: pa.Table) -> pa.Table:
+        if degraded_empty(t, text_col):
+            return t.slice(0, 0)
         n = pc.cast(pc.count_substring_regex(t[text_col], TOKEN_RE), pa.int64())
         return t.append_column(out_col, n)
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -36,6 +46,8 @@ def add_bpe_token_count(ds: ray.data.Dataset, text_col: str = "text",
                         out_col: str = "n_bpe_tokens") -> ray.data.Dataset:
     """Count of BPE-ish coarse tokens (letters / digits / punct runs)."""
     def fn(t: pa.Table) -> pa.Table:
+        if degraded_empty(t, text_col):
+            return t.slice(0, 0)
         n = pc.cast(pc.count_substring_regex(t[text_col], BPE_RE), pa.int64())
         return t.append_column(out_col, n)
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -50,11 +62,18 @@ class QualityScorer:
     """
 
     def __init__(self, text_col: str = "text", stopwords=None):
+        import re as _re
+
         self.text_col = text_col
         words = sorted(stopwords or LANG_MARKERS["en"])
-        self.stop_re = r"(?i)\b(?:" + "|".join(words) + r")\b"
+        # escape user-supplied words: a stopword like "c++" would otherwise
+        # be an invalid RE2 pattern (crash) or silently mis-count
+        self.stop_re = (r"(?i)\b(?:"
+                        + "|".join(_re.escape(w) for w in words) + r")\b")
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if degraded_empty(t, self.text_col):
+            return t.slice(0, 0)
         text = t[self.text_col]
         n_chars = pc.cast(pc.utf8_length(text), pa.int64())
         n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
@@ -120,6 +139,8 @@ class LangId:
                 self.patterns[lang] = r"(?i)\b(?:" + alt + r")\b"
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if degraded_empty(t, self.text_col):
+            return t.slice(0, 0)
         text = t[self.text_col]
         n = t.num_rows
         langs = list(self.patterns)
@@ -217,6 +238,8 @@ class Fingerprinter:
         IBASE = BASE^-1) — and k-gram minima from k strided adds plus one
         ``np.minimum.reduceat``. Values are bit-identical to the per-doc
         kernel (kept above as the semantic spec for len<k docs)."""
+        if degraded_empty(t, self.text_col):
+            return t.slice(0, 0)
         texts = t[self.text_col].to_pylist()
         n = len(texts)
         fulls = np.zeros(n, dtype=np.uint64)
@@ -294,6 +317,8 @@ def normalize_text(ds: ray.data.Dataset, text_col: str = "text",
     lower + regexp_replace + trim."""
 
     def fn(t: pa.Table) -> pa.Table:
+        if degraded_empty(t, text_col):
+            return t.slice(0, 0)
         s = pc.utf8_lower(t[text_col])
         s = pc.replace_substring_regex(s, r"\s+", " ")
         # trim SPACES only (after the collapse, RE2-\s edges are single
@@ -312,6 +337,8 @@ def extract_host(ds: ray.data.Dataset, url_col: str = "url",
     optional, port/path stripped, lowercased) — one RE2 pass per batch."""
 
     def fn(t: pa.Table) -> pa.Table:
+        if degraded_empty(t, url_col):
+            return t.slice(0, 0)
         ex = pc.extract_regex(
             t[url_col], r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?"
                         r"(?P<host>[^/:?#]+)")
@@ -338,6 +365,8 @@ def redact_pii(ds: ray.data.Dataset, text_col: str = "text",
     """
 
     def fn(t: pa.Table) -> pa.Table:
+        if degraded_empty(t, text_col):
+            return t.slice(0, 0)
         s = pc.replace_substring_regex(t[text_col], PII_EMAIL_RE, "<EMAIL>")
         s = pc.replace_substring_regex(s, PII_PHONE_RE, "<PHONE>")
         return t.append_column(out_col, s)
@@ -367,6 +396,8 @@ def decontaminate(ds: ray.data.Dataset, needles: "list[str]",
     needles = list(needles)
 
     def mark(t: pa.Table) -> pa.Table:
+        if degraded_empty(t, text_col):
+            return t.slice(0, 0)
         text = t[text_col]
         if len(needles) <= 8:
             hit = None
@@ -413,6 +444,8 @@ def repetition_stats(ds: ray.data.Dataset, text_col: str = "text",
     """
 
     def fn(t: pa.Table) -> pa.Table:
+        if degraded_empty(t, text_col, id_col):
+            return t.slice(0, 0)
         n = t.num_rows
         text = t[text_col].combine_chunks() if isinstance(
             t[text_col], pa.ChunkedArray) else t[text_col]
@@ -508,6 +541,8 @@ def chunk_documents(ds: ray.data.Dataset, *, size: int, overlap: int = 0,
     stride = size - overlap
 
     def fn(t: pa.Table) -> pa.Table:
+        if degraded_empty(t, text_col, id_col):
+            return t.slice(0, 0)
         text = t[text_col].combine_chunks() if isinstance(
             t[text_col], pa.ChunkedArray) else t[text_col]
         norm = pc.utf8_trim(
@@ -586,6 +621,8 @@ def ngram_explode(ds: ray.data.Dataset, *, n: int = 2,
         raise ValueError(f"n must be >= 1, got {n}")
 
     def fn(t: pa.Table) -> pa.Table:
+        if degraded_empty(t, *([text_col, id_col] if id_col else [text_col])):
+            return t.slice(0, 0)
         text = t[text_col].combine_chunks() if isinstance(
             t[text_col], pa.ChunkedArray) else t[text_col]
         norm = pc.utf8_trim(
@@ -639,6 +676,8 @@ def tokenize_explode(ds: ray.data.Dataset, text_col: str = "text",
     from raycdc.record_flatten import explode_list_table
 
     def fn(t: pa.Table) -> pa.Table:
+        if degraded_empty(t, text_col, id_col):
+            return t.slice(0, 0)
         s = pc.utf8_trim(
             pc.replace_substring_regex(t[text_col], r"\s+", " "), " ")
         norm = pa.table({id_col: t[id_col], "__norm": s})

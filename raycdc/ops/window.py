@@ -21,8 +21,10 @@ from raycdc.agg import grouped_aggregate
 
 
 def _pin_us(out: "ray.data.Dataset", window_col: str) -> "ray.data.Dataset":
-    """Pin the window column to timestamp[us]: the pandas leg of the
-    aggregate can narrow second-aligned window starts to timestamp[s]."""
+    """Pin the window column to timestamp[us]: tumbling carries it through
+    the aggregate as int64 ticks (null-safe under Ray's sort-groupby), and
+    the pandas leg can narrow second-aligned window starts to
+    timestamp[s] — both cast straight to timestamp[us] here."""
 
     def fix_unit(t: pa.Table) -> pa.Table:
         i = t.column_names.index(window_col)
@@ -75,9 +77,20 @@ def tumbling_window(
     size_us = _parse_window_us(window)
 
     def assign(t: pa.Table) -> pa.Table:
-        us = _ts_us(t[ts_col])
+        ts = t[ts_col]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        us = _ts_us(ts)
         start = (us // size_us) * size_us
-        col = pa.array(start).cast(pa.timestamp("us"))
+        # the window key rides the aggregate as int64 ticks, cast to
+        # timestamp[us] only in the final _pin_us map: Ray's sort-groupby
+        # degrades a null-containing timestamp key to a pickled-object
+        # extension column, while a null int64 key stays int64
+        col = pa.array(start, pa.int64())
+        if ts.null_count:
+            # SQL GROUP BY time_bucket(NULL) is the NULL window group —
+            # never a garbage epoch window from the NaN→int64 tick cast
+            col = pc.if_else(pc.is_valid(ts), col,
+                             pa.scalar(None, pa.int64()))
         return t.append_column(window_col, col)
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
@@ -108,6 +121,11 @@ def sliding_window(
     fanout = size_us // slide_us
 
     def assign(t: pa.Table) -> pa.Table:
+        valid = pc.is_valid(t[ts_col])
+        if t.num_rows and not pc.all(valid).as_py():
+            # a null timestamp covers no window (the SQL range-join a
+            # sliding window desugars to never matches NULL)
+            t = t.filter(valid)
         us = _ts_us(t[ts_col])
         n = len(us)
         # windows covering ts: starts = floor(ts/slide)*slide - k*slide for
@@ -153,21 +171,23 @@ def session_window(
     bcol = "__rcdc_sb"
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        from raycdc.shuffle import stable_hash
+        # function-local import: ordered.py imports _ts_us from this module
+        from raycdc.ops.ordered import _hash_bucket
 
-        h = stable_hash(t, [key_col])
-        return t.append_column(
-            bcol, pa.array((h % num_partitions).astype("int64")))
+        return _hash_bucket(t, key_col, bcol, num_partitions)
 
     def bucket_sessions(t: pa.Table) -> pa.Table:
-        keys = t[key_col]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        enc = pc.dictionary_encode(keys)
-        dictionary = pa.concat_arrays(
-            [enc.dictionary, pa.nulls(1, enc.dictionary.type)])
-        codes = pc.fill_null(pc.cast(enc.indices, pa.int64()),
-                             len(enc.dictionary)).to_numpy(zero_copy_only=False)
+        from raycdc.ops.ordered import _key_codes
+
+        valid = pc.is_valid(t[ts_col])
+        if t.num_rows and not pc.all(valid).as_py():
+            # a session at an unknown instant is undefined; a NaN→int64
+            # tick would otherwise sort first and corrupt the key's
+            # session_start
+            t = t.filter(valid)
+        if t.num_rows == 0:
+            return pa.table({})  # empty partition: contributes nothing
+        codes, dictionary = _key_codes(t, key_col)
         us = _ts_us(t[ts_col])
         order = np.lexsort((us, codes))
         c, u = codes[order], us[order]
@@ -212,9 +232,16 @@ def session_window(
 
 def _parse_window_us(w: str | int) -> int:
     if isinstance(w, int):
-        return w * 1_000_000
-    units = {"s": 1, "m": 60, "h": 3600, "d": 86400}
-    unit = w[-1].lower()
-    if unit not in units:
-        raise ValueError(f"Bad window spec {w!r} (use e.g. '30s', '10m', '1h')")
-    return int(float(w[:-1]) * units[unit] * 1_000_000)
+        us = w * 1_000_000
+    else:
+        units = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+        unit = w[-1].lower()
+        if unit not in units:
+            raise ValueError(
+                f"Bad window spec {w!r} (use e.g. '30s', '10m', '1h')")
+        us = int(float(w[:-1]) * units[unit] * 1_000_000)
+    if us <= 0:
+        # a zero size would floor-divide every event into one garbage
+        # window (numpy int64 // 0 == 0 with only a RuntimeWarning)
+        raise ValueError(f"window size must be positive, got {w!r}")
+    return us

@@ -160,8 +160,26 @@ class Pipeline:
                 "input dataset has no schema (zero blocks — e.g. an "
                 "upstream filter dropped every row); pin it with a typed "
                 "empty (raycdc.joins.pin_schema) before Pipeline.run")
+        def _pa_type(t):
+            # pandas-block datasets (from_pandas) report numpy dtypes here;
+            # convert them so run() validates instead of raising an opaque
+            # TypeError deep inside pa.field
+            if isinstance(t, pa.DataType):
+                return t
+            if t is object or getattr(t, "kind", None) == "O":
+                # pandas object blocks are strings in practice; a wrong
+                # guess fails the step validation with a real message
+                return pa.string()
+            try:
+                return pa.from_numpy_dtype(t)
+            except (TypeError, pa.ArrowNotImplementedError):
+                raise ValueError(
+                    f"cannot derive an Arrow type from block type {t!r}; "
+                    "route the input through map_batches(..., "
+                    "batch_format='pyarrow') first") from None
+
         self.configure(pa.schema(
-            [pa.field(n, t) for n, t in zip(s.names, s.types)]))
+            [pa.field(n, _pa_type(t)) for n, t in zip(s.names, s.types)]))
         for step in self.steps:
             ds = step.apply(ds)
         return ds

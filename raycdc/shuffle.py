@@ -74,6 +74,39 @@ def block_refs_of(ds: ray.data.Dataset):
 _STATELESS_CACHE: dict = {}
 
 
+def _stage_key_part(a):
+    """VALUE-based cache-key component for one stateless_stage arg — never
+    id(a): CPython reuses addresses after GC, so two stages built at
+    different times (e.g. two broadcast joins on the same build ref with
+    different ``on`` lists) could alias to one memo key and a worker would
+    probe with the wrong stage's kernel — silently wrong output."""
+    if hasattr(a, "hex"):  # ObjectRef: content identity
+        try:
+            return a.hex()
+        except Exception:  # pragma: no cover
+            pass
+    if isinstance(a, (list, tuple)):
+        return ("__seq",) + tuple(_stage_key_part(x) for x in a)
+    if isinstance(a, dict):
+        return ("__map",) + tuple(
+            (_stage_key_part(k), _stage_key_part(v)) for k, v in a.items())
+    if isinstance(a, np.ndarray):
+        return ("__nd", a.dtype.str, a.shape, a.tobytes())
+    try:
+        hash(a)
+        return a
+    except TypeError:
+        raise TypeError(
+            f"stateless_stage arg of type {type(a).__name__} has no "
+            "value-based cache key; pass it via ray.put() instead")
+
+
+def stage_cache_key(cls, *args) -> tuple:
+    """The per-worker memo key for ``stateless_stage(cls, *args)``."""
+    return ((cls.__module__, cls.__qualname__)
+            + tuple(_stage_key_part(a) for a in args))
+
+
 def stateless_stage(cls, *args):
     """Wrap a CHEAP-INIT callable class (init = one node-local plasma fetch
     plus small prep) as a plain ``map_batches`` task function with a
@@ -85,19 +118,7 @@ def stateless_stage(cls, *args):
     per stage with nothing to amortize (measured: bloom branches 2.5 s pool
     vs 0.55 s tasks). ObjectRef args stay refs in the closure — each worker
     process resolves them zero-copy from its local object store once."""
-    def _k(a):
-        if hasattr(a, "hex"):
-            try:
-                return a.hex()
-            except Exception:  # pragma: no cover
-                return id(a)
-        try:
-            hash(a)
-            return a
-        except TypeError:
-            return id(a)
-
-    key = (cls.__module__, cls.__qualname__) + tuple(_k(a) for a in args)
+    key = stage_cache_key(cls, *args)
 
     def fn(t):
         inst = _STATELESS_CACHE.get(key)

@@ -47,7 +47,11 @@ def read_csv(paths, *, schema: Optional[pa.Schema] = None,
             raise ValueError("has_header=False requires a declared schema "
                              "to name the columns")
         read_options = pacsv.ReadOptions(column_names=schema.names)
-    elif schema is not None and skip_header_only:
+    elif skip_header_only:
+        if schema is None:
+            raise ValueError("skip_header_only=True requires a declared "
+                             "schema to supply the column names that "
+                             "replace the skipped header")
         read_options = pacsv.ReadOptions(column_names=schema.names,
                                          skip_rows=1)
     return ray.data.read_csv(paths, parse_options=parse_options,
