@@ -1627,6 +1627,69 @@ def _q_tokenize_docs(sf_dir: str):
     return tokenize_explode(docs)
 
 
+# Deterministic messy-line construction shared by the c4_filter_docs query
+# and its oracle: replacing frequent words with punctuated line breaks is one
+# RE2 global pass on both sides (documents.text has no newlines of its own).
+C4_SPLIT_1 = (" batch ", " batch.\n")
+C4_SPLIT_2 = (" window ", " window?\n")
+
+
+def _q_c4_filter(sf_dir: str):
+    """C4-style line filter (Raffel et al. §2.2): keep lines ending in
+    terminal punctuation with >= 3 words, rebuild docs from survivors.
+    Line structure is synthesized deterministically (same RE2 pass as the
+    oracle); the operator under test is ops/text.c4_line_filter — one
+    split + two vectorized passes + one binary_join per batch, no shuffle."""
+    import pyarrow.compute as pc
+
+    from raycdc.ops.text import c4_line_filter, degraded_empty
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def mess(t):
+        if degraded_empty(t, "text"):
+            return t.slice(0, 0)
+        s = pc.replace_substring(t["text"], C4_SPLIT_1[0], C4_SPLIT_1[1])
+        s = pc.replace_substring(s, C4_SPLIT_2[0], C4_SPLIT_2[1])
+        return t.set_column(t.schema.get_field_index("text"), "text", s)
+
+    out = c4_line_filter(docs.map_batches(mess, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda t: t.drop_columns(["text"]) if "text" in t.column_names else t,
+        batch_format="pyarrow")
+
+
+def _q_canon_urls(sf_dir: str):
+    """URL canonicalization (fragment strip, scheme/authority lowercase,
+    default-port drop, bare-slash drop) over deterministically messy urls
+    built from doc_id — every rule is exercised (http:80 / https:443 /
+    non-default :8080 kept / bare vs deep trailing slash / fragments).
+    The operator under test is ops/text.canonicalize_url (stateless RE2
+    chain, no shuffle); the url construction is the same arithmetic CASE
+    chain the oracle runs."""
+    import pandas as pd
+
+    from raycdc.ops.text import canonicalize_url, degraded_empty
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+
+    def mk(t):
+        if degraded_empty(t, "doc_id"):
+            return t.slice(0, 0)
+        ids = t["doc_id"].to_pandas()
+        sid = ids.astype(str)
+        s = pd.Series(np.where(ids % 2 == 0, "HTTP://", "HTTPS://"))
+        s = s + "Site-" + (ids % 97).astype(str) + ".Example.COM"
+        s = s + np.where(ids % 2 == 0, ":80",
+                         np.where(ids % 4 == 1, ":443", ":8080"))
+        s = s + np.where(ids % 5 == 0, "/",
+                         np.where(ids % 5 == 1, "", "/Path/" + sid))
+        s = s + np.where(ids % 3 == 0, "#Sec-" + sid, "")
+        return t.append_column("url", pa.array(s, pa.string()))
+
+    return canonicalize_url(docs.map_batches(mk, batch_format="pyarrow"))
+
+
 def _q_sample_events(sf_dir: str):
     """Deterministic 5% hash sample (Knuth multiplicative hash) — the same
     predicate runs in ANSI SQL, so the sampled set itself is oracle-checked,
@@ -1994,6 +2057,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_oracle": _q_quality_oracle,
         "embed_dup_pairs": _q_embed_dups,
         "grouped_quantiles": _q_grouped_quantiles,
+        "canon_urls": _q_canon_urls,
+        "c4_filter_docs": _q_c4_filter,
         # -- tail: approximate / non-SQL variants (pytest ground-truth
         #    gates; exact twins above) -------------------------------------
         "ann_lsh": _q_ann_lsh,
@@ -2050,6 +2115,78 @@ def _redact_pii_sql() -> str:
 
 
 _REDACT_PII_SQL = _redact_pii_sql()
+
+
+def _canon_urls_sql() -> str:
+    # Regexes come from the engine module (the redact_pii precedent); the
+    # named groups in URL_AUTHORITY_RE are indexed 1/2/3 in DuckDB (RE2
+    # accepts ?P<...> and numbered access is unchanged). regexp_replace
+    # needs no 'g': every pattern is ^-anchored (one match possible).
+    # DuckDB single-quoted literals keep backslashes verbatim — patterns
+    # are embedded UNESCAPED (the redact_pii precedent).
+    from raycdc.ops.text import (URL_AUTHORITY_RE, URL_BARE_SLASH_RE,
+                                 URL_HTTP_PORT_RE, URL_HTTPS_PORT_RE)
+
+    auth = URL_AUTHORITY_RE
+    return rf"""
+        WITH m AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://'
+                         ELSE 'HTTPS://' END)
+                   || 'Site-' || (doc_id % 97)::VARCHAR || '.Example.COM'
+                   || (CASE WHEN doc_id % 2 = 0 THEN ':80'
+                            WHEN doc_id % 4 = 1 THEN ':443'
+                            ELSE ':8080' END)
+                   || (CASE WHEN doc_id % 5 = 0 THEN '/'
+                            WHEN doc_id % 5 = 1 THEN ''
+                            ELSE '/Path/' || doc_id::VARCHAR END)
+                   || (CASE WHEN doc_id % 3 = 0
+                            THEN '#Sec-' || doc_id::VARCHAR
+                            ELSE '' END) AS url
+            FROM documents),
+        s1 AS (SELECT doc_id, url,
+                      regexp_replace(url, '#.*$', '') AS a FROM m),
+        s2 AS (SELECT doc_id, url,
+                      CASE WHEN regexp_matches(
+                               a, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                           THEN lower(regexp_extract(a, '{auth}', 1))
+                                || '://'
+                                || lower(regexp_extract(a, '{auth}', 2))
+                                || regexp_extract(a, '{auth}', 3)
+                           ELSE a END AS b FROM s1),
+        s3 AS (SELECT doc_id, url,
+                      regexp_replace(
+                          regexp_replace(b, '{URL_HTTP_PORT_RE}', '\1\2'),
+                          '{URL_HTTPS_PORT_RE}', '\1\2') AS c FROM s2)
+        SELECT doc_id, url,
+               regexp_replace(c, '{URL_BARE_SLASH_RE}', '\1') AS url_canon
+        FROM s3"""
+
+
+def _c4_filter_sql() -> str:
+    from raycdc.ops.text import LINE_PUNCT_RE
+
+    w1, r1 = C4_SPLIT_1[0], C4_SPLIT_1[1].rstrip("\n")
+    w2, r2 = C4_SPLIT_2[0], C4_SPLIT_2[1].rstrip("\n")
+    punct = LINE_PUNCT_RE  # DuckDB literals keep backslashes verbatim
+    return rf"""
+        WITH m AS (
+            SELECT doc_id,
+                   replace(replace(text, '{w1}', '{r1}' || chr(10)),
+                           '{w2}', '{r2}' || chr(10)) AS t
+            FROM documents),
+        f AS (SELECT doc_id, t,
+                     list_filter(string_split(t, chr(10)),
+                         l -> regexp_matches(l, '{punct}')
+                              AND len(regexp_extract_all(l, '\S+')) >= 3)
+                         AS kept
+              FROM m)
+        SELECT doc_id,
+               CASE WHEN t IS NOT NULL
+                    THEN COALESCE(array_to_string(kept, chr(10)), '') END
+                   AS clean_text,
+               CAST(len(kept) AS BIGINT) AS kept_lines
+        FROM f"""
 
 
 def _curation_v2_sql() -> str:
@@ -2843,4 +2980,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F')
                         AS BIGINT) AS n_F
             FROM lineitem GROUP BY l_returnflag""",
+        "canon_urls": _canon_urls_sql(),
+        "c4_filter_docs": _c4_filter_sql(),
     }

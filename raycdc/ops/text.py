@@ -812,3 +812,114 @@ def min_token_freq_filter(
                      num_partitions=num_partitions, strategy="auto")
     return hash_join(ds, keep, on=[id_col], join_type="left_semi",
                      num_partitions=num_partitions, strategy="auto")
+
+
+# Canonicalization patterns — module-level so the oracle SQL builds from the
+# SAME strings (the redact_pii precedent: RE2 on both sides, zero drift).
+URL_AUTHORITY_RE = r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://(?P<auth>[^/?#]*)(?P<rest>.*)$"
+URL_HTTP_PORT_RE = r"^(http://[^/:?#]*):80([/?#]|$)"
+URL_HTTPS_PORT_RE = r"^(https://[^/:?#]*):443([/?#]|$)"
+URL_BARE_SLASH_RE = r"^(https?://[^/?#]*)/$"
+
+
+def canonicalize_url(ds: ray.data.Dataset, url_col: str = "url",
+                     out_col: str = "url_canon") -> ray.data.Dataset:
+    """URL canonicalization for web-corpus dedup keys (the normalization
+    every Common-Crawl pipeline runs before url-level dedup / host rollups):
+
+    1. strip the fragment (``#...`` never reaches the server),
+    2. lowercase the scheme and authority (case-insensitive per RFC 3986;
+       the PATH keeps its case — it is case-sensitive),
+    3. drop default ports (``http://h:80`` → ``http://h``, https ``:443``),
+    4. drop a BARE trailing slash (path exactly ``/``; deeper paths keep
+       theirs — ``/a/`` vs ``/a`` can be different resources).
+
+    Scheme-less strings pass through steps 1/3/4 untouched by 2 (no
+    authority to lowercase); null urls stay null. All four steps are plain
+    RE2 (no lookahead — RE2 has none), so DuckDB's ``regexp_replace``/
+    ``regexp_extract`` reproduce them verbatim: the op is oracle-checkable
+    end to end. Stateless per-batch kernel — no shuffle, streams at read
+    speed over any corpus size.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        if degraded_empty(t, url_col):
+            return t.slice(0, 0)
+        u = t[url_col]
+        s1 = pc.replace_substring_regex(u, r"#.*$", "")
+        ex = pc.extract_regex(s1, URL_AUTHORITY_RE)
+        low = pc.binary_join_element_wise(
+            pc.utf8_lower(pc.struct_field(ex, "scheme")), "://", "")
+        low = pc.binary_join_element_wise(
+            low, pc.utf8_lower(pc.struct_field(ex, "auth")), "")
+        low = pc.binary_join_element_wise(low, pc.struct_field(ex, "rest"), "")
+        s2 = pc.if_else(pc.is_valid(ex), low, s1)
+        s3 = pc.replace_substring_regex(s2, URL_HTTP_PORT_RE, r"\1\2")
+        s3 = pc.replace_substring_regex(s3, URL_HTTPS_PORT_RE, r"\1\2")
+        s4 = pc.replace_substring_regex(s3, URL_BARE_SLASH_RE, r"\1")
+        return t.append_column(out_col, s4)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# Line-filter rules — shared with the oracle SQL (RE2 both sides).
+LINE_PUNCT_RE = r"[.!?]\s*$"
+
+
+def c4_line_filter(ds: ray.data.Dataset, text_col: str = "text",
+                   out_col: str = "clean_text",
+                   kept_col: str | None = "kept_lines",
+                   min_words: int = 3) -> ray.data.Dataset:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation (``.!?``, trailing whitespace
+    tolerated) AND carry at least ``min_words`` whitespace tokens; rebuild
+    each document from its surviving lines. Boilerplate (nav menus, cookie
+    banners, button labels) rarely ends in a period — this is the classic
+    first-pass web-text scrub, complementing the document-level ops
+    (:func:`~raycdc.ops.dedup.scrub_duplicated_passages` works on token
+    windows ACROSS docs; this rule is purely within-doc).
+
+    A doc whose every line fails comes out as ``""`` (callers chain a
+    length filter); null text stays null. ``kept_col`` (optional) appends
+    the surviving line count. Fully vectorized: one split per batch, one
+    regex pass + one token-count pass over the flattened line buffer, one
+    ``np.bincount`` for per-doc counts, one ``binary_join`` reassembly —
+    no Python-per-row work, no shuffle, streams at any scale. Offsets are
+    int64 (``LargeListArray``): int32 would wrap past 2^31 flattened line
+    bytes per batch (the chunk_documents invariant).
+    """
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
+
+    def fn(t: pa.Table) -> pa.Table:
+        if degraded_empty(t, text_col):
+            return t.slice(0, 0)
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lines = pc.split_pattern(text, "\n")
+        raw_n = pc.fill_null(pc.list_value_length(lines), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lines)
+        keep = pc.and_(
+            pc.match_substring_regex(flat, LINE_PUNCT_RE),
+            pc.greater_equal(pc.count_substring_regex(flat, TOKEN_RE),
+                             min_words))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        doc_of_line = np.repeat(np.arange(len(raw_n)), raw_n)
+        kept_per_doc = np.bincount(
+            doc_of_line[keep_np], minlength=len(raw_n)).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int64)
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()),
+                                          flat.filter(keep)), "\n")
+        valid = pc.is_valid(text)
+        out = t.append_column(
+            out_col, pc.if_else(valid, joined, pa.scalar(None, pa.string())))
+        if kept_col is not None:
+            out = out.append_column(
+                kept_col, pc.if_else(valid, pa.array(kept_per_doc),
+                                     pa.scalar(None, pa.int64())))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,100 @@
+"""Round-5 webtext additions: URL canonicalization and the C4-style
+line-level filter — rule-by-rule unit coverage plus the Ray edge cases
+(null inputs, empty docs, zero-column degraded blocks)."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from raycdc.ops.text import c4_line_filter, canonicalize_url
+
+
+def _canon(urls):
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    out = canonicalize_url(ds).to_pandas()
+    return out["url_canon"].where(out["url_canon"].notna(), None).tolist()
+
+
+def test_canonicalize_url_rules():
+    assert _canon([
+        "HTTP://Site-1.Example.COM:80/Path/2#frag",  # all rules at once
+        "HTTPS://Host.ORG:443/",                     # https port + bare slash
+        "https://keep.port:8080/x?q=1#z",            # non-default port kept
+        "http://host:80?q=2",                        # port before query
+        "http://host:80",                            # port at end of url
+        "ftp://Mixed.Case/Path",                     # non-http scheme: no port rule
+        "https://a.b/deep/",                         # deep trailing slash KEPT
+        "no-scheme/path#f",                          # scheme-less passthrough
+    ]) == [
+        "http://site-1.example.com/Path/2",
+        "https://host.org",
+        "https://keep.port:8080/x?q=1",
+        "http://host?q=2",
+        "http://host",
+        "ftp://mixed.case/Path",
+        "https://a.b/deep/",
+        "no-scheme/path",
+    ]
+
+
+def test_canonicalize_url_null_and_empty():
+    assert _canon([None, "", "HTTPS://U:443"]) == [None, "", "https://u"]
+
+
+def test_canonicalize_url_path_case_preserved():
+    # RFC 3986: scheme/host case-insensitive, path case-sensitive
+    assert _canon(["HTTP://H.COM/CaseSensitive/PATH"]) == [
+        "http://h.com/CaseSensitive/PATH"]
+
+
+def test_canonicalize_url_degraded_empty_block():
+    from raycdc.ops.text import degraded_empty
+    t = pa.table({})
+    assert degraded_empty(t, "url")
+    ds = ray.data.from_arrow(pa.table({"url": pa.array([], pa.string())}))
+    assert canonicalize_url(ds).count() == 0
+
+
+def _c4(texts, **kw):
+    import pandas as pd
+
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    df = c4_line_filter(ds, **kw).to_pandas()
+    clean = df["clean_text"].where(df["clean_text"].notna(), None).tolist()
+    # a null kept_lines degrades the pandas column to float64/NaN
+    kept = [None if pd.isna(k) else int(k) for k in df["kept_lines"]]
+    return clean, kept
+
+
+def test_c4_line_filter_rules():
+    clean, kept = _c4([
+        "Good line one here.\nshort\nAnother fine sentence!\n"
+        "no punct line at all\nIs this kept?  \n tiny. ",
+        "single good line with words.",
+        "all\nbad\nlines",
+    ])
+    # kept: terminal punct AND >= 3 words; "tiny." fails min_words,
+    # "Is this kept?  " passes (trailing whitespace tolerated)
+    assert clean == [
+        "Good line one here.\nAnother fine sentence!\nIs this kept?  ",
+        "single good line with words.",
+        "",
+    ]
+    assert kept == [3, 1, 0]
+
+
+def test_c4_line_filter_null_empty_and_minwords():
+    clean, kept = _c4([None, "", "a b.\nc d e."], min_words=2)
+    assert clean == [None, "", "a b.\nc d e."]
+    assert kept == [None, 0, 2]
+    with pytest.raises(ValueError):
+        c4_line_filter(ray.data.from_arrow(
+            pa.table({"text": pa.array(["x"], pa.string())})), min_words=0)
+
+
+def test_c4_line_filter_no_kept_col():
+    ds = ray.data.from_arrow(pa.table(
+        {"text": pa.array(["one two three."], pa.string())}))
+    df = c4_line_filter(ds, kept_col=None).to_pandas()
+    assert "kept_lines" not in df.columns
+    assert df["clean_text"].tolist() == ["one two three."]
