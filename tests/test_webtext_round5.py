@@ -98,3 +98,65 @@ def test_c4_line_filter_no_kept_col():
     df = c4_line_filter(ds, kept_col=None).to_pandas()
     assert "kept_lines" not in df.columns
     assert df["clean_text"].tolist() == ["one two three."]
+
+
+# ---- property tests -------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _canon_ref(u):
+    """Per-row Python reference of the 4 canonicalization rules."""
+    import re
+    if u is None:
+        return None
+    s = re.sub(r"#.*$", "", u)
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$", s, re.S)
+    if m:
+        s = m.group(1).lower() + "://" + m.group(2).lower() + m.group(3)
+    s = re.sub(r"^(http://[^/:?#]*):80([/?#]|$)", r"\1\2", s)
+    s = re.sub(r"^(https://[^/:?#]*):443([/?#]|$)", r"\1\2", s)
+    return re.sub(r"^(https?://[^/?#]*)/$", r"\1", s)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.from_regex(r"(HTTPS?|ftp|http)://[A-Za-z0-9.-]{1,12}"
+                  r"(:(80|443|8080))?(/[A-Za-z0-9/]{0,8})?(\?q=[0-9])?"
+                  r"(#[A-Za-z0-9]{0,4})?", fullmatch=True),
+    st.text(alphabet="aB:/#?.-", max_size=16)),
+    min_size=1, max_size=40))
+def test_canonicalize_url_matches_reference_and_idempotent(urls):
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    got = canonicalize_url(ds).to_pandas()["url_canon"]
+    got = got.where(got.notna(), None).tolist()
+    assert got == [_canon_ref(u) for u in urls]
+    # canonical form is a fixpoint of the rules
+    ds2 = ray.data.from_arrow(pa.table({"url": pa.array(got, pa.string())}))
+    again = canonicalize_url(ds2).to_pandas()["url_canon"]
+    assert again.where(again.notna(), None).tolist() == got
+
+
+def _c4_ref(t, min_words):
+    """Per-row Python reference of the line rules."""
+    import re
+    if t is None:
+        return None, None
+    kept = [l for l in t.split("\n")
+            if re.search(r"[.!?]\s*$", l)
+            and len(re.findall(r"\S+", l)) >= min_words]
+    return "\n".join(kept), len(kept)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.text(alphabet=" \t\nabc.!?xyz", max_size=60)),
+    min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=3))
+def test_c4_line_filter_matches_reference(texts, min_words):
+    clean, kept = _c4(texts, min_words=min_words)
+    ref = [_c4_ref(t, min_words) for t in texts]
+    assert clean == [r[0] for r in ref]
+    assert kept == [r[1] for r in ref]
