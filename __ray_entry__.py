@@ -1659,6 +1659,28 @@ def _q_c4_filter(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_curation_v5(sf_dir: str):
+    """Fifth composition story: C4 line cleaning → min-surviving-lines
+    gate → exact dedup of the CLEANED text (docs differing only in
+    dropped boilerplate lines collapse). One exchange total; line
+    structure synthesized with the same replace() pass as c4_filter_docs."""
+    import pyarrow.compute as pc
+
+    from raycdc.ops.text import degraded_empty
+    from raycdc.pipelines.curation import curate_documents_v5
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def mess(t):
+        if degraded_empty(t, "text"):
+            return t.slice(0, 0)
+        s = pc.replace_substring(t["text"], C4_SPLIT_1[0], C4_SPLIT_1[1])
+        s = pc.replace_substring(s, C4_SPLIT_2[0], C4_SPLIT_2[1])
+        return t.set_column(t.schema.get_field_index("text"), "text", s)
+
+    return curate_documents_v5(docs.map_batches(mess, batch_format="pyarrow"))
+
+
 def _q_canon_urls(sf_dir: str):
     """URL canonicalization (fragment strip, scheme/authority lowercase,
     default-port drop, bare-slash drop) over deterministically messy urls
@@ -2059,6 +2081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "canon_urls": _q_canon_urls,
         "c4_filter_docs": _q_c4_filter,
+        "curation_pipeline_v5": _q_curation_v5,
         # -- tail: approximate / non-SQL variants (pytest ground-truth
         #    gates; exact twins above) -------------------------------------
         "ann_lsh": _q_ann_lsh,
@@ -2187,6 +2210,29 @@ def _c4_filter_sql() -> str:
                    AS clean_text,
                CAST(len(kept) AS BIGINT) AS kept_lines
         FROM f"""
+
+
+def _curation_v5_sql() -> str:
+    from raycdc.ops.text import LINE_PUNCT_RE
+
+    w1, r1 = C4_SPLIT_1[0], C4_SPLIT_1[1].rstrip("\n")
+    w2, r2 = C4_SPLIT_2[0], C4_SPLIT_2[1].rstrip("\n")
+    return rf"""
+        WITH m AS (
+            SELECT doc_id,
+                   replace(replace(text, '{w1}', '{r1}' || chr(10)),
+                           '{w2}', '{r2}' || chr(10)) AS t
+            FROM documents),
+        f AS (SELECT doc_id,
+                     list_filter(string_split(t, chr(10)),
+                         l -> regexp_matches(l, '{LINE_PUNCT_RE}')
+                              AND len(regexp_extract_all(l, '\S+')) >= 3)
+                         AS kept
+              FROM m),
+        g AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text
+              FROM f WHERE len(kept) >= 2)
+        SELECT doc_id, text FROM g
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"""
 
 
 def _curation_v2_sql() -> str:
@@ -2982,4 +3028,5 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag""",
         "canon_urls": _canon_urls_sql(),
         "c4_filter_docs": _c4_filter_sql(),
+        "curation_pipeline_v5": _curation_v5_sql(),
     }

@@ -262,6 +262,47 @@ def curate_documents_v4(
                        num_partitions=num_partitions)
 
 
+def curate_documents_v5(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_kept_lines: int = 2,
+    num_partitions: int = 32,
+):
+    """Fifth composition story — the classic C4 first pass, chained end to
+    end: LINE-level cleaning (keep lines ending in terminal punctuation
+    with >= ``min_words`` tokens; :func:`raycdc.ops.text.c4_line_filter`)
+    → a surviving-line-count quality gate (docs reduced to fewer than
+    ``min_kept_lines`` lines are boilerplate shells, dropped) → EXACT
+    DEDUP of the CLEANED text (two docs that differed only in dropped
+    nav/footer lines collapse here — the pair a pre-clean dedup could
+    never see). Returns ``(id_col, text_col)`` with ``text_col`` holding
+    the cleaned text.
+
+    ONE partition-only exchange total (the dedup's text hash); the line
+    filter and the gate are stateless per-batch streaming.
+    """
+    from raycdc.ops.text import c4_line_filter, degraded_empty
+
+    cleaned = c4_line_filter(ds, text_col=text_col, out_col="__rcdc_clean",
+                             kept_col="__rcdc_kept", min_words=min_words)
+
+    def gate(t: pa.Table) -> pa.Table:
+        if degraded_empty(t, "__rcdc_kept", text_col):
+            return t.slice(0, 0)
+        keep = pc.greater_equal(t["__rcdc_kept"], min_kept_lines)
+        t = t.filter(pc.fill_null(keep, False))
+        t = t.set_column(t.schema.get_field_index(text_col), text_col,
+                         t["__rcdc_clean"])
+        return t.drop_columns(["__rcdc_clean", "__rcdc_kept"])
+
+    gated = cleaned.map_batches(gate, batch_format="pyarrow")
+    return exact_dedup(gated, text_col=text_col, id_col=id_col,
+                       num_partitions=num_partitions)
+
+
 def quantile_bucket(
     ds,
     col: str,

@@ -160,3 +160,26 @@ def test_c4_line_filter_matches_reference(texts, min_words):
     ref = [_c4_ref(t, min_words) for t in texts]
     assert clean == [r[0] for r in ref]
     assert kept == [r[1] for r in ref]
+
+
+def test_curate_documents_v5_collapse_after_clean():
+    from raycdc.pipelines.curation import curate_documents_v5
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "Keep this line here.\nAnd this other line too.\nNAV MENU",
+            "Keep this line here.\nAnd this other line too.\nCOOKIE BANNER",
+            "Keep this line here.\nonly one good line survives elsewhere",
+            "junk\nmore junk",
+        ], pa.string()),
+    })
+    out = curate_documents_v5(ray.data.from_arrow(docs),
+                              min_words=3, min_kept_lines=2,
+                              num_partitions=4).to_pandas()
+    # docs 1 and 2 differ only in dropped boilerplate -> collapse (min id
+    # wins); doc 3 keeps 1 line < min_kept_lines gate; doc 4 keeps none
+    assert sorted(out.columns) == ["doc_id", "text"]
+    assert out["doc_id"].tolist() == [1]
+    assert out["text"].tolist() == [
+        "Keep this line here.\nAnd this other line too."]
