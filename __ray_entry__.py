@@ -1712,6 +1712,64 @@ def _q_canon_urls(sf_dir: str):
     return canonicalize_url(docs.map_batches(mk, batch_format="pyarrow"))
 
 
+# Deterministic Gopher-rule structure injection shared by the gopher_stats /
+# gopher_filter_docs queries and their oracles (documents.text is a single
+# line of letters-only words, so bullets, hashes, ellipsis line-ends and
+# extra stopwords are planted — each a single replace() pass on both sides).
+GOPHER_MESS = ((" table ", "\n- table "),
+               (" row ", " #row "),
+               (" fast ", " fast...\n"),
+               (" agg ", " and that "))
+
+
+def _gopher_mess_fn(t):
+    import pyarrow.compute as pc
+
+    from raycdc.ops.text import degraded_empty
+
+    if degraded_empty(t, "text"):
+        return t.slice(0, 0)
+    s = t["text"]
+    for w, r in GOPHER_MESS:
+        s = pc.replace_substring(s, w, r)
+    return t.set_column(t.schema.get_field_index("text"), "text", s)
+
+
+def _q_gopher_stats(sf_dir: str):
+    """Gopher quality-rule signals (Rae et al. 2021, A1) per document:
+    word count, mean word length, alpha-word fraction, #/... symbol ratio,
+    bullet/ellipsis line fractions, distinct-stopword hits. The operator
+    under test is ops/text.gopher_quality_stats — exact integer counts and
+    exact ratios, one stateless vectorized map_batches, no shuffle."""
+    from raycdc.ops.text import gopher_quality_stats
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return gopher_quality_stats(
+        docs.map_batches(_gopher_mess_fn, batch_format="pyarrow"))
+
+
+# Thresholds tuned so every rule except the always-sane mean-word-length
+# individually rejects fixture docs (84 of 500 survive at sf0.01).
+_GOPHER_THRESH = dict(min_words=30, max_words=100_000,
+                      min_mean_word_len=3.0, max_mean_word_len=10.0,
+                      max_symbol_word_ratio=0.06, max_bullet_line_frac=0.5,
+                      max_ellipsis_line_frac=0.4, min_alpha_word_frac=0.9,
+                      min_stop_hits=2)
+
+
+def _q_gopher_filter(sf_dir: str):
+    """Gopher document filter: drop docs failing any A1 rule (thresholds
+    tuned to the fixture so each rule fires). ops/text.gopher_filter —
+    stats never leave the kernel; stateless, no shuffle."""
+    from raycdc.ops.text import gopher_filter
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = gopher_filter(
+        docs.map_batches(_gopher_mess_fn, batch_format="pyarrow"),
+        **_GOPHER_THRESH)
+    return out.select_columns(["doc_id"])
+
+
 def _q_sample_events(sf_dir: str):
     """Deterministic 5% hash sample (Knuth multiplicative hash) — the same
     predicate runs in ANSI SQL, so the sampled set itself is oracle-checked,
@@ -2082,6 +2140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canon_urls": _q_canon_urls,
         "c4_filter_docs": _q_c4_filter,
         "curation_pipeline_v5": _q_curation_v5,
+        "gopher_stats": _q_gopher_stats,
+        "gopher_filter_docs": _q_gopher_filter,
         # -- tail: approximate / non-SQL variants (pytest ground-truth
         #    gates; exact twins above) -------------------------------------
         "ann_lsh": _q_ann_lsh,
@@ -2210,6 +2270,73 @@ def _c4_filter_sql() -> str:
                    AS clean_text,
                CAST(len(kept) AS BIGINT) AS kept_lines
         FROM f"""
+
+
+def _gopher_stats_cte() -> str:
+    """Shared CTE: messy text -> per-doc Gopher stats (columns named exactly
+    like ops/text.gopher_quality_stats). Rules are RE2 on both sides; counts
+    and ratios are exact integer arithmetic, so values hash-match."""
+    from raycdc.ops.text import (ALPHA_WORD_RE, BULLET_LINE_RE,
+                                 ELLIPSIS_LINE_RE, GOPHER_STOPWORDS)
+
+    mess = "text"
+    for w, r in GOPHER_MESS:
+        r_sql = "'" + r.replace("\n", "' || chr(10) || '") + "'"
+        mess = f"replace({mess}, '{w}', {r_sql})"
+    stop_sql = " + ".join(
+        rf"(CASE WHEN regexp_matches(t, '(?i)\b{w}\b') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS)
+    return rf"""
+        WITH m AS (SELECT doc_id, {mess} AS t FROM documents),
+        b AS (SELECT doc_id, t,
+                     trim(regexp_replace(t, '\s+', ' ', 'g'), ' ') AS norm
+              FROM m),
+        w AS (SELECT doc_id, t, norm,
+                     CASE WHEN t IS NULL THEN NULL WHEN norm = '' THEN 0
+                          ELSE len(string_split(norm, ' ')) END AS nw,
+                     string_split(t, chr(10)) AS lines
+              FROM b),
+        s AS (SELECT doc_id,
+                CAST(nw AS BIGINT) AS n_words,
+                CASE WHEN nw > 0 THEN
+                  (length(norm) - (nw - 1))::DOUBLE / nw END AS mean_word_len,
+                CASE WHEN nw > 0 THEN
+                  len(list_filter(string_split(norm, ' '),
+                      x -> regexp_matches(x, '{ALPHA_WORD_RE}')))::DOUBLE
+                  / nw END AS alpha_word_frac,
+                CASE WHEN nw > 0 THEN
+                  ((length(t) - length(replace(t, '#', '')))
+                   + (length(t) - length(replace(t, '...', ''))) // 3)::DOUBLE
+                  / nw END AS symbol_word_ratio,
+                CASE WHEN t IS NOT NULL THEN
+                  len(list_filter(lines,
+                      l -> regexp_matches(l, '{BULLET_LINE_RE}')))::DOUBLE
+                  / len(lines) END AS bullet_line_frac,
+                CASE WHEN t IS NOT NULL THEN
+                  len(list_filter(lines,
+                      l -> regexp_matches(l, '{ELLIPSIS_LINE_RE}')))::DOUBLE
+                  / len(lines) END AS ellipsis_line_frac,
+                CASE WHEN t IS NOT NULL
+                     THEN CAST({stop_sql} AS BIGINT) END AS stop_hits
+              FROM w)"""
+
+
+def _gopher_stats_sql() -> str:
+    return _gopher_stats_cte() + "\n        SELECT * FROM s"
+
+
+def _gopher_filter_sql() -> str:
+    th = _GOPHER_THRESH
+    return _gopher_stats_cte() + rf"""
+        SELECT doc_id FROM s
+        WHERE n_words BETWEEN {th['min_words']} AND {th['max_words']}
+          AND mean_word_len BETWEEN {th['min_mean_word_len']}
+                                AND {th['max_mean_word_len']}
+          AND symbol_word_ratio <= {th['max_symbol_word_ratio']}
+          AND bullet_line_frac <= {th['max_bullet_line_frac']}
+          AND ellipsis_line_frac <= {th['max_ellipsis_line_frac']}
+          AND alpha_word_frac >= {th['min_alpha_word_frac']}
+          AND stop_hits >= {th['min_stop_hits']}"""
 
 
 def _curation_v5_sql() -> str:
@@ -3028,5 +3155,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag""",
         "canon_urls": _canon_urls_sql(),
         "c4_filter_docs": _c4_filter_sql(),
+        "gopher_stats": _gopher_stats_sql(),
+        "gopher_filter_docs": _gopher_filter_sql(),
         "curation_pipeline_v5": _curation_v5_sql(),
     }

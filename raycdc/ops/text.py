@@ -865,6 +865,189 @@ def canonicalize_url(ds: ray.data.Dataset, url_col: str = "url",
 # Line-filter rules — shared with the oracle SQL (RE2 both sides).
 LINE_PUNCT_RE = r"[.!?]\s*$"
 
+# Gopher quality-rule constants (Rae et al. 2021 "Scaling Language Models",
+# Table A1) — shared with the oracle SQL (RE2 both sides; DuckDB regexp_*
+# is RE2 too, verified: count/length/\b semantics identical).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+BULLET_LINE_RE = r"^[-*]"
+ELLIPSIS_LINE_RE = r"\.\.\.\s*$"
+ALPHA_WORD_RE = r"[A-Za-z]"
+
+
+def gopher_quality_stats(ds: ray.data.Dataset, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         keep_cols: "list[str] | None" = None,
+                         stopwords=GOPHER_STOPWORDS) -> ray.data.Dataset:
+    """Gopher-rule quality signals per document (Rae et al. 2021, A1) — the
+    standard web-corpus document filter battery, complementing
+    :func:`repetition_stats` (dup-line / top-word fractions live there):
+
+    - ``n_words``: \\S+ token count over whitespace-normalized text
+    - ``mean_word_len``: total token chars / n_words (null when no tokens)
+    - ``alpha_word_frac``: fraction of tokens containing ``[A-Za-z]``
+    - ``symbol_word_ratio``: (``#`` count + non-overlapping ``...`` count,
+      both on the RAW text) / n_words
+    - ``bullet_line_frac``: fraction of raw ``\\n``-lines starting ``-``/``*``
+    - ``ellipsis_line_frac``: fraction of raw lines ending in ``...``
+    - ``stop_hits``: how many DISTINCT ``stopwords`` appear (word-bounded,
+      case-insensitive) — Gopher requires >= 2 of its 8
+
+    Exact integer counts and exact ratios of those ints, so a SQL engine
+    reproduces every value bit-identically (the repetition_stats contract).
+    Null text -> all-null stats; ratios over zero words are null. One
+    stateless map_batches — vectorized RE2/Arrow kernels over the flattened
+    token/line buffers, no shuffle, streams at any corpus size.
+    """
+    import re as _re
+
+    stop_pats = [r"(?i)\b" + _re.escape(w) + r"\b" for w in stopwords]
+
+    def fn(t: pa.Table) -> pa.Table:
+        if degraded_empty(t, text_col, id_col):
+            return t.slice(0, 0)
+        n = t.num_rows
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        valid = pc.is_valid(text)
+        valid_np = valid.to_numpy(zero_copy_only=False)
+
+        # words over whitespace-normalized text (tokenize_explode contract)
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(text, r"\s+", " "), " ")
+        toks = pc.split_pattern(norm, " ")
+        raw_n = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        empty = pc.equal(pc.fill_null(norm, ""), "").to_numpy(
+            zero_copy_only=False)
+        n_tok = raw_n.copy()
+        n_tok[empty] = 0  # split('') == [''] phantom token
+        n_words = pc.if_else(valid, pa.array(n_tok, pa.int64()),
+                             pa.scalar(None, pa.int64()))
+
+        # mean word length: token chars = len(norm) - (n_words - 1) since
+        # norm joins tokens with single spaces (codepoints, both engines)
+        norm_len = pc.fill_null(pc.utf8_length(norm), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tok_chars = norm_len - np.maximum(n_tok - 1, 0)
+        no_words = (n_tok == 0) | ~valid_np
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_wl = tok_chars.astype(np.float64) / n_tok.astype(np.float64)
+        mean_word_len = pa.array(mean_wl, pa.float64(), mask=no_words)
+
+        # alpha-word fraction (phantom '' never matches [A-Za-z])
+        flat = pc.list_flatten(toks)
+        doc_of_tok = np.repeat(np.arange(n), raw_n)
+        is_alpha = pc.fill_null(
+            pc.match_substring_regex(flat, ALPHA_WORD_RE), False).to_numpy(
+            zero_copy_only=False)
+        alpha_cnt = np.bincount(doc_of_tok[is_alpha],
+                                minlength=n).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alpha = alpha_cnt.astype(np.float64) / n_tok.astype(np.float64)
+        alpha_word_frac = pa.array(alpha, pa.float64(), mask=no_words)
+
+        # symbol ratio on the RAW text ('#' + non-overlapping '...')
+        n_hash = pc.fill_null(pc.count_substring(text, "#"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_ell = pc.fill_null(pc.count_substring(text, "..."), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sym = (n_hash + n_ell).astype(np.float64) / n_tok.astype(
+                np.float64)
+        symbol_word_ratio = pa.array(sym, pa.float64(), mask=no_words)
+
+        # line rules on the RAW text (>= 1 line for any non-null text)
+        lines = pc.split_pattern(text, "\n")
+        ln_raw = pc.fill_null(pc.list_value_length(lines), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat_l = pc.list_flatten(lines)
+        doc_of_line = np.repeat(np.arange(n), ln_raw)
+        no_lines = (ln_raw == 0) | ~valid_np
+
+        def line_frac(pat: str) -> pa.Array:
+            hit = pc.fill_null(
+                pc.match_substring_regex(flat_l, pat), False).to_numpy(
+                zero_copy_only=False)
+            cnt = np.bincount(doc_of_line[hit], minlength=n).astype(np.int64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                frac = cnt.astype(np.float64) / ln_raw.astype(np.float64)
+            return pa.array(frac, pa.float64(), mask=no_lines)
+
+        bullet_line_frac = line_frac(BULLET_LINE_RE)
+        ellipsis_line_frac = line_frac(ELLIPSIS_LINE_RE)
+
+        # distinct-stopword presence count
+        hits = np.zeros(n, dtype=np.int64)
+        for pat in stop_pats:
+            hits += pc.fill_null(
+                pc.match_substring_regex(text, pat), False).to_numpy(
+                zero_copy_only=False)
+        stop_hits = pc.if_else(valid, pa.array(hits, pa.int64()),
+                               pa.scalar(None, pa.int64()))
+
+        cols = {id_col: t[id_col]}
+        for c in keep_cols or []:
+            cols[c] = t[c]
+        cols.update({
+            "n_words": n_words,
+            "mean_word_len": mean_word_len,
+            "alpha_word_frac": alpha_word_frac,
+            "symbol_word_ratio": symbol_word_ratio,
+            "bullet_line_frac": bullet_line_frac,
+            "ellipsis_line_frac": ellipsis_line_frac,
+            "stop_hits": stop_hits,
+        })
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def gopher_filter(ds: ray.data.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id", *,
+                  min_words: int = 50, max_words: int = 100_000,
+                  min_mean_word_len: float = 3.0,
+                  max_mean_word_len: float = 10.0,
+                  max_symbol_word_ratio: float = 0.1,
+                  max_bullet_line_frac: float = 0.9,
+                  max_ellipsis_line_frac: float = 0.3,
+                  min_alpha_word_frac: float = 0.8,
+                  min_stop_hits: int = 2,
+                  stopwords=GOPHER_STOPWORDS) -> ray.data.Dataset:
+    """Drop documents failing any Gopher rule (defaults are the paper's,
+    Rae et al. 2021 A1). Emits the ORIGINAL columns of surviving rows; a
+    null-text / zero-word doc fails (SQL ``WHERE`` null -> false). Stateless
+    per-batch — the stats never leave the kernel, no shuffle."""
+    from raycdc.joins import _pa_schema
+
+    in_schema = _pa_schema(ds)
+    in_names = list(in_schema.names)
+    stats = gopher_quality_stats(
+        ds, text_col, id_col,
+        keep_cols=[c for c in in_names if c != id_col],
+        stopwords=stopwords)
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return in_schema.empty_table()
+        conds = [
+            pc.greater_equal(t["n_words"], min_words),
+            pc.less_equal(t["n_words"], max_words),
+            pc.greater_equal(t["mean_word_len"], min_mean_word_len),
+            pc.less_equal(t["mean_word_len"], max_mean_word_len),
+            pc.less_equal(t["symbol_word_ratio"], max_symbol_word_ratio),
+            pc.less_equal(t["bullet_line_frac"], max_bullet_line_frac),
+            pc.less_equal(t["ellipsis_line_frac"], max_ellipsis_line_frac),
+            pc.greater_equal(t["alpha_word_frac"], min_alpha_word_frac),
+            pc.greater_equal(t["stop_hits"], min_stop_hits),
+        ]
+        mask = conds[0]
+        for c in conds[1:]:
+            mask = pc.and_kleene(mask, c)
+        return t.filter(pc.fill_null(mask, False)).select(in_names)
+
+    return stats.map_batches(keep, batch_format="pyarrow")
+
 
 def c4_line_filter(ds: ray.data.Dataset, text_col: str = "text",
                    out_col: str = "clean_text",
