@@ -1061,6 +1061,25 @@ def _q_incremental_view(sf_dir: str):
     return view.select_columns(["lang", "sum_seq", "n"])
 
 
+def _q_incremental_minmax_view(sf_dir: str):
+    """MIN/MAX incremental view maintenance — the NON-distributive-under-
+    deletion case count views dodge: per-lang min/max seq (+ live count)
+    bootstrapped at mid-history, maintained to head from the change feed
+    (`cdc/views.maintain_extreme_view`). Insertions fold; a retraction
+    re-examines its group ONLY when the retracted value equals the prior
+    extreme, and just those dirty groups are recomputed from a broadcast-
+    pruned lake read — work sized by churn, never the corpus. Oracle: the
+    full recompute over the final LWW state (hash match proves maintained
+    == recomputed)."""
+    from raycdc.cdc.views import maintain_extreme_view
+
+    lake = _tt_lake(sf_dir)
+    view = maintain_extreme_view(
+        lake, "lang", {"min_seq": ("seq", "min"), "max_seq": ("seq", "max")},
+        from_epoch=_TT_EPOCH, num_partitions=16)
+    return view.select_columns(["lang", "min_seq", "max_seq", "n"])
+
+
 def _q_lake_lookup(sf_dir: str):
     """Point lookup — the serving path: the current row for a fixed url
     set, read by hashing each url straight to its partition (≤ |urls|
@@ -1358,6 +1377,33 @@ def _incremental_view_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
             FROM ev
         )
         SELECT lang, CAST(SUM(seq) AS BIGINT) AS sum_seq, COUNT(*) AS n
+        FROM win WHERE rn = 1 AND op <> 'D'
+        GROUP BY lang"""
+
+
+def _incremental_minmax_oracle_sql(
+        sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """GROUP BY lang MIN/MAX(seq) + COUNT over the final live LWW state —
+    what the maintained extreme view must equal exactly."""
+    sf_tag, n = _cdc_scale(sf_dir)
+    wal, spec = _cdc_spec(sf_tag, n)
+    try:
+        generate_changelog(wal, spec)
+    except OSError:
+        pass  # read-only FS etc.: the Ray query's own generation covers it
+    return f"""
+        WITH ev AS (
+            SELECT seq, op, page.url AS url,
+                   page.fetch.warc_ts AS warc_ts,
+                   page.content.lang AS lang
+            FROM read_parquet('{wal}/events-*.parquet')
+        ), win AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM ev
+        )
+        SELECT lang, CAST(MIN(seq) AS BIGINT) AS min_seq,
+               CAST(MAX(seq) AS BIGINT) AS max_seq, COUNT(*) AS n
         FROM win WHERE rn = 1 AND op <> 'D'
         GROUP BY lang"""
 
@@ -2142,6 +2188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v5": _q_curation_v5,
         "gopher_stats": _q_gopher_stats,
         "gopher_filter_docs": _q_gopher_filter,
+        "incremental_minmax_view": _q_incremental_minmax_view,
         # -- tail: approximate / non-SQL variants (pytest ground-truth
         #    gates; exact twins above) -------------------------------------
         "ann_lsh": _q_ann_lsh,
@@ -2440,6 +2487,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_time_travel": _cdc_time_travel_oracle_sql(),
         "cdc_changes": _cdc_changes_oracle_sql(),
         "incremental_view": _incremental_view_oracle_sql(),
+        "incremental_minmax_view": _incremental_minmax_oracle_sql(),
         "copartition_join": _copartition_join_oracle_sql(),
         "cdc_schema_evolution": _cdc_schema_evolution_oracle_sql(),
         "merge_upsert": _merge_upsert_oracle_sql(),

@@ -26,7 +26,9 @@ from raycdc.cdc.sink import (
 )
 from raycdc.cdc.views import (
     count_view,
+    extreme_view,
     maintain_count_view,
+    maintain_extreme_view,
     merge_view,
     view_delta,
 )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -183,6 +184,257 @@ def merge_view(
         lambda t: t if t.num_rows == 0
         else t.filter(pc.not_equal(t[count_name], 0)),
         batch_format="pyarrow")
+
+
+def _extreme_specs(extremes: dict, group_col: str, count_name: str) -> dict:
+    if not extremes:
+        raise ValueError("extremes must map out_name -> (source_col, "
+                         "'min'|'max')")
+    for out, (col, kind) in extremes.items():
+        if kind not in ("min", "max"):
+            raise ValueError(f"extreme {out!r}: kind must be 'min' or "
+                             f"'max', got {kind!r}")
+    bad = [n for n in list(extremes) + [count_name]
+           if n in (group_col, "__w")]
+    if bad or count_name in extremes:
+        raise ValueError(f"output names {bad or [count_name]} collide with "
+                         f"the group column {group_col!r}, the count, or an "
+                         "internal column")
+    return dict(extremes)
+
+
+def extreme_view(
+    live: ray.data.Dataset,
+    group_col: str,
+    extremes: dict,  # out_name -> (source_col, "min"|"max")
+    *,
+    count_name: str = _COUNT,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Full recompute of a MIN/MAX view: per-group extremes plus the live
+    row count — the bootstrap for :func:`maintain_extreme_view` and the
+    equality oracle for its tests. Values keep their source type; an
+    all-null group's extreme is NULL (SQL MIN/MAX ignore nulls); the count
+    is what decides group existence."""
+    from raycdc.agg import grouped_aggregate
+    from raycdc.joins import _pa_schema
+
+    extremes = _extreme_specs(extremes, group_col, count_name)
+    in_schema = _pa_schema(live)
+    empty = pa.schema(
+        [in_schema.field(group_col)]
+        + [pa.field(out, in_schema.field(col).type)
+           for out, (col, _) in extremes.items()]).empty_table()
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and group_col not in t.column_names:
+            return empty  # zero-column degraded empty (CLAUDE.md)
+        return pa.table({group_col: t[group_col],
+                         **{out: t[col]
+                            for out, (col, _) in extremes.items()}})
+
+    src = live.map_batches(project, batch_format="pyarrow")
+    view = grouped_aggregate(
+        src, [group_col],
+        mins={o: o for o, (_, k) in extremes.items() if k == "min"},
+        maxs={o: o for o, (_, k) in extremes.items() if k == "max"},
+        count_name=count_name, exchange="partition",
+        num_partitions=num_partitions)
+    target = pa.schema(list(empty.schema)
+                       + [pa.field(count_name, pa.int64())])
+    return view.map_batches(
+        lambda t: target.empty_table()
+        if t.num_rows == 0 and group_col not in t.column_names
+        else t.select(target.names).cast(target),
+        batch_format="pyarrow")
+
+
+def maintain_extreme_view(
+    lake_dir: str,
+    group_col: str,
+    extremes: dict,  # out_name -> (source_col, "min"|"max")
+    *,
+    count_name: str = _COUNT,
+    prior_view: Optional[ray.data.Dataset] = None,
+    from_version: Optional[int] = None,
+    from_epoch: Optional[int] = None,
+    to_version: Optional[int] = None,
+    to_epoch: Optional[int] = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Maintain a grouped MIN/MAX (+count) view incrementally from the
+    change feed. MIN/MAX are not fully distributive under deletion — an
+    insertion only ever FOLDS in (``min(prior, new)``), but retracting the
+    current extreme needs a second look. The classic maintenance rule:
+
+    - additions (I rows + the new side of U) fold: one grouped min/max +
+      signed count over the feed, merged into the prior view — no lake
+      access;
+    - a retraction (D rows + the old side of U) marks its group DIRTY only
+      when the retracted value EQUALS the group's prior extreme (a
+      non-extreme value can never move MIN/MAX; null retractions never
+      dirty) or the group is unknown to the prior view;
+    - dirty groups — churn-bounded, typically a tiny fraction — are
+      recomputed exactly from the live lake at the target version,
+      filtered down by a broadcast membership probe (the corpus pays a
+      pruned read, never an exchange).
+
+    Groups whose merged count reaches zero disappear, exactly like a
+    recompute; a hash match against the full recompute is the test/driver
+    oracle. Work is sized by churn + dirty-group rows, never the corpus.
+    """
+    from raycdc.agg import grouped_aggregate
+    from raycdc.cdc.apply import lake_changes, read_lake
+    from raycdc.joins import _pa_schema, hash_join
+
+    extremes = _extreme_specs(extremes, group_col, count_name)
+    if prior_view is None:
+        prior_view = extreme_view(
+            read_lake(lake_dir, as_of_version=from_version,
+                      as_of_epoch=from_epoch),
+            group_col, extremes, count_name=count_name,
+            num_partitions=num_partitions)
+    # the prior view feeds BOTH the fold and the dirty probe (view-sized)
+    prior_view = prior_view.materialize()
+    compare = sorted({group_col, *{c for c, _ in extremes.values()}})
+    # the feed drives the fold, the dirty probe and the count delta
+    # (churn-sized; lake_changes already prunes unchanged partitions)
+    feed = lake_changes(lake_dir,
+                        from_version=from_version, from_epoch=from_epoch,
+                        to_version=to_version, to_epoch=to_epoch,
+                        compare_cols=compare, include_old=True,
+                        num_partitions=num_partitions).materialize()
+
+    in_schema = _pa_schema(feed)
+    gtype = in_schema.field(group_col).type
+    vtype = {out: in_schema.field(col).type
+             for out, (col, _) in extremes.items()}
+    target = pa.schema([pa.field(group_col, gtype)]
+                       + [pa.field(out, vtype[out]) for out in extremes]
+                       + [pa.field(count_name, pa.int64())])
+
+    # -- 1. one-exchange fold delta: adds' min/max + the signed count.
+    # Retraction rows ride along with NULL values (MIN/MAX ignore them) so
+    # one grouped_aggregate yields both the fold values and the count delta.
+    def contributions(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and "op" not in t.column_names:
+            return target.empty_table()
+        op = t["op"]
+        pt = t.filter(pc.fill_null(pc.not_equal(op, "D"), False))
+        mt = t.filter(pc.fill_null(pc.not_equal(op, "I"), False))
+        plus = pa.table(
+            {group_col: pt[group_col],
+             **{out: pt[col] for out, (col, _) in extremes.items()},
+             count_name: pa.array(
+                 np.ones(pt.num_rows, dtype=np.int64))})
+        minus = pa.table(
+            {group_col: mt[f"old_{group_col}"],
+             **{out: pa.nulls(mt.num_rows, vtype[out])
+                for out in extremes},
+             count_name: pa.array(
+                 np.full(mt.num_rows, -1, dtype=np.int64))})
+        return pa.concat_tables([plus.cast(target), minus.cast(target)])
+
+    delta = grouped_aggregate(
+        feed.map_batches(contributions, batch_format="pyarrow"),
+        [group_col],
+        mins={o: o for o, (_, k) in extremes.items() if k == "min"},
+        maxs={o: o for o, (_, k) in extremes.items() if k == "max"},
+        sums={count_name: count_name},
+        exchange="partition", num_partitions=num_partitions)
+    delta = delta.map_batches(
+        lambda t: target.empty_table()
+        if t.num_rows == 0 and group_col not in t.column_names
+        else t.select(target.names).cast(target),
+        batch_format="pyarrow")
+
+    # -- 2. dirty groups: retractions whose old value equals the prior
+    # extreme (or whose group the prior view does not know).
+    ret_schema = pa.schema(
+        [pa.field(group_col, gtype)]
+        + [pa.field(f"__old_{out}", vtype[out]) for out in extremes])
+
+    def retractions(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and "op" not in t.column_names:
+            return ret_schema.empty_table()
+        mt = t.filter(pc.fill_null(pc.not_equal(t["op"], "I"), False))
+        return pa.table(
+            {group_col: mt[f"old_{group_col}"],
+             **{f"__old_{out}": mt[f"old_{col}"]
+                for out, (col, _) in extremes.items()}}).cast(ret_schema)
+
+    # pin the schema: zero retractions would hand hash_join a schema-less
+    # empty dataset (CLAUDE.md invariant)
+    rets = ray.data.from_arrow(ret_schema.empty_table()).union(
+        feed.map_batches(retractions, batch_format="pyarrow"))
+    probe = hash_join(rets, prior_view, on=[group_col],
+                      join_type="left_outer",
+                      num_partitions=num_partitions)
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([pa.field(group_col, gtype)]).empty_table()
+        # a null-group retraction never joins (SQL) — count_name is null
+        # either way, and null groups land in the dirty set conservatively
+        dirty = pc.is_null(t[count_name])
+        for out in extremes:
+            dirty = pc.or_(dirty, pc.fill_null(
+                pc.equal(t[f"__old_{out}"], t[out]), False))
+        return pa.table({group_col: t.filter(dirty)[group_col]})
+
+    dirty_rows = probe.map_batches(classify, batch_format="pyarrow")
+    # churn-bounded by construction (<= one row per retraction): collect
+    dirty_vals = set()
+    has_null_dirty = False
+    for batch in dirty_rows.iter_batches(batch_size=None,
+                                         batch_format="pyarrow"):
+        col = batch[group_col]
+        has_null_dirty |= col.null_count > 0
+        dirty_vals.update(pc.drop_null(col).to_pylist())
+
+    def is_dirty_mask(groups: pa.ChunkedArray):
+        m = pc.is_in(groups,
+                     value_set=pa.array(list(dirty_vals), gtype))
+        if has_null_dirty:
+            m = pc.or_(m, pc.is_null(groups))
+        return pc.fill_null(m, False)
+
+    # -- 3. fold prior + delta (additions can only extend extremes), drop
+    # dead groups, and splice in the exact recompute of the dirty ones.
+    names = target.names
+    folded = grouped_aggregate(
+        prior_view.select_columns(names).union(delta.select_columns(names)),
+        [group_col],
+        mins={o: o for o, (_, k) in extremes.items() if k == "min"},
+        maxs={o: o for o, (_, k) in extremes.items() if k == "max"},
+        sums={count_name: count_name},
+        exchange="partition", num_partitions=num_partitions)
+    folded = folded.map_batches(
+        lambda t: target.empty_table()
+        if t.num_rows == 0 and group_col not in t.column_names
+        else (t.select(names).cast(target)
+              .filter(pc.not_equal(t[count_name], 0))),
+        batch_format="pyarrow")
+
+    if not dirty_vals and not has_null_dirty:
+        return folded
+
+    folded = folded.map_batches(
+        lambda t: t if t.num_rows == 0
+        else t.filter(pc.invert(is_dirty_mask(t[group_col]))),
+        batch_format="pyarrow")
+    live = read_lake(lake_dir, as_of_version=to_version,
+                     as_of_epoch=to_epoch,
+                     columns=sorted({group_col,
+                                     *{c for c, _ in extremes.values()}}))
+    dirty_live = live.map_batches(
+        lambda t: t if t.num_rows == 0
+        else t.filter(is_dirty_mask(t[group_col])),
+        batch_format="pyarrow")
+    recomputed = extreme_view(dirty_live, group_col, extremes,
+                              count_name=count_name,
+                              num_partitions=num_partitions)
+    return folded.union(recomputed.select_columns(names))
 
 
 def maintain_count_view(

@@ -74,6 +74,8 @@ def test_query_matches_oracle(name, sf_dir):
                     "cdc_time_travel": entrymod._cdc_time_travel_oracle_sql,
                     "cdc_changes": entrymod._cdc_changes_oracle_sql,
                     "incremental_view": entrymod._incremental_view_oracle_sql,
+                    "incremental_minmax_view":
+                        entrymod._incremental_minmax_oracle_sql,
                     "copartition_join": entrymod._copartition_join_oracle_sql,
                     "cdc_schema_evolution":
                         entrymod._cdc_schema_evolution_oracle_sql,
