@@ -1758,6 +1758,19 @@ def _q_canon_urls(sf_dir: str):
     return canonicalize_url(docs.map_batches(mk, batch_format="pyarrow"))
 
 
+def _q_ngram_fluency(sf_dir: str):
+    """Corpus-relative bigram fluency score (the count-based stand-in for
+    a ccnet/KenLM perplexity gate): per doc, SUM and MEAN of the corpus
+    frequency of its bigrams. The operator under test is
+    ops/text.ngram_lm_score — gram counts partially pre-aggregated into
+    one vocabulary-sized exchange, then a broadcast count-table probe per
+    batch (index_in + weighted bincount); no token-level exchange."""
+    from raycdc.ops.text import ngram_lm_score
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_lm_score(docs, n=2)
+
+
 # Deterministic Gopher-rule structure injection shared by the gopher_stats /
 # gopher_filter_docs queries and their oracles (documents.text is a single
 # line of letters-only words, so bullets, hashes, ellipsis line-ends and
@@ -2189,6 +2202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_stats": _q_gopher_stats,
         "gopher_filter_docs": _q_gopher_filter,
         "incremental_minmax_view": _q_incremental_minmax_view,
+        "ngram_fluency": _q_ngram_fluency,
         # -- tail: approximate / non-SQL variants (pytest ground-truth
         #    gates; exact twins above) -------------------------------------
         "ann_lsh": _q_ann_lsh,
@@ -3205,5 +3219,23 @@ def oracle_sql() -> dict[str, str]:
         "c4_filter_docs": _c4_filter_sql(),
         "gopher_stats": _gopher_stats_sql(),
         "gopher_filter_docs": _gopher_filter_sql(),
+        "ngram_fluency": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+              FROM documents),
+            idx AS (
+              SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2),
+            g AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS ngram FROM idx),
+            f AS (SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram),
+            j AS (SELECT g.doc_id, f.cnt FROM g JOIN f USING (ngram)),
+            a AS (SELECT d.doc_id, CAST(SUM(j.cnt) AS BIGINT) AS sum_freq,
+                         CAST(COUNT(j.cnt) AS BIGINT) AS n_ngrams
+                  FROM documents d LEFT JOIN j USING (doc_id)
+                  GROUP BY d.doc_id)
+            SELECT doc_id, sum_freq, n_ngrams,
+                   CASE WHEN n_ngrams > 0
+                        THEN sum_freq::DOUBLE / n_ngrams END AS lm_score
+            FROM a""",
         "curation_pipeline_v5": _curation_v5_sql(),
     }

@@ -623,39 +623,11 @@ def ngram_explode(ds: ray.data.Dataset, *, n: int = 2,
     def fn(t: pa.Table) -> pa.Table:
         if degraded_empty(t, *([text_col, id_col] if id_col else [text_col])):
             return t.slice(0, 0)
-        text = t[text_col].combine_chunks() if isinstance(
-            t[text_col], pa.ChunkedArray) else t[text_col]
-        norm = pc.utf8_trim(
-            pc.replace_substring_regex(text, r"\s+", " "), " ")
-        toks = pc.split_pattern(norm, " ")
-        raw_n = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        empty = pc.equal(pc.fill_null(norm, ""), "").to_numpy(
-            zero_copy_only=False)
-        n_tok = raw_n.copy()
-        n_tok[empty] = 0  # split('') == [''] phantom
-        n_grams = np.maximum(n_tok - (n - 1), 0)
-        total = int(n_grams.sum())
+        grams, n_grams, doc_of = _ngram_windows(t[text_col], n)
         fields = ([t.schema.field(id_col)] if id_col else []) + [
             pa.field(out_col, pa.string())]
-        if total == 0:
+        if grams is None:
             return pa.schema(fields).empty_table()
-        flat_offsets = np.zeros(len(raw_n) + 1, dtype=np.int64)
-        np.cumsum(raw_n, out=flat_offsets[1:])
-        doc_of = np.repeat(np.arange(len(n_tok)), n_grams)
-        starts_excl = np.repeat(
-            np.concatenate([[0], np.cumsum(n_grams)[:-1]]), n_grams)
-        pos_in_doc = np.arange(total) - starts_excl
-        start = flat_offsets[doc_of] + pos_in_doc
-        # gram g = tokens[start : start+n]: one gather of total*n refs
-        gidx = (start[:, None] + np.arange(n)[None, :]).reshape(-1)
-        flat = pc.list_flatten(toks)
-        gathered = flat.take(pa.array(gidx))
-        # int64 offsets — same overflow guard as chunk_documents
-        offs = pa.array(np.arange(0, (total + 1) * n, n, dtype=np.int64),
-                        pa.int64())
-        grams = pc.binary_join(
-            pa.LargeListArray.from_arrays(offs, gathered), " ")
         cols = {}
         if id_col:
             cols[id_col] = t[id_col].take(pa.array(doc_of))
@@ -663,6 +635,47 @@ def ngram_explode(ds: ray.data.Dataset, *, n: int = 2,
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _ngram_windows(text, n: int):
+    """Shared vectorized n-gram window kernel: returns ``(grams, n_grams,
+    doc_of)`` — the gram strings (None when the batch has none), the
+    per-doc gram counts (int64, 0 for null/token-less docs), and each
+    gram's source-doc index. One split, one window-index build over the
+    flattened token buffer (grams never cross documents), ONE take, one
+    ``binary_join``."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(text, r"\s+", " "), " ")
+    toks = pc.split_pattern(norm, " ")
+    raw_n = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    empty = pc.equal(pc.fill_null(norm, ""), "").to_numpy(
+        zero_copy_only=False)
+    n_tok = raw_n.copy()
+    n_tok[empty] = 0  # split('') == [''] phantom
+    n_grams = np.maximum(n_tok - (n - 1), 0)
+    total = int(n_grams.sum())
+    if total == 0:
+        return None, n_grams, np.zeros(0, dtype=np.int64)
+    flat_offsets = np.zeros(len(raw_n) + 1, dtype=np.int64)
+    np.cumsum(raw_n, out=flat_offsets[1:])
+    doc_of = np.repeat(np.arange(len(n_tok)), n_grams)
+    starts_excl = np.repeat(
+        np.concatenate([[0], np.cumsum(n_grams)[:-1]]), n_grams)
+    pos_in_doc = np.arange(total) - starts_excl
+    start = flat_offsets[doc_of] + pos_in_doc
+    # gram g = tokens[start : start+n]: one gather of total*n refs
+    gidx = (start[:, None] + np.arange(n)[None, :]).reshape(-1)
+    flat = pc.list_flatten(toks)
+    gathered = flat.take(pa.array(gidx))
+    # int64 offsets — same overflow guard as chunk_documents
+    offs = pa.array(np.arange(0, (total + 1) * n, n, dtype=np.int64),
+                    pa.int64())
+    grams = pc.binary_join(
+        pa.LargeListArray.from_arrays(offs, gathered), " ")
+    return grams, n_grams, doc_of
 
 
 def tokenize_explode(ds: ray.data.Dataset, text_col: str = "text",
@@ -812,6 +825,136 @@ def min_token_freq_filter(
                      num_partitions=num_partitions, strategy="auto")
     return hash_join(ds, keep, on=[id_col], join_type="left_semi",
                      num_partitions=num_partitions, strategy="auto")
+
+
+class _NgramScoreProbe:
+    """Per-batch scorer against a broadcast (ngram -> corpus count) table:
+    one plasma fetch per worker, one ``pc.index_in`` + one weighted
+    ``np.bincount`` per batch — no per-row Python, no exchange."""
+
+    def __init__(self, ref, text_col, id_col, n,
+                 sum_col, count_col, score_col):
+        self._vocab, self._counts = ray.get(ref)
+        self._text_col, self._id_col = text_col, id_col
+        self._n = n
+        self._sum_col, self._count_col = sum_col, count_col
+        self._score_col = score_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or self._text_col not in t.column_names:
+            return t.slice(0, 0)
+        ndocs = t.num_rows
+        grams, n_grams, doc_of = _ngram_windows(t[self._text_col], self._n)
+        sums = np.zeros(ndocs, dtype=np.float64)
+        if grams is not None:
+            pos = pc.fill_null(
+                pc.index_in(grams, value_set=self._vocab), -1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            occ = np.where(pos >= 0,
+                           self._counts[np.maximum(pos, 0)], 0)
+            sums = np.bincount(doc_of, weights=occ,
+                               minlength=ndocs).astype(np.float64)
+        no_grams = n_grams == 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = sums / n_grams.astype(np.float64)
+        return pa.table({
+            self._id_col: t[self._id_col],
+            self._sum_col: pa.array(sums.astype(np.int64), pa.int64(),
+                                    mask=no_grams),
+            self._count_col: pa.array(n_grams, pa.int64()),
+            self._score_col: pa.array(score, pa.float64(), mask=no_grams),
+        })
+
+
+def ngram_lm_score(
+    ds: "ray.data.Dataset",
+    *,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+    broadcast_budget_bytes: int = 256 << 20,
+    sum_col: str = "sum_freq",
+    count_col: str = "n_ngrams",
+    score_col: str = "lm_score",
+) -> "ray.data.Dataset":
+    """Corpus-relative n-gram fluency score — the count-based stand-in for
+    the ccnet/KenLM perplexity gate: per document, the SUM and MEAN of the
+    corpus-wide frequency of its word n-grams. Boilerplate and fluent
+    prose repeat n-grams the corpus has seen (high mean); gibberish,
+    mashed-together scrapes and wrong-language text sit on corpus-unique
+    n-grams (mean ~1). Downstream: quantile-bucket the score and drop the
+    low tail (compose with :func:`~raycdc.pipelines.curation
+    .filter_above_global_quantile`).
+
+    Exact integer counts end to end (oracle: bigram CTE + self-join +
+    grouped SUM/COUNT). Scale shape mirrors :func:`min_token_freq_filter`:
+    gram counts are partially pre-aggregated into ONE vocabulary-sized
+    exchange; the count table is then broadcast once via ``ray.put`` and
+    every corpus batch scores itself in-task (``index_in`` + weighted
+    bincount) — no token-level row ever crosses an exchange. Above the
+    broadcast budget the exact fallback joins the gram stream to the count
+    table (shuffle) and reduces per doc. Docs with no n-grams (null text,
+    < n tokens) emit ``sum/score`` NULL and ``n_ngrams`` 0 — the SQL LEFT
+    JOIN shape.
+    """
+    from raycdc.agg import grouped_aggregate
+    from raycdc.joins import hash_join
+
+    grams = ngram_explode(ds, n=n, text_col=text_col, id_col=id_col)
+    freq = grouped_aggregate(
+        grams.map_batches(lambda t: t.select(["ngram"]),
+                          batch_format="pyarrow"),
+        ["ngram"], count_name="__rcdc_nf",
+        num_partitions=num_partitions).materialize()
+
+    if freq.size_bytes() <= broadcast_budget_bytes:
+        vocab_chunks: list = []
+        counts_parts: list = []
+        for b in freq.iter_batches(batch_size=None, batch_format="pyarrow"):
+            vocab_chunks.extend(b.column("ngram").chunks)
+            counts_parts.append(b.column("__rcdc_nf").to_numpy(
+                zero_copy_only=False).astype(np.int64))
+        vocab = (pa.concat_arrays(vocab_chunks) if vocab_chunks
+                 else pa.array([], pa.string()))
+        counts = (np.concatenate(counts_parts) if counts_parts
+                  else np.zeros(0, dtype=np.int64))
+        ref = ray.put((vocab, counts))
+        from raycdc.shuffle import stateless_stage
+
+        # plain tasks: init is one plasma fetch (cheap-init rule)
+        return ds.map_batches(
+            stateless_stage(_NgramScoreProbe, ref, text_col, id_col, n,
+                            sum_col, count_col, score_col),
+            batch_format="pyarrow")
+
+    # Fallback: count table too large to broadcast — join the gram stream
+    # to it (gram-keyed exchange), reduce per doc, left-join docs back in.
+    scored = hash_join(grams, freq, on=["ngram"], join_type="inner",
+                       num_partitions=num_partitions, strategy="shuffle")
+    per_doc = grouped_aggregate(
+        scored.map_batches(lambda t: t.select([id_col, "__rcdc_nf"]),
+                           batch_format="pyarrow"),
+        [id_col], sums={sum_col: "__rcdc_nf"}, count_name=count_col,
+        exchange="partition", num_partitions=num_partitions)
+    ids = ds.map_batches(lambda t: t.select([id_col]),
+                         batch_format="pyarrow")
+    out = hash_join(ids, per_doc, on=[id_col], join_type="left_outer",
+                    num_partitions=num_partitions, strategy="auto")
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and id_col not in t.column_names:
+            return t.slice(0, 0)
+        s = pc.cast(t[sum_col], pa.int64())
+        c = pc.fill_null(pc.cast(t[count_col], pa.int64()), 0)
+        score = pc.divide(pc.cast(s, pa.float64()),
+                          pc.cast(c, pa.float64()))
+        score = pc.if_else(pc.greater(c, 0), score,
+                           pa.scalar(None, pa.float64()))
+        return pa.table({id_col: t[id_col], sum_col: s, count_col: c,
+                         score_col: score})
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 # Canonicalization patterns — module-level so the oracle SQL builds from the
