@@ -1740,22 +1740,46 @@ def _q_canon_urls(sf_dir: str):
     from raycdc.ops.text import canonicalize_url, degraded_empty
 
     docs = _rp(sf_dir, "documents", ["doc_id"])
+    return canonicalize_url(
+        docs.map_batches(_mk_messy_urls, batch_format="pyarrow"))
 
-    def mk(t):
-        if degraded_empty(t, "doc_id"):
-            return t.slice(0, 0)
-        ids = t["doc_id"].to_pandas()
-        sid = ids.astype(str)
-        s = pd.Series(np.where(ids % 2 == 0, "HTTP://", "HTTPS://"))
-        s = s + "Site-" + (ids % 97).astype(str) + ".Example.COM"
-        s = s + np.where(ids % 2 == 0, ":80",
-                         np.where(ids % 4 == 1, ":443", ":8080"))
-        s = s + np.where(ids % 5 == 0, "/",
-                         np.where(ids % 5 == 1, "", "/Path/" + sid))
-        s = s + np.where(ids % 3 == 0, "#Sec-" + sid, "")
-        return t.append_column("url", pa.array(s, pa.string()))
 
-    return canonicalize_url(docs.map_batches(mk, batch_format="pyarrow"))
+def _mk_messy_urls(t):
+    """Deterministic messy-url construction from doc_id — shared by
+    canon_urls and host_cap_docs (and mirrored by their oracles' CASE
+    chain)."""
+    import pandas as pd
+
+    from raycdc.ops.text import degraded_empty
+
+    if degraded_empty(t, "doc_id"):
+        return t.slice(0, 0)
+    ids = t["doc_id"].to_pandas()
+    sid = ids.astype(str)
+    s = pd.Series(np.where(ids % 2 == 0, "HTTP://", "HTTPS://"))
+    s = s + "Site-" + (ids % 97).astype(str) + ".Example.COM"
+    s = s + np.where(ids % 2 == 0, ":80",
+                     np.where(ids % 4 == 1, ":443", ":8080"))
+    s = s + np.where(ids % 5 == 0, "/",
+                     np.where(ids % 5 == 1, "", "/Path/" + sid))
+    s = s + np.where(ids % 3 == 0, "#Sec-" + sid, "")
+    return t.append_column("url", pa.array(s, pa.string()))
+
+
+def _q_host_cap(sf_dir: str):
+    """Per-domain document cap (anti-dominance): canonicalize messy urls,
+    extract the registrable host, keep at most 3 docs per host by the
+    deterministic Knuth-hash order of doc_id. The operator under test is
+    pipelines/curation.cap_per_host (two stateless RE2 passes + ONE
+    partition-only exchange on hash(host)); the fixture's 97 hosts carry
+    ~5 docs each at sf0.01, so the cap genuinely drops rows."""
+    from raycdc.pipelines.curation import cap_per_host
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    out = cap_per_host(
+        docs.map_batches(_mk_messy_urls, batch_format="pyarrow"),
+        max_per_host=3)
+    return out.select_columns(["doc_id", "host"])
 
 
 def _q_ngram_fluency(sf_dir: str):
@@ -2203,6 +2227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter_docs": _q_gopher_filter,
         "incremental_minmax_view": _q_incremental_minmax_view,
         "ngram_fluency": _q_ngram_fluency,
+        "host_cap_docs": _q_host_cap,
         # -- tail: approximate / non-SQL variants (pytest ground-truth
         #    gates; exact twins above) -------------------------------------
         "ann_lsh": _q_ann_lsh,
@@ -2331,6 +2356,21 @@ def _c4_filter_sql() -> str:
                    AS clean_text,
                CAST(len(kept) AS BIGINT) AS kept_lines
         FROM f"""
+
+
+def _host_cap_sql() -> str:
+    """canon chain (shared with canon_urls) -> host extract (the engine's
+    exact RE2, group 1) -> deterministic Knuth-hash cap of 3 per host."""
+    return f"""
+        WITH c AS ({_canon_urls_sql()}),
+        h AS (SELECT doc_id,
+                     lower(regexp_extract(url_canon, '{_HOST_RE}', 1))
+                         AS host
+              FROM c)
+        SELECT doc_id, host FROM h
+        QUALIFY row_number() OVER (
+            PARTITION BY host
+            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 3"""
 
 
 def _gopher_stats_cte() -> str:
@@ -3219,6 +3259,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filter_docs": _c4_filter_sql(),
         "gopher_stats": _gopher_stats_sql(),
         "gopher_filter_docs": _gopher_filter_sql(),
+        "host_cap_docs": _host_cap_sql(),
         "ngram_fluency": r"""
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(text, '\S+') AS t

@@ -347,3 +347,37 @@ def quantile_bucket(
         return t.append_column(label_col, buckets)
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def cap_per_host(
+    ds,
+    *,
+    max_per_host: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    num_partitions: int = 32,
+):
+    """Per-domain document cap — the standard web-corpus anti-dominance
+    step (a handful of mega-hosts otherwise swamp the mixture): URLs are
+    canonicalized (:func:`~raycdc.ops.text.canonicalize_url`), the
+    registrable host extracted (:func:`~raycdc.ops.text.extract_host`),
+    and every host keeps at most ``max_per_host`` documents chosen by the
+    deterministic Knuth-hash order of ``id_col`` — reproducible across
+    runs, parallelism levels and engines (the `agg.stratified_sample`
+    contract), unlike a seeded random choice.
+
+    Output: the original columns plus ``host_col``. Scale shape: two
+    stateless RE2 passes, then stratified_sample's single partition-only
+    exchange on hash(host); a host's survivors fit one partition task.
+    """
+    from raycdc.agg import stratified_sample
+    from raycdc.joins import _pa_schema
+    from raycdc.ops.text import canonicalize_url, extract_host
+
+    names = list(_pa_schema(ds).names)
+    canon = canonicalize_url(ds, url_col=url_col, out_col="__rcdc_canon")
+    hosted = extract_host(canon, url_col="__rcdc_canon", out_col=host_col)
+    capped = stratified_sample(hosted, host_col, id_col, max_per_host,
+                               num_partitions=num_partitions)
+    return capped.select_columns(names + [host_col])
