@@ -234,6 +234,9 @@ def run_bench() -> dict:
         "cdc_time_travel", "cdc_changes",
         "incremental_view", "copartition_join", "cdc_schema_evolution",
         "merge_upsert", "lake_lookup",
+        "canon_urls", "c4_filter_docs", "curation_pipeline_v5",
+        "gopher_stats", "gopher_filter_docs", "ngram_fluency",
+        "host_cap_docs", "incremental_minmax_view",
     ]
     # Two passes, per-query MIN: this box has episodic multi-minute
     # slowdown windows (measured 2026-08-17: the same query set ran
