@@ -94,3 +94,60 @@ def test_degraded_empty_block_passthrough():
         "doc_id": pa.array([], pa.int64()),
         "text": pa.array([], pa.string())}))
     assert g(ds).count() == 0
+
+
+# -- hypothesis parity vs a per-row Python reference (the webtext-wave
+# pattern): random texts through the vectorized kernel must match a naive
+# re-based implementation of every rule exactly.
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from raycdc.ops.text import GOPHER_STOPWORDS
+
+
+def _ref_stats(t):
+    if t is None:
+        return dict(n_words=None, mean_word_len=None, alpha_word_frac=None,
+                    symbol_word_ratio=None, bullet_line_frac=None,
+                    ellipsis_line_frac=None, stop_hits=None)
+    norm = re.sub(r"\s+", " ", t).strip(" ")
+    toks = norm.split(" ") if norm != "" else []
+    nw = len(toks)
+    lines = t.split("\n")
+    out = dict(n_words=nw)
+    out["mean_word_len"] = (sum(len(w) for w in toks) / nw) if nw else None
+    out["alpha_word_frac"] = (sum(
+        1 for w in toks if re.search("[A-Za-z]", w)) / nw) if nw else None
+    out["symbol_word_ratio"] = ((t.count("#") + t.count("...")) / nw
+                                if nw else None)
+    out["bullet_line_frac"] = sum(
+        1 for l in lines if re.match(r"^[-*]", l)) / len(lines)
+    out["ellipsis_line_frac"] = sum(
+        1 for l in lines if re.search(r"\.\.\.\s*$", l)) / len(lines)
+    out["stop_hits"] = sum(
+        1 for w in GOPHER_STOPWORDS
+        if re.search(r"(?i)\b" + w + r"\b", t))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.text(alphabet="ab .#\n-*!?\tthe of", max_size=60),
+    st.text(max_size=40)),
+    min_size=1, max_size=30))
+def test_gopher_stats_match_reference(texts):
+    # keep RE2/Python-re semantics comparable: \s and \b diverge on exotic
+    # unicode whitespace/word chars, so restrict to what both agree on
+    texts = [t if t is None else re.sub(r"[^\x20-\x7e\n\t]", "a", t)
+             for t in texts]
+    df = _stats(texts)
+    for i, t in enumerate(texts):
+        want = _ref_stats(t)
+        for k, v in want.items():
+            got = df[k][i]
+            if v is None:
+                assert got != got or got is None, (k, t)
+            else:
+                assert got == pytest.approx(v), (k, t, got, v)
