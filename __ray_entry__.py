@@ -1782,6 +1782,19 @@ def _q_host_cap(sf_dir: str):
     return out.select_columns(["doc_id", "host"])
 
 
+def _q_tfidf_keywords(sf_dir: str):
+    """Top-5 TF-IDF keywords per document (rational idf tf*N/df — same
+    ranking as ln-idf, but an exact integer ratio the oracle reproduces
+    bit-for-bit; token tiebreak makes the set deterministic). The operator
+    under test is ops/text.tfidf_keywords — per-batch exact tf, ONE
+    vocabulary-sized df exchange, broadcast df-table probe; no token-level
+    exchange."""
+    from raycdc.ops.text import tfidf_keywords
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_keywords(docs, k=5)
+
+
 def _q_ngram_fluency(sf_dir: str):
     """Corpus-relative bigram fluency score (the count-based stand-in for
     a ccnet/KenLM perplexity gate): per doc, SUM and MEAN of the corpus
@@ -2228,6 +2241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_minmax_view": _q_incremental_minmax_view,
         "ngram_fluency": _q_ngram_fluency,
         "host_cap_docs": _q_host_cap,
+        "tfidf_keywords": _q_tfidf_keywords,
         # -- tail: approximate / non-SQL variants (pytest ground-truth
         #    gates; exact twins above) -------------------------------------
         "ann_lsh": _q_ann_lsh,
@@ -3260,6 +3274,22 @@ def oracle_sql() -> dict[str, str]:
         "gopher_stats": _gopher_stats_sql(),
         "gopher_filter_docs": _gopher_filter_sql(),
         "host_cap_docs": _host_cap_sql(),
+        "tfidf_keywords": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            df AS (SELECT token, count(*) AS df
+                   FROM (SELECT DISTINCT doc_id, token FROM toks)
+                   GROUP BY token),
+            s AS (SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+                         tf.tf::DOUBLE * (SELECT count(*) FROM documents)
+                             / df.df AS tfidf
+                  FROM tf JOIN df USING (token))
+            SELECT doc_id, token, tf, tfidf FROM s
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token) <= 5""",
         "ngram_fluency": r"""
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(text, '\S+') AS t

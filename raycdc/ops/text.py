@@ -957,6 +957,187 @@ def ngram_lm_score(
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _tf_pairs(t: pa.Table, text_col: str, id_col: str):
+    """Per-batch exact term frequencies: ``(doc_index, token, tf)`` plus the
+    doc-index array — sound because a document is ONE input row, so its
+    tokens never span batches. One split + one Arrow hash-aggregate."""
+    text = t[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(text, r"\s+", " "), " ")
+    toks = pc.split_pattern(norm, " ")
+    raw_n = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    empty = pc.equal(pc.fill_null(norm, ""), "").to_numpy(
+        zero_copy_only=False)
+    doc_of = np.repeat(np.arange(t.num_rows), raw_n)
+    flat = pc.list_flatten(toks)
+    keep = ~empty[doc_of] if len(doc_of) else np.zeros(0, dtype=bool)
+    pairs = (pa.table({"__d": pa.array(doc_of[keep]),
+                       "token": flat.filter(pa.array(keep))})
+             .group_by(["__d", "token"])
+             .aggregate([("token", "count")]))
+    return pairs  # columns: __d, token, token_count
+
+
+class _TfidfProbe:
+    """Per-batch TF-IDF keyword extractor against a broadcast document-
+    frequency table: one plasma fetch per worker; per batch one tf
+    hash-aggregate, one ``index_in`` lookup, one 3-key Arrow sort and a
+    vectorized per-doc head(k) — no exchange, no per-row Python."""
+
+    def __init__(self, ref, text_col, id_col, k, n_docs, score_col):
+        self._vocab, self._df = ray.get(ref)
+        self._text_col, self._id_col = text_col, id_col
+        self._k, self._n, self._score_col = k, float(n_docs), score_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(self._id_col, t.schema.field(self._id_col).type
+                     if self._id_col in t.column_names else pa.int64()),
+            pa.field("token", pa.string()),
+            pa.field("tf", pa.int64()),
+            pa.field(self._score_col, pa.float64())])
+        if t.num_rows == 0 or self._text_col not in t.column_names:
+            return out_schema.empty_table()
+        pairs = _tf_pairs(t, self._text_col, self._id_col)
+        if pairs.num_rows == 0:
+            return out_schema.empty_table()
+        pos = pc.fill_null(
+            pc.index_in(pairs["token"], value_set=self._vocab), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = pairs["token_count"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        # every token IS in the corpus vocabulary by construction; guard
+        # anyway (df 0 rows dropped) so a stale table cannot divide by zero
+        df = np.where(pos >= 0, self._df[np.maximum(pos, 0)], 0)
+        ok = df > 0
+        score = (tf[ok].astype(np.float64) * self._n) / df[ok]
+        scored = pa.table({
+            "__d": pairs["__d"].filter(pa.array(ok)),
+            "token": pairs["token"].filter(pa.array(ok)),
+            "tf": pa.array(tf[ok]),
+            self._score_col: pa.array(score, pa.float64())})
+        order = pc.sort_indices(scored, sort_keys=[
+            ("__d", "ascending"), (self._score_col, "descending"),
+            ("token", "ascending")])
+        s = scored.take(order)
+        d = s["__d"].to_numpy(zero_copy_only=False)
+        new = np.empty(len(d), dtype=bool)
+        new[:1] = True
+        new[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(d)))
+        rn = np.arange(len(d)) - np.repeat(starts, counts)
+        s = s.filter(pa.array(rn < self._k))
+        return pa.table({
+            self._id_col: t[self._id_col].take(s["__d"]),
+            "token": s["token"],
+            "tf": s["tf"],
+            self._score_col: s[self._score_col]}).cast(out_schema)
+
+
+def tfidf_keywords(
+    ds: "ray.data.Dataset",
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+    broadcast_budget_bytes: int = 256 << 20,
+    score_col: str = "tfidf",
+) -> "ray.data.Dataset":
+    """Top-``k`` TF-IDF keywords per document — the classic corpus-relative
+    keyword/topic signal (tag extraction, dedup explanations, mixture
+    diagnostics). Scores use the RATIONAL idf ``tf * N / df`` instead of
+    ``tf * ln(N/df)``: the ranking is identical (ln is monotone) and the
+    score stays an exact ratio of integers, so a SQL engine reproduces it
+    bit-for-bit (no libm drift). Ties break by token, so the extracted set
+    is fully deterministic.
+
+    Scale shape: term frequencies are EXACT per batch (a document is one
+    input row — its tokens never span batches), document frequencies are
+    partially pre-aggregated into ONE vocabulary-sized exchange, then the
+    df table is broadcast once via ``ray.put`` and every batch extracts
+    its own keywords in-task (index_in + one 3-key Arrow sort) — no
+    token-level exchange. Above the broadcast budget the exact fallback
+    joins tf pairs to the df table and finishes with
+    ``agg.grouped_top_n``. Docs with no tokens emit no rows (SQL inner-
+    join shape).
+    """
+    from raycdc.agg import grouped_aggregate, grouped_top_n
+    from raycdc.joins import hash_join
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def distinct_tokens(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.schema([pa.field("token", pa.string())]).empty_table()
+        return pa.table({"token": _tf_pairs(t, text_col, id_col)["token"]})
+
+    df_tbl = grouped_aggregate(
+        ds.map_batches(distinct_tokens, batch_format="pyarrow"),
+        ["token"], count_name="__rcdc_df",
+        num_partitions=num_partitions).materialize()
+    n_docs = ds.count()
+
+    if df_tbl.size_bytes() <= broadcast_budget_bytes:
+        vocab_chunks: list = []
+        df_parts: list = []
+        for b in df_tbl.iter_batches(batch_size=None,
+                                     batch_format="pyarrow"):
+            vocab_chunks.extend(b.column("token").chunks)
+            df_parts.append(b.column("__rcdc_df").to_numpy(
+                zero_copy_only=False).astype(np.int64))
+        vocab = (pa.concat_arrays(vocab_chunks) if vocab_chunks
+                 else pa.array([], pa.string()))
+        dfs = (np.concatenate(df_parts) if df_parts
+               else np.zeros(0, dtype=np.int64))
+        ref = ray.put((vocab, dfs))
+        from raycdc.shuffle import stateless_stage
+
+        return ds.map_batches(
+            stateless_stage(_TfidfProbe, ref, text_col, id_col, k,
+                            n_docs, score_col),
+            batch_format="pyarrow")
+
+    # Fallback: df table too large to broadcast — token-keyed join of the
+    # tf pairs, then the distributed grouped top-k.
+    def tf_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.schema([
+                pa.field(id_col, pa.int64()),
+                pa.field("token", pa.string()),
+                pa.field("tf", pa.int64())]).empty_table()
+        pairs = _tf_pairs(t, text_col, id_col)
+        return pa.table({
+            id_col: t[id_col].take(pairs["__d"]),
+            "token": pairs["token"],
+            "tf": pc.cast(pairs["token_count"], pa.int64())})
+
+    joined = hash_join(ds.map_batches(tf_rows, batch_format="pyarrow"),
+                       df_tbl, on=["token"], join_type="inner",
+                       num_partitions=num_partitions, strategy="shuffle")
+
+    def score_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and "tf" not in t.column_names:
+            return t.slice(0, 0)
+        score = pc.divide(
+            pc.multiply(pc.cast(t["tf"], pa.float64()),
+                        pa.scalar(float(n_docs))),
+            pc.cast(t["__rcdc_df"], pa.float64()))
+        return pa.table({id_col: t[id_col], "token": t["token"],
+                         "tf": pc.cast(t["tf"], pa.int64()),
+                         score_col: score})
+
+    return grouped_top_n(
+        joined.map_batches(score_fn, batch_format="pyarrow"),
+        [id_col], score_col, n=k, descending=True, tiebreak="token",
+        num_partitions=num_partitions)
+
+
 # Canonicalization patterns — module-level so the oracle SQL builds from the
 # SAME strings (the redact_pii precedent: RE2 on both sides, zero drift).
 URL_AUTHORITY_RE = r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://(?P<auth>[^/?#]*)(?P<rest>.*)$"
