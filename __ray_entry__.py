@@ -1782,6 +1782,36 @@ def _q_host_cap(sf_dir: str):
     return out.select_columns(["doc_id", "host"])
 
 
+def _q_zorder_events(sf_dir: str):
+    """Z-order (Morton) clustering key + global sort by it — the
+    multi-dimensional lake layout: sorting by the interleaved key
+    co-locates rows close in BOTH user_id and event_id, so part min/max
+    pruning answers range predicates on either column (a row-major sort
+    only prunes its leading one). The operator under test is
+    ops/sort.zorder_value (exact bit arithmetic, no shuffle) composed with
+    the sample-sort; the materialized global rank makes the hash compare
+    order-sensitive."""
+    from raycdc.ops.sort import sort_dataset, zorder_value
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id"])
+    z = zorder_value(ev, ["user_id", "event_id"], bits=21)
+    res = sort_dataset(z, ["zval", "event_id"], num_partitions=16,
+                       rank_col="rank")
+    return res.dataset
+
+
+def _zorder_events_sql() -> str:
+    from raycdc.ops.sort import zorder_bit_terms
+
+    zexpr = " | ".join(zorder_bit_terms(["user_id", "event_id"], 21))
+    return f"""
+        WITH z AS (SELECT event_id, user_id, ({zexpr}) AS zv FROM events)
+        SELECT event_id, user_id, CAST(zv AS BIGINT) AS zval,
+               CAST(row_number() OVER (ORDER BY zv, event_id) AS BIGINT)
+                   AS rank
+        FROM z"""
+
+
 def _q_tfidf_keywords(sf_dir: str):
     """Top-5 TF-IDF keywords per document (rational idf tf*N/df — same
     ranking as ln-idf, but an exact integer ratio the oracle reproduces
@@ -2242,6 +2272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_fluency": _q_ngram_fluency,
         "host_cap_docs": _q_host_cap,
         "tfidf_keywords": _q_tfidf_keywords,
+        "zorder_events": _q_zorder_events,
         # -- tail: approximate / non-SQL variants (pytest ground-truth
         #    gates; exact twins above) -------------------------------------
         "ann_lsh": _q_ann_lsh,
@@ -3274,6 +3305,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_stats": _gopher_stats_sql(),
         "gopher_filter_docs": _gopher_filter_sql(),
         "host_cap_docs": _host_cap_sql(),
+        "zorder_events": _zorder_events_sql(),
         "tfidf_keywords": r"""
             WITH toks AS (
               SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token

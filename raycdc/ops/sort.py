@@ -421,3 +421,62 @@ def write_sorted_parquet(sorted_ds: SortedDataset, out_dir: str) -> list:
         os.unlink(stale)
         i += 1
     return out
+
+
+def zorder_bit_terms(cols: "list[str]", bits: int) -> "list[str]":
+    """The Morton-interleave as SQL bit terms — OR of
+    ``((col >> i) & 1) << (d*i + j)`` over every (bit, dim). Shared with
+    the oracle SQL so the engine expression and the SQL expression are
+    generated from ONE place (zero drift)."""
+    d = len(cols)
+    return [f"((({c} >> {i}) & 1) << {d * i + j})"
+            for i in range(bits) for j, c in enumerate(cols)]
+
+
+def zorder_value(ds: ray.data.Dataset, cols: "list[str]",
+                 out_col: str = "zval", bits: int = 21) -> ray.data.Dataset:
+    """Morton/Z-order clustering key over 2-3 integer columns: interleave
+    the low ``bits`` bits of each (values are masked to that width; null
+    in ANY dimension -> null key, the SQL bit-op semantics). Sorting the
+    lake by ``zval`` (then :func:`write_sorted_parquet`) co-locates rows
+    that are close in EVERY interleaved dimension, so min/max part pruning
+    answers range predicates on ANY of them — a row-major sort only prunes
+    its leading column. A rectangle query maps to the z-interval
+    ``[z(lo_1..lo_d), z(hi_1..hi_d)]`` (Morton codes are monotone per
+    coordinate) read via :func:`read_sorted_parquet` plus a residual
+    rectangle filter.
+
+    Exact bit arithmetic, vectorized (``d*bits`` shift/or passes per
+    batch, no shuffle); ``d * bits`` must fit in 63 bits so the key stays
+    a non-negative int64 everywhere (DuckDB BIGINT has no unsigned).
+    Negative inputs raise — two's-complement low bits would interleave
+    meaninglessly and SQL ``>>`` semantics diverge.
+    """
+    d = len(cols)
+    if not 2 <= d <= 3:
+        raise ValueError(f"zorder_value interleaves 2-3 columns, got {d}")
+    if bits < 1 or d * bits > 63:
+        raise ValueError(f"need 1 <= bits and {d}*bits <= 63, got {bits}")
+    mask = np.uint64((1 << bits) - 1)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and any(c not in t.column_names for c in cols):
+            return t.slice(0, 0)
+        n = t.num_rows
+        z = np.zeros(n, dtype=np.uint64)
+        valid = np.ones(n, dtype=bool)
+        for j, c in enumerate(cols):
+            col = pc.cast(t[c], pa.int64())
+            valid &= pc.is_valid(col).to_numpy(zero_copy_only=False)
+            v = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+            if n and v[valid].size and v[valid].min() < 0:
+                raise ValueError(
+                    f"zorder_value requires non-negative values in {c!r}")
+            v = v.astype(np.uint64) & mask
+            for i in range(bits):
+                z |= ((v >> np.uint64(i)) & np.uint64(1)) << np.uint64(
+                    d * i + j)
+        return t.append_column(
+            out_col, pa.array(z.astype(np.int64), pa.int64(), mask=~valid))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
