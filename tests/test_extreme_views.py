@@ -159,3 +159,56 @@ def test_extreme_spec_validation():
         maintain_extreme_view("/nonexistent", "g", {"x": ("v", "avg")})
     with pytest.raises(ValueError):
         maintain_extreme_view("/nonexistent", "g", {"g": ("v", "min")})
+
+
+def test_randomized_multi_hop_merges_match_recompute(tmp_path):
+    """Randomized churn: 4 sequential merge batches of inserts/updates/
+    deletes over random groups and values (nulls, duplicate extremes,
+    group moves included by construction), with the maintained view
+    CHAINED hop to hop — must equal the recompute at every version."""
+    import random
+
+    rng = random.Random(47)
+    lake = str(tmp_path / "lake")
+    ext = {"vmin": ("v", "min"), "vmax": ("v", "max")}
+    groups = ["A", "B", "C", None]
+    live = {}  # url -> (g, v)
+    seq = 0
+    versions = []
+    from raycdc.cdc.sink import read_manifest
+
+    for batch_no in range(4):
+        rows = []
+        # inserts / upserts
+        for _ in range(25):
+            url = f"u{rng.randrange(40)}"
+            g = rng.choice(groups)
+            v = rng.choice([None, rng.randrange(5)])  # few values -> dups
+            seq += 1
+            rows.append(dict(url=url, warc_ts=_ts(seq), seq=seq, g=g, v=v,
+                             _del=False))
+            live[url] = (g, v)
+        # deletes of existing urls
+        for url in rng.sample(sorted(live), k=min(6, len(live))):
+            seq += 1
+            rows.append(dict(url=url, warc_ts=_ts(seq), seq=seq,
+                             g=None, v=None, _del=True))
+            live.pop(url)
+        merge_into(lake, _src(rows), num_partitions=2, delete_col="_del")
+        versions.append(read_manifest(lake).version)
+
+    # maintained view chained across all hops == recompute at head
+    view = extreme_view(read_lake(lake, as_of_version=versions[0]), "g", ext)
+    for v_from, v_to in zip(versions, versions[1:]):
+        view = maintain_extreme_view(
+            lake, "g", ext, prior_view=view,
+            from_version=v_from, to_version=v_to, num_partitions=2)
+    got = collect(view, key="g")
+    want = recompute(lake, key="g", ext=ext)
+    assert got.select(want.column_names).cast(want.schema).equals(want)
+    # and the python model agrees on group counts
+    import collections as _c
+
+    model = _c.Counter(g for g, _ in live.values())
+    by_g = {r["g"]: r["n"] for r in got.to_pylist()}
+    assert by_g == dict(model)
