@@ -392,9 +392,14 @@ def maintain_extreme_view(
         has_null_dirty |= col.null_count > 0
         dirty_vals.update(pc.drop_null(col).to_pylist())
 
+    # build the membership value_set ONCE (it is closure-shipped to every
+    # task; rebuilding the Arrow array per batch is O(|dirty|) Python work
+    # inside map_batches over the whole live lake)
+    dirty_arr = pa.array(sorted(dirty_vals), gtype) if dirty_vals else \
+        pa.array([], gtype)
+
     def is_dirty_mask(groups: pa.ChunkedArray):
-        m = pc.is_in(groups,
-                     value_set=pa.array(list(dirty_vals), gtype))
+        m = pc.is_in(groups, value_set=dirty_arr)
         if has_null_dirty:
             m = pc.or_(m, pc.is_null(groups))
         return pc.fill_null(m, False)

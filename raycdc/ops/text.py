@@ -637,13 +637,13 @@ def ngram_explode(ds: ray.data.Dataset, *, n: int = 2,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _ngram_windows(text, n: int):
-    """Shared vectorized n-gram window kernel: returns ``(grams, n_grams,
-    doc_of)`` — the gram strings (None when the batch has none), the
-    per-doc gram counts (int64, 0 for null/token-less docs), and each
-    gram's source-doc index. One split, one window-index build over the
-    flattened token buffer (grams never cross documents), ONE take, one
-    ``binary_join``."""
+def _ws_tokens(text):
+    """Shared whitespace-normalize-and-split prelude: returns
+    ``(norm, toks, raw_n, empty)`` where ``raw_n`` are the RAW list
+    lengths indexing the flattened values buffer (an empty doc's
+    ``split('')`` phantom ``''`` IS in there — the token-window offsets
+    contract) and ``empty`` marks token-less docs. One copy of the
+    offsets-sensitive idiom instead of one per kernel."""
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     norm = pc.utf8_trim(
@@ -653,6 +653,17 @@ def _ngram_windows(text, n: int):
         zero_copy_only=False).astype(np.int64)
     empty = pc.equal(pc.fill_null(norm, ""), "").to_numpy(
         zero_copy_only=False)
+    return norm, toks, raw_n, empty
+
+
+def _ngram_windows(text, n: int):
+    """Shared vectorized n-gram window kernel: returns ``(grams, n_grams,
+    doc_of)`` — the gram strings (None when the batch has none), the
+    per-doc gram counts (int64, 0 for null/token-less docs), and each
+    gram's source-doc index. One split, one window-index build over the
+    flattened token buffer (grams never cross documents), ONE take, one
+    ``binary_join``."""
+    _, toks, raw_n, empty = _ws_tokens(text)
     n_tok = raw_n.copy()
     n_tok[empty] = 0  # split('') == [''] phantom
     n_grams = np.maximum(n_tok - (n - 1), 0)
@@ -832,17 +843,27 @@ class _NgramScoreProbe:
     one plasma fetch per worker, one ``pc.index_in`` + one weighted
     ``np.bincount`` per batch — no per-row Python, no exchange."""
 
-    def __init__(self, ref, text_col, id_col, n,
+    def __init__(self, ref, text_col, id_col, id_type, n,
                  sum_col, count_col, score_col):
         self._vocab, self._counts = ray.get(ref)
         self._text_col, self._id_col = text_col, id_col
         self._n = n
+        # stage OUTPUT schema, id type from the dataset schema — echoing
+        # the input schema (doc_id, text) from an empty/degraded block
+        # would make this stage emit two different schemas (CLAUDE.md
+        # concat-failure class)
+        self._out_schema = pa.schema([
+            pa.field(id_col, id_type),
+            pa.field(sum_col, pa.int64()),
+            pa.field(count_col, pa.int64()),
+            pa.field(score_col, pa.float64())])
         self._sum_col, self._count_col = sum_col, count_col
         self._score_col = score_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        out_schema = self._out_schema
         if t.num_rows == 0 or self._text_col not in t.column_names:
-            return t.slice(0, 0)
+            return out_schema.empty_table()
         ndocs = t.num_rows
         grams, n_grams, doc_of = _ngram_windows(t[self._text_col], self._n)
         sums = np.zeros(ndocs, dtype=np.float64)
@@ -863,7 +884,7 @@ class _NgramScoreProbe:
                                     mask=no_grams),
             self._count_col: pa.array(n_grams, pa.int64()),
             self._score_col: pa.array(score, pa.float64(), mask=no_grams),
-        })
+        }).cast(out_schema)
 
 
 def ngram_lm_score(
@@ -899,12 +920,19 @@ def ngram_lm_score(
     JOIN shape.
     """
     from raycdc.agg import grouped_aggregate
-    from raycdc.joins import hash_join
+    from raycdc.joins import _pa_schema, hash_join
 
+    id_field = _pa_schema(ds).field(id_col)
     grams = ngram_explode(ds, n=n, text_col=text_col, id_col=id_col)
+
+    def gram_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and "ngram" not in t.column_names:
+            return pa.schema([pa.field("ngram",
+                                       pa.string())]).empty_table()
+        return t.select(["ngram"])
+
     freq = grouped_aggregate(
-        grams.map_batches(lambda t: t.select(["ngram"]),
-                          batch_format="pyarrow"),
+        grams.map_batches(gram_only, batch_format="pyarrow"),
         ["ngram"], count_name="__rcdc_nf",
         num_partitions=num_partitions).materialize()
 
@@ -924,27 +952,42 @@ def ngram_lm_score(
 
         # plain tasks: init is one plasma fetch (cheap-init rule)
         return ds.map_batches(
-            stateless_stage(_NgramScoreProbe, ref, text_col, id_col, n,
-                            sum_col, count_col, score_col),
+            stateless_stage(_NgramScoreProbe, ref, text_col, id_col,
+                            id_field.type, n, sum_col, count_col,
+                            score_col),
             batch_format="pyarrow")
 
     # Fallback: count table too large to broadcast — join the gram stream
     # to it (gram-keyed exchange), reduce per doc, left-join docs back in.
     scored = hash_join(grams, freq, on=["ngram"], join_type="inner",
                        num_partitions=num_partitions, strategy="shuffle")
+
+    def doc_freq(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and id_col not in t.column_names:
+            return pa.schema([id_field, pa.field(
+                "__rcdc_nf", pa.int64())]).empty_table()
+        return t.select([id_col, "__rcdc_nf"])
+
     per_doc = grouped_aggregate(
-        scored.map_batches(lambda t: t.select([id_col, "__rcdc_nf"]),
-                           batch_format="pyarrow"),
+        scored.map_batches(doc_freq, batch_format="pyarrow"),
         [id_col], sums={sum_col: "__rcdc_nf"}, count_name=count_col,
         exchange="partition", num_partitions=num_partitions)
-    ids = ds.map_batches(lambda t: t.select([id_col]),
-                         batch_format="pyarrow")
+
+    def id_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and id_col not in t.column_names:
+            return pa.schema([id_field]).empty_table()
+        return t.select([id_col])
+
+    ids = ds.map_batches(id_only, batch_format="pyarrow")
     out = hash_join(ids, per_doc, on=[id_col], join_type="left_outer",
                     num_partitions=num_partitions, strategy="auto")
 
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 and id_col not in t.column_names:
-            return t.slice(0, 0)
+            return pa.schema([
+                id_field, pa.field(sum_col, pa.int64()),
+                pa.field(count_col, pa.int64()),
+                pa.field(score_col, pa.float64())]).empty_table()
         s = pc.cast(t[sum_col], pa.int64())
         c = pc.fill_null(pc.cast(t[count_col], pa.int64()), 0)
         score = pc.divide(pc.cast(s, pa.float64()),
@@ -957,20 +1000,12 @@ def ngram_lm_score(
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def _tf_pairs(t: pa.Table, text_col: str, id_col: str):
-    """Per-batch exact term frequencies: ``(doc_index, token, tf)`` plus the
-    doc-index array — sound because a document is ONE input row, so its
-    tokens never span batches. One split + one Arrow hash-aggregate."""
-    text = t[text_col]
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    norm = pc.utf8_trim(
-        pc.replace_substring_regex(text, r"\s+", " "), " ")
-    toks = pc.split_pattern(norm, " ")
-    raw_n = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    empty = pc.equal(pc.fill_null(norm, ""), "").to_numpy(
-        zero_copy_only=False)
+def _tf_pairs(t: pa.Table, text_col: str):
+    """Per-batch exact term frequencies as an Arrow table with columns
+    ``__d`` (doc index), ``token``, ``token_count`` — sound because a
+    document is ONE input row, so its tokens never span batches. One
+    split + one Arrow hash-aggregate."""
+    _, toks, raw_n, empty = _ws_tokens(t[text_col])
     doc_of = np.repeat(np.arange(t.num_rows), raw_n)
     flat = pc.list_flatten(toks)
     keep = ~empty[doc_of] if len(doc_of) else np.zeros(0, dtype=bool)
@@ -987,21 +1022,26 @@ class _TfidfProbe:
     hash-aggregate, one ``index_in`` lookup, one 3-key Arrow sort and a
     vectorized per-doc head(k) — no exchange, no per-row Python."""
 
-    def __init__(self, ref, text_col, id_col, k, n_docs, score_col):
+    def __init__(self, ref, text_col, id_col, id_type, k, n_docs,
+                 score_col):
         self._vocab, self._df = ray.get(ref)
         self._text_col, self._id_col = text_col, id_col
         self._k, self._n, self._score_col = k, float(n_docs), score_col
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        out_schema = pa.schema([
-            pa.field(self._id_col, t.schema.field(self._id_col).type
-                     if self._id_col in t.column_names else pa.int64()),
+        # id type passed from the dataset schema: a zero-column degraded
+        # empty block carries no type, and guessing int64 would make this
+        # stage emit two schemas (Arrow DataType is hashable, so it rides
+        # the stateless_stage cache key)
+        self._out_schema = pa.schema([
+            pa.field(id_col, id_type),
             pa.field("token", pa.string()),
             pa.field("tf", pa.int64()),
-            pa.field(self._score_col, pa.float64())])
+            pa.field(score_col, pa.float64())])
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_schema = self._out_schema
         if t.num_rows == 0 or self._text_col not in t.column_names:
             return out_schema.empty_table()
-        pairs = _tf_pairs(t, self._text_col, self._id_col)
+        pairs = _tf_pairs(t, self._text_col)
         if pairs.num_rows == 0:
             return out_schema.empty_table()
         pos = pc.fill_null(
@@ -1067,15 +1107,16 @@ def tfidf_keywords(
     join shape).
     """
     from raycdc.agg import grouped_aggregate, grouped_top_n
-    from raycdc.joins import hash_join
+    from raycdc.joins import _pa_schema, hash_join
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    id_field = _pa_schema(ds).field(id_col)
 
     def distinct_tokens(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or text_col not in t.column_names:
             return pa.schema([pa.field("token", pa.string())]).empty_table()
-        return pa.table({"token": _tf_pairs(t, text_col, id_col)["token"]})
+        return pa.table({"token": _tf_pairs(t, text_col)["token"]})
 
     df_tbl = grouped_aggregate(
         ds.map_batches(distinct_tokens, batch_format="pyarrow"),
@@ -1099,8 +1140,8 @@ def tfidf_keywords(
         from raycdc.shuffle import stateless_stage
 
         return ds.map_batches(
-            stateless_stage(_TfidfProbe, ref, text_col, id_col, k,
-                            n_docs, score_col),
+            stateless_stage(_TfidfProbe, ref, text_col, id_col,
+                            id_field.type, k, n_docs, score_col),
             batch_format="pyarrow")
 
     # Fallback: df table too large to broadcast — token-keyed join of the
@@ -1108,10 +1149,10 @@ def tfidf_keywords(
     def tf_rows(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or text_col not in t.column_names:
             return pa.schema([
-                pa.field(id_col, pa.int64()),
+                id_field,
                 pa.field("token", pa.string()),
                 pa.field("tf", pa.int64())]).empty_table()
-        pairs = _tf_pairs(t, text_col, id_col)
+        pairs = _tf_pairs(t, text_col)
         return pa.table({
             id_col: t[id_col].take(pairs["__d"]),
             "token": pairs["token"],
@@ -1123,7 +1164,10 @@ def tfidf_keywords(
 
     def score_fn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 and "tf" not in t.column_names:
-            return t.slice(0, 0)
+            return pa.schema([
+                id_field, pa.field("token", pa.string()),
+                pa.field("tf", pa.int64()),
+                pa.field(score_col, pa.float64())]).empty_table()
         score = pc.divide(
             pc.multiply(pc.cast(t["tf"], pa.float64()),
                         pa.scalar(float(n_docs))),
@@ -1237,13 +1281,7 @@ def gopher_quality_stats(ds: ray.data.Dataset, text_col: str = "text",
         valid_np = valid.to_numpy(zero_copy_only=False)
 
         # words over whitespace-normalized text (tokenize_explode contract)
-        norm = pc.utf8_trim(
-            pc.replace_substring_regex(text, r"\s+", " "), " ")
-        toks = pc.split_pattern(norm, " ")
-        raw_n = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        empty = pc.equal(pc.fill_null(norm, ""), "").to_numpy(
-            zero_copy_only=False)
+        norm, toks, raw_n, empty = _ws_tokens(text)
         n_tok = raw_n.copy()
         n_tok[empty] = 0  # split('') == [''] phantom token
         n_words = pc.if_else(valid, pa.array(n_tok, pa.int64()),
