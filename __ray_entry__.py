@@ -1782,6 +1782,35 @@ def _q_host_cap(sf_dir: str):
     return out.select_columns(["doc_id", "host"])
 
 
+def _q_ordered_join(sf_dir: str):
+    """Zero-exchange CO-RANGE merge join (ops/sort.ordered_lake_join):
+    orders and lineitem are each written as ordered lakes on their join
+    key, then joined with ONE local Acero join per left part against its
+    stat-overlapping right parts — footer min/max stats replace the
+    all-to-all exchange a generic hash join pays (the range-layout
+    sibling of the hash-layout copartition_join)."""
+    import shutil
+    import tempfile
+
+    from raycdc.ops.sort import (ordered_lake_join, sort_dataset,
+                                 write_sorted_parquet)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), "raycdc")
+    ld = os.path.join(base, f"lake_ordjoin_orders_{tag}")
+    rd = os.path.join(base, f"lake_ordjoin_lineitem_{tag}")
+    for d, tbl, cols, key in (
+            (ld, "orders", ["o_orderkey", "o_totalprice"], "o_orderkey"),
+            (rd, "lineitem", ["l_orderkey", "l_quantity", "l_linenumber"],
+             "l_orderkey")):
+        shutil.rmtree(d, ignore_errors=True)  # deterministic rebuild
+        write_sorted_parquet(
+            sort_dataset(_rp(sf_dir, tbl, cols), [key], num_partitions=8),
+            d)
+    return ordered_lake_join(ld, rd, left_key="o_orderkey",
+                             right_key="l_orderkey", join_type="inner")
+
+
 def _q_zorder_events(sf_dir: str):
     """Z-order (Morton) clustering key + global sort by it — the
     multi-dimensional lake layout: sorting by the interleaved key
@@ -2273,6 +2302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_cap_docs": _q_host_cap,
         "tfidf_keywords": _q_tfidf_keywords,
         "zorder_events": _q_zorder_events,
+        "ordered_join": _q_ordered_join,
         # -- tail: approximate / non-SQL variants (pytest ground-truth
         #    gates; exact twins above) -------------------------------------
         "ann_lsh": _q_ann_lsh,
@@ -3306,6 +3336,11 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter_docs": _gopher_filter_sql(),
         "host_cap_docs": _host_cap_sql(),
         "zorder_events": _zorder_events_sql(),
+        "ordered_join": """
+            SELECT o.o_orderkey, o.o_totalprice AS o_totalprice_l,
+                   l.l_quantity AS l_quantity_r,
+                   l.l_linenumber AS l_linenumber_r
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""",
         "tfidf_keywords": r"""
             WITH toks AS (
               SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token

@@ -480,3 +480,129 @@ def zorder_value(ds: ray.data.Dataset, cols: "list[str]",
             out_col, pa.array(z.astype(np.int64), pa.int64(), mask=~valid))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _part_key_stats(in_dir: str, key: str):
+    """(file, min, max) per part of a write_sorted_parquet lake, from
+    footer metadata only. Parts whose every row has a null key carry no
+    stats — they can never match a key-equality join, so they are skipped
+    for inner/semi/anti and surfaced (file, None, None) for outer."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(in_dir, "part-*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no part-*.parquet under {in_dir}")
+    out = []
+    for f in files:
+        md = pq.read_metadata(f)
+        ci = md.schema.to_arrow_schema().names.index(key)
+        f_min = f_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                f_min = f_max = None
+                break
+            f_min = st.min if f_min is None else min(f_min, st.min)
+            f_max = st.max if f_max is None else max(f_max, st.max)
+        out.append((f, f_min, f_max))
+    return out
+
+
+@ray.remote
+def _merge_join_task(left_file, right_files, right_schema_file, left_key,
+                     right_key, columns_left, columns_right, suffixes,
+                     join_type):
+    """One left part joined against its key-overlapping right parts —
+    one local Acero join, no exchange (the co-range ownership argument
+    lives in ordered_lake_join's docstring)."""
+    lt = pq.read_table(left_file, columns=columns_left)
+    if right_files:
+        rt = pa.concat_tables(
+            [pq.read_table(f, columns=columns_right) for f in right_files])
+    else:
+        # no overlapping right part: inner/semi emit nothing, outer/anti
+        # keep every left row — a typed empty right side reuses Acero's
+        # semantics for all of them (schema from any part's footer)
+        full = pq.read_schema(right_schema_file)
+        rt = pa.schema([full.field(c) for c in columns_right]).empty_table()
+    lt = lt.rename_columns(
+        [c if c == left_key else c + suffixes[0] for c in lt.column_names])
+    rt = rt.rename_columns(
+        [c if c == right_key else c + suffixes[1] for c in rt.column_names])
+    return lt.join(rt, keys=[left_key], right_keys=[right_key],
+                   join_type=join_type)
+
+
+def ordered_lake_join(
+    left_dir: str,
+    right_dir: str,
+    *,
+    left_key: str,
+    right_key: str,
+    columns_left: "list[str] | None" = None,
+    columns_right: "list[str] | None" = None,
+    suffixes: "tuple[str, str]" = ("_l", "_r"),
+    join_type: str = "inner",
+) -> ray.data.Dataset:
+    """Zero-exchange CO-RANGE merge join of two ordered lakes
+    (:func:`write_sorted_parquet` layouts) on their sort keys — the
+    range-layout sibling of `cdc.cojoin`'s hash-layout join: because both
+    sides are globally range-partitioned on the key, partition overlap is
+    computable from footer min/max stats alone, and the all-to-all
+    exchange a generic join pays disappears.
+
+    Plan: one task per LEFT part, joined against the right parts whose
+    key range overlaps it (footer stats only for everything else).
+    Soundness: every left row belongs to exactly ONE task (its part), and
+    a key occupies exactly ONE part per side (`sort_dataset` co-locates
+    equal primary keys), so no output row can be produced twice and
+    inner / left_outer / left_semi / left_anti are all exact. Right parts
+    overlapping several left parts are read once per overlap — bounded by
+    the range overlap ratio, ~1 for similarly-sized aligned lakes.
+
+    Non-key output columns are suffixed per side (cojoin convention);
+    the key appears once under ``left_key``. Null keys never match
+    (Acero = SQL); nested payload columns must be excluded by the caller
+    (the Acero invariant). Right/full outer would need unmatched-RIGHT
+    ownership — route those through `raycdc.joins.hash_join`.
+    """
+    acero = {"inner": "inner", "left_outer": "left outer",
+             "left_semi": "left semi", "left_anti": "left anti"}
+    if join_type not in acero:
+        raise ValueError(
+            f"join_type must be one of {sorted(acero)} (right/full outer "
+            "need unmatched-right ownership: use raycdc.joins.hash_join)")
+    lstats = _part_key_stats(left_dir, left_key)
+    rstats = _part_key_stats(right_dir, right_key)
+    if columns_left is None:
+        columns_left = pq.read_schema(lstats[0][0]).names
+    if columns_right is None:
+        columns_right = pq.read_schema(rstats[0][0]).names
+    if left_key not in columns_left or right_key not in columns_right:
+        raise ValueError("columns_* must include the join keys")
+
+    refs = []
+    for lf, lmin, lmax in lstats:
+        overlap = []
+        if lmin is not None:  # all-null-key part: matches nothing
+            overlap = [rf for rf, rmin, rmax in rstats
+                       if rmin is not None
+                       and not (rmax < lmin or rmin > lmax)]
+        elif join_type in ("inner", "left_semi"):
+            continue  # nothing to emit for this part
+        refs.append(_merge_join_task.remote(
+            lf, overlap, rstats[0][0], left_key, right_key,
+            list(columns_left), list(columns_right), tuple(suffixes),
+            acero[join_type]))
+
+    if refs:
+        return ray.data.from_arrow_refs(refs)
+    lfull = pq.read_schema(lstats[0][0])
+    out = [pa.field(left_key, lfull.field(left_key).type)] + [
+        pa.field(c + suffixes[0], lfull.field(c).type)
+        for c in columns_left if c != left_key]
+    if join_type in ("inner", "left_outer"):
+        rfull = pq.read_schema(rstats[0][0])
+        out += [pa.field(c + suffixes[1], rfull.field(c).type)
+                for c in columns_right if c != right_key]
+    return ray.data.from_arrow(pa.schema(out).empty_table())
