@@ -1782,6 +1782,36 @@ def _q_host_cap(sf_dir: str):
     return out.select_columns(["doc_id", "host"])
 
 
+def _q_lake_maintenance(sf_dir: str):
+    """Lake maintenance under the EXTERNAL oracle (the two state-preserving
+    rewrites that were pytest-only until now): replay the WAL into a
+    dedicated lake, REPARTITION it 16 → 24 (every row re-routed under the
+    new url-hash layout, tombstones and epoch ledger carried), then
+    COMPACT (multi-file run sets collapse to one file per partition) — and
+    the final read must STILL hash-match the WAL's LWW winner oracle.
+    Idempotent across driver calls: repeated 24 → 24 repartitions and
+    re-compactions rewrite files but converge to the same state by LWW
+    value (the merge_upsert convergence contract)."""
+    from raycdc.cdc import compact_lake, repartition_lake
+
+    sf_tag, n = _cdc_scale(sf_dir)
+    wal, spec = _cdc_spec(sf_tag, n)
+    generate_changelog(wal, spec)
+    lake = f"/tmp/raycdc/lake-maint-{sf_tag}-{n}"
+    # re-runs find the lake already repartitioned to 24: apply at the
+    # CURRENT layout (the epoch ledger makes it a no-op), then 24 -> 24
+    # repartition + recompact converge by LWW value
+    from raycdc.cdc.sink import read_manifest
+
+    m = read_manifest(lake)
+    apply_changelog(wal, lake,
+                    num_partitions=m.num_partitions if m else 16)
+    repartition_lake(lake, 24)
+    compact_lake(lake)
+    return read_lake(lake, columns=["url", "warc_ts", "seq", "text",
+                                    "lang"])
+
+
 def _q_ordered_join(sf_dir: str):
     """Zero-exchange CO-RANGE merge join (ops/sort.ordered_lake_join):
     orders and lineitem are each written as ordered lakes on their join
@@ -2303,6 +2333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "zorder_events": _q_zorder_events,
         "ordered_join": _q_ordered_join,
+        "lake_maintenance": _q_lake_maintenance,
         # -- tail: approximate / non-SQL variants (pytest ground-truth
         #    gates; exact twins above) -------------------------------------
         "ann_lsh": _q_ann_lsh,
@@ -2613,6 +2644,8 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
         "cdc_replay": _cdc_replay_oracle_sql(),
+        # repartition + compaction are state-PRESERVING: same LWW oracle
+        "lake_maintenance": _cdc_replay_oracle_sql(),
         "cdc_time_travel": _cdc_time_travel_oracle_sql(),
         "cdc_changes": _cdc_changes_oracle_sql(),
         "incremental_view": _incremental_view_oracle_sql(),

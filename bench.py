@@ -237,7 +237,7 @@ def run_bench() -> dict:
         "canon_urls", "c4_filter_docs", "curation_pipeline_v5",
         "gopher_stats", "gopher_filter_docs", "ngram_fluency",
         "host_cap_docs", "incremental_minmax_view", "tfidf_keywords",
-        "zorder_events", "ordered_join",
+        "zorder_events", "ordered_join", "lake_maintenance",
     ]
     # Two passes, per-query MIN: this box has episodic multi-minute
     # slowdown windows (measured 2026-08-17: the same query set ran

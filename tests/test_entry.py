@@ -71,6 +71,7 @@ def test_query_matches_oracle(name, sf_dir):
     # the cdc_replay oracle reads the WAL whose path depends on the scale
     # factor; oracle_sql() pins the driver's sf0.01, tests re-derive it
     sf_dependent = {"cdc_replay": entrymod._cdc_replay_oracle_sql,
+                    "lake_maintenance": entrymod._cdc_replay_oracle_sql,
                     "cdc_time_travel": entrymod._cdc_time_travel_oracle_sql,
                     "cdc_changes": entrymod._cdc_changes_oracle_sql,
                     "incremental_view": entrymod._incremental_view_oracle_sql,
