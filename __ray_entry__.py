@@ -1783,31 +1783,43 @@ def _q_host_cap(sf_dir: str):
 
 
 def _q_lake_maintenance(sf_dir: str):
-    """Lake maintenance under the EXTERNAL oracle (the two state-preserving
-    rewrites that were pytest-only until now): replay the WAL into a
-    dedicated lake, REPARTITION it 16 → 24 (every row re-routed under the
-    new url-hash layout, tombstones and epoch ledger carried), then
-    COMPACT (multi-file run sets collapse to one file per partition) — and
-    the final read must STILL hash-match the WAL's LWW winner oracle.
-    Idempotent across driver calls: repeated 24 → 24 repartitions and
-    re-compactions rewrite files but converge to the same state by LWW
-    value (the merge_upsert convergence contract)."""
+    """The full maintenance lifecycle under the EXTERNAL oracle — four
+    engine surfaces that were pytest-only, composed end to end on a lake
+    REBUILT from scratch every call (identical work per run — no warm-run
+    no-op; convergence is by construction):
+
+    1. STREAM the first two epochs through the actor/LSM engine (one
+       commit each — partitions now hold multi-file L0 run sets),
+    2. COMPACT (run sets genuinely collapse; compaction does real work
+       here because it runs BEFORE the batch path rewrites files),
+    3. batch-APPLY the remaining epochs (the ledger skips the streamed
+       ones),
+    4. REPARTITION 16 → 24 (every row re-routed under the new url-hash
+       layout; tombstones and the epoch ledger carry over).
+
+    The final read must STILL hash-match the WAL's LWW winner oracle —
+    streaming == batch == compacted == repartitioned, externally checked.
+    """
+    import shutil
+
     from raycdc.cdc import compact_lake, repartition_lake
+    from raycdc.cdc.actors import CdcEngine
 
     sf_tag, n = _cdc_scale(sf_dir)
     wal, spec = _cdc_spec(sf_tag, n)
     generate_changelog(wal, spec)
     lake = f"/tmp/raycdc/lake-maint-{sf_tag}-{n}"
-    # re-runs find the lake already repartitioned to 24: apply at the
-    # CURRENT layout (the epoch ledger makes it a no-op), then 24 -> 24
-    # repartition + recompact converge by LWW value
-    from raycdc.cdc.sink import read_manifest
-
-    m = read_manifest(lake)
-    apply_changelog(wal, lake,
-                    num_partitions=m.num_partitions if m else 16)
-    repartition_lake(lake, 24)
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = CdcEngine(wal, lake, num_partitions=16,
+                    compact_threshold=100)  # keep L0 runs for step 2
+    try:
+        eng.advance(1)
+        eng.advance(1)
+    finally:
+        eng.shutdown()
     compact_lake(lake)
+    apply_changelog(wal, lake, num_partitions=16)
+    repartition_lake(lake, 24)
     return read_lake(lake, columns=["url", "warc_ts", "seq", "text",
                                     "lang"])
 

@@ -331,8 +331,6 @@ def read_sorted_parquet(in_dir: str, key: str, *, lo=None, hi=None,
     ``lo``/``hi`` are inclusive; ``None`` leaves that side unbounded.
     Nulls never match a bounded range (SQL comparison semantics).
     """
-    import glob as _glob
-
     if columns is not None and key not in columns and (
             lo is not None or hi is not None):
         raise ValueError(f"columns must include the sort key {key!r} when "
@@ -342,23 +340,11 @@ def read_sorted_parquet(in_dir: str, key: str, *, lo=None, hi=None,
         lo = lo.as_py()
     if isinstance(hi, pa.Scalar):
         hi = hi.as_py()
-    files = sorted(_glob.glob(os.path.join(in_dir, "part-*.parquet")))
-    if not files:
-        raise FileNotFoundError(f"no part-*.parquet under {in_dir}")
+    stats = _part_key_stats(in_dir, key)
+    files = [f for f, _, _ in stats]
     keep = []
-    for f in files:
-        md = pq.read_metadata(f)
-        names = md.schema.to_arrow_schema().names
-        ci = names.index(key)
-        f_min = f_max = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            if st is None or not st.has_min_max:
-                f_min = f_max = None  # no stats: cannot prune this file
-                break
-            f_min = st.min if f_min is None else min(f_min, st.min)
-            f_max = st.max if f_max is None else max(f_max, st.max)
-        if f_min is not None:
+    for f, f_min, f_max in stats:
+        if f_min is not None:  # unknown range: cannot prune, keep
             if lo is not None and f_max < lo:
                 continue
             if hi is not None and f_min > hi:
@@ -452,16 +438,23 @@ def zorder_value(ds: ray.data.Dataset, cols: "list[str]",
     Negative inputs raise — two's-complement low bits would interleave
     meaninglessly and SQL ``>>`` semantics diverge.
     """
+    from raycdc.joins import _pa_schema
+
     d = len(cols)
     if not 2 <= d <= 3:
         raise ValueError(f"zorder_value interleaves 2-3 columns, got {d}")
     if bits < 1 or d * bits > 63:
         raise ValueError(f"need 1 <= bits and {d}*bits <= 63, got {bits}")
     mask = np.uint64((1 << bits) - 1)
+    # typed empty for Ray's zero-column degraded blocks: echoing them
+    # unchanged would make this stage emit two schemas and crash the
+    # downstream sort's key access (CLAUDE.md invariant)
+    empty = pa.schema(list(_pa_schema(ds))
+                      + [pa.field(out_col, pa.int64())]).empty_table()
 
     def fn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 and any(c not in t.column_names for c in cols):
-            return t.slice(0, 0)
+            return empty
         n = t.num_rows
         z = np.zeros(n, dtype=np.uint64)
         valid = np.ones(n, dtype=bool)
@@ -484,9 +477,14 @@ def zorder_value(ds: ray.data.Dataset, cols: "list[str]",
 
 def _part_key_stats(in_dir: str, key: str):
     """(file, min, max) per part of a write_sorted_parquet lake, from
-    footer metadata only. Parts whose every row has a null key carry no
-    stats — they can never match a key-equality join, so they are skipped
-    for inner/semi/anti and surfaced (file, None, None) for outer."""
+    footer metadata only — the ONE stats scan behind both the pruned
+    reader and the co-range join. ``(file, None, None)`` means UNKNOWN
+    range (any row group without min/max stats: an all-null-key run,
+    stats disabled, oversized values): callers must treat unknown as
+    "may contain anything" — read_sorted_parquet keeps the file,
+    ordered_lake_join overlaps it with everything. Skipping it instead
+    silently loses rows (a nulls_last lake puts a >=64k-row null run in
+    the LAST part next to real top-range keys)."""
     import glob as _glob
 
     files = sorted(_glob.glob(os.path.join(in_dir, "part-*.parquet")))
@@ -583,26 +581,18 @@ def ordered_lake_join(
 
     refs = []
     for lf, lmin, lmax in lstats:
-        overlap = []
-        if lmin is not None:  # all-null-key part: matches nothing
-            overlap = [rf for rf, rmin, rmax in rstats
-                       if rmin is not None
-                       and not (rmax < lmin or rmin > lmax)]
-        elif join_type in ("inner", "left_semi"):
-            continue  # nothing to emit for this part
+        # UNKNOWN ranges (None: null runs / missing stats) must be treated
+        # as may-contain-anything: an unknown LEFT part joins every right
+        # part; an unknown RIGHT part joins every left part. Extra reads,
+        # never lost rows (null keys still never match inside the task).
+        overlap = [rf for rf, rmin, rmax in rstats
+                   if rmin is None or lmin is None
+                   or not (rmax < lmin or rmin > lmax)]
         refs.append(_merge_join_task.remote(
             lf, overlap, rstats[0][0], left_key, right_key,
             list(columns_left), list(columns_right), tuple(suffixes),
             acero[join_type]))
 
-    if refs:
-        return ray.data.from_arrow_refs(refs)
-    lfull = pq.read_schema(lstats[0][0])
-    out = [pa.field(left_key, lfull.field(left_key).type)] + [
-        pa.field(c + suffixes[0], lfull.field(c).type)
-        for c in columns_left if c != left_key]
-    if join_type in ("inner", "left_outer"):
-        rfull = pq.read_schema(rstats[0][0])
-        out += [pa.field(c + suffixes[1], rfull.field(c).type)
-                for c in columns_right if c != right_key]
-    return ray.data.from_arrow(pa.schema(out).empty_table())
+    # every left part got a task (lstats is never empty), so refs is
+    # non-empty and the result schema always comes from a real Acero join
+    return ray.data.from_arrow_refs(refs)

@@ -103,3 +103,35 @@ def test_unsupported_join_types_raise(tmp_path):
     with pytest.raises(ValueError):
         ordered_lake_join(d, d, left_key="k", right_key="k",
                           join_type="full_outer")
+
+
+def test_part_with_all_null_key_row_group_still_joins(tmp_path):
+    """A nulls_last lake can put an ALL-null-key row group in the last
+    part (no min/max stats for that group => the whole file's range is
+    UNKNOWN). The join must treat unknown as may-contain-anything — the
+    file's real keys still match; skipping it would silently lose rows."""
+    import pyarrow.parquet as pq
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                     "lv": pa.array([10, 20, 30, 40], pa.int64())})
+    ld = _lake(tmp_path, "L", left, "k", 2)
+    # hand-build the right lake: part-00000 normal, part-00001 has a
+    # second row group whose keys are ALL null (stats-less)
+    rd = tmp_path / "R"
+    rd.mkdir()
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64()),
+                             "rv": pa.array([100], pa.int64())}),
+                   str(rd / "part-00000.parquet"))
+    tail = pa.table({"k": pa.array([3, 4, None, None], pa.int64()),
+                     "rv": pa.array([300, 400, 998, 999], pa.int64())})
+    pq.write_table(tail, str(rd / "part-00001.parquet"), row_group_size=2)
+    md = pq.read_metadata(str(rd / "part-00001.parquet"))
+    assert md.num_row_groups == 2  # the second group is all-null keys
+
+    got = _canon(ordered_lake_join(ld, str(rd), left_key="k", right_key="k",
+                                   join_type="inner").to_pandas())
+    assert got["k"].tolist() == [1, 3, 4]
+    assert got["rv_r"].tolist() == [100, 300, 400]
+    outer = ordered_lake_join(ld, str(rd), left_key="k", right_key="k",
+                              join_type="left_outer").to_pandas()
+    assert len(outer) == 4  # k=2 unmatched, null right keys never matched
