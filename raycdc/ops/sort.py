@@ -596,3 +596,55 @@ def ordered_lake_join(
     # every left part got a task (lstats is never empty), so refs is
     # non-empty and the result schema always comes from a real Acero join
     return ray.data.from_arrow_refs(refs)
+
+
+def zorder_scalar(vals: "list[int]", bits: int = 21) -> int:
+    """Morton-interleave one point (the scalar twin of zorder_value) —
+    used to map a rectangle's corners to its z-interval."""
+    d = len(vals)
+    if not 2 <= d <= 3 or bits < 1 or d * bits > 63:
+        raise ValueError("zorder_scalar: 2-3 dims, d*bits <= 63")
+    z = 0
+    for j, v in enumerate(vals):
+        if v is None or v < 0:
+            raise ValueError("zorder_scalar needs non-negative ints")
+        v &= (1 << bits) - 1
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (d * i + j)
+    return z
+
+
+def zorder_range_read(in_dir: str, *, cols: "list[str]",
+                      lows: "list[int]", highs: "list[int]",
+                      bits: int = 21, zval_col: str = "zval",
+                      columns: "list[str] | None" = None
+                      ) -> ray.data.Dataset:
+    """Rectangle query over a z-ordered lake (a `zorder_value` →
+    `sort_dataset` → `write_sorted_parquet` layout): the box
+    ``lows[i] <= cols[i] <= highs[i]`` maps to ONE z-interval
+    ``[z(lows), z(highs)]`` because Morton codes are monotone per
+    coordinate, so the stat-pruned reader opens only the parts that
+    interval touches on ANY dimension's predicate — then one exact
+    per-dimension residual filter trims the Z-curve's excursions.
+    ``bits`` must match the value used to build ``zval_col``.
+    """
+    if not (len(cols) == len(lows) == len(highs)):
+        raise ValueError("cols/lows/highs must align")
+    lo = zorder_scalar(list(lows), bits)
+    hi = zorder_scalar(list(highs), bits)
+    need = None if columns is None else sorted({*columns, *cols, zval_col})
+    ds = read_sorted_parquet(in_dir, zval_col, lo=lo, hi=hi, columns=need)
+
+    def rect(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t if columns is None else (
+                t.select(columns) if all(c in t.column_names
+                                         for c in columns) else t)
+        mask = pa.array(np.ones(t.num_rows, dtype=bool))
+        for c, lo_v, hi_v in zip(cols, lows, highs):
+            mask = pc.and_kleene(mask, pc.greater_equal(t[c], lo_v))
+            mask = pc.and_kleene(mask, pc.less_equal(t[c], hi_v))
+        out = t.filter(pc.fill_null(mask, False))
+        return out if columns is None else out.select(columns)
+
+    return ds.map_batches(rect, batch_format="pyarrow")

@@ -101,3 +101,27 @@ def test_sql_terms_match_engine():
     rows = duckdb.connect().execute(
         f"SELECT {expr} FROM (VALUES (3, 5), (63, 0)) t(x, y)").fetchall()
     assert [r[0] for r in rows] == [_ref_z([3, 5], 6), _ref_z([63, 0], 6)]
+
+
+def test_zorder_range_read_api(tmp_path):
+    """The first-class rectangle query: zorder_range_read must equal a
+    brute-force filter of the raw grid and prune to a strict part subset."""
+    from raycdc.ops.sort import zorder_range_read, zorder_scalar
+
+    n = 64
+    x, y = np.meshgrid(np.arange(n), np.arange(n))
+    tbl = pa.table({"x": x.ravel().astype("int64"),
+                    "y": y.ravel().astype("int64")})
+    ds = zorder_value(ray.data.from_arrow(tbl), ["x", "y"], bits=6)
+    write_sorted_parquet(sort_dataset(ds, ["zval"], num_partitions=16),
+                         str(tmp_path))
+    got = pa.concat_tables(list(
+        zorder_range_read(str(tmp_path), cols=["x", "y"], lows=[5, 20],
+                          highs=[12, 30], bits=6, columns=["x", "y"])
+        .iter_batches(batch_format="pyarrow")))
+    assert got.num_rows == 8 * 11
+    assert (got["x"].to_pandas().between(5, 12).all()
+            and got["y"].to_pandas().between(20, 30).all())
+    assert zorder_scalar([5, 20], 6) <= zorder_scalar([12, 30], 6)
+    with pytest.raises(ValueError):
+        zorder_scalar([-1, 2], 6)
